@@ -1,0 +1,22 @@
+"""muopdb_tpu — a TPU-native multi-user vector database engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of MuopDB
+(reference: hicder/muopdb, Rust): multi-user collections holding HNSW / IVF /
+SPANN indexes with product quantization, hybrid text+vector search with
+boolean filters, a WAL-backed LSM segment lifecycle (flush / merge / vacuum),
+and a gRPC serving plane with aggregator-leaf fan-out.
+
+Layering (top to bottom), mirroring SURVEY.md §1 but TPU-first:
+
+  server/       gRPC serving plane, collection manager, aggregator, metrics
+  collection/   WAL + segment lifecycle + versioned TOC snapshots (host)
+  index/        flat / IVF / HNSW / SPANN / multi-user SPANN (device layouts)
+  terms/        tokenizer, term index, boolean filter planner (host)
+  quantization/ no-op / product quantization (ADC) / RaBitQ
+  compression/  Elias-Fano & plain int-sequence codecs (host)
+  ops/          device compute core: distance, top-k, k-means, Pallas kernels
+  parallel/     device-mesh sharded search fan-out
+  utils/        ids, file io, versioned persistence
+"""
+
+__version__ = "0.1.0"

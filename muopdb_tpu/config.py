@@ -1,0 +1,224 @@
+"""Collection configuration, enums, search params, attribute schema.
+
+Capability parity with the reference's config crate
+(/root/reference/rs/config/src/collection.rs:8-210, enums.rs:4-51,
+search_params.rs:1-34, attribute_schema.rs:6-80), re-designed for a
+TPU-native engine: adds device-layout knobs (posting-list block rows,
+scoring dtype) that have no CPU analog.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+
+class QuantizerType(str, enum.Enum):
+    NO_QUANTIZER = "NoQuantizer"
+    PRODUCT_QUANTIZER = "ProductQuantizer"
+    RABITQ = "RaBitQ"  # experimental, as in the reference
+
+    @classmethod
+    def from_proto(cls, value: int) -> "QuantizerType":
+        # proto mapping: 0 = NoQuantizer, 1 = ProductQuantizer (enums.rs:11-19)
+        return {1: cls.PRODUCT_QUANTIZER}.get(value, cls.NO_QUANTIZER)
+
+
+class DistanceType(str, enum.Enum):
+    L2 = "L2"
+    DOT_PRODUCT = "DotProduct"
+
+
+class IntSeqEncodingType(str, enum.Enum):
+    PLAIN = "PlainEncoding"
+    ELIAS_FANO = "EliasFano"
+
+    @classmethod
+    def from_proto(cls, value: int) -> "IntSeqEncodingType":
+        return {1: cls.ELIAS_FANO}.get(value, cls.PLAIN)
+
+
+class IndexType(str, enum.Enum):
+    HNSW = "Hnsw"
+    IVF = "Ivf"
+    SPANN = "Spann"
+
+
+LANGUAGES = (
+    "arabic", "danish", "dutch", "english", "finnish", "french", "german",
+    "greek", "hungarian", "italian", "norwegian", "portuguese", "romanian",
+    "russian", "spanish", "swedish", "tamil", "turkish", "vietnamese",
+)
+
+
+def parse_language(s: str) -> str:
+    """Parse a language name; mirrors attribute_schema.rs:29-57 (incl. 'italy')."""
+    t = s.lower()
+    if t == "italy":
+        t = "italian"
+    if t not in LANGUAGES:
+        raise ValueError(f"unknown language: {s}")
+    return t
+
+
+class AttributeKind(str, enum.Enum):
+    NONE = "None"
+    INTEGER = "Integer"
+    FLOAT = "Float"
+    BOOLEAN = "Boolean"
+    TEXT = "Text"
+    KEYWORD = "Keyword"
+    VECTOR_INT = "VectorInt"
+    VECTOR_KEYWORD = "VectorKeyword"
+
+
+@dataclass(frozen=True)
+class AttributeType:
+    kind: AttributeKind
+    language: str = "english"  # only meaningful for TEXT
+
+    def to_json(self):
+        if self.kind == AttributeKind.TEXT:
+            return {"Text": self.language}
+        return self.kind.value
+
+    @classmethod
+    def from_json(cls, v) -> "AttributeType":
+        if isinstance(v, dict) and "Text" in v:
+            return cls(AttributeKind.TEXT, parse_language(v["Text"]))
+        return cls(AttributeKind(v))
+
+
+@dataclass
+class AttributeSchema:
+    fields: Dict[str, AttributeType] = field(default_factory=dict)
+
+    def to_json(self):
+        return {"fields": {k: v.to_json() for k, v in self.fields.items()}}
+
+    @classmethod
+    def from_json(cls, v) -> "AttributeSchema":
+        return cls({k: AttributeType.from_json(t) for k, t in v.get("fields", {}).items()})
+
+
+@dataclass
+class CollectionConfig:
+    """Per-collection configuration.
+
+    Field names and defaults follow the reference's CollectionConfig
+    (collection.rs:8-210) so that a user of the reference finds every knob;
+    TPU-only knobs are grouped at the bottom.
+    """
+
+    num_features: int = 768
+
+    # Centroid graph (HNSW over SPANN centroids)
+    centroids_max_neighbors: int = 10
+    centroids_max_layers: int = 10
+    centroids_ef_construction: int = 100
+
+    # Quantization
+    quantization_type: QuantizerType = QuantizerType.NO_QUANTIZER
+    product_quantization_max_iteration: int = 1000
+    product_quantization_batch_size: int = 1000
+    product_quantization_subvector_dimension: int = 8
+    product_quantization_num_bits: int = 8
+    product_quantization_num_training_rows: int = 10000
+
+    # IVF clustering
+    initial_num_centroids: int = 10
+    num_data_points_for_clustering: int = 20000
+    max_clusters_per_vector: int = 1
+    clustering_distance_threshold_pct: float = 0.1
+    posting_list_encoding_type: IntSeqEncodingType = IntSeqEncodingType.PLAIN
+    max_posting_list_size: int = 2**63 - 1
+    posting_list_kmeans_unbalanced_penalty: float = 0.0
+    reindex: bool = True
+
+    # Durability / lifecycle
+    wal_file_size: int = 0  # 0 = WAL disabled
+    wal_write_group_size: int = 940
+    max_pending_ops: int = 0
+    max_time_to_flush_ms: int = 10000
+    max_number_of_segments: int = 10
+    fpr: float = 0.01  # bloom-filter false-positive rate
+
+    # Hybrid search
+    attribute_schema: Optional[AttributeSchema] = None
+
+    # Distance metric (the reference hardwires L2 in collections; we expose it)
+    distance_type: DistanceType = DistanceType.L2
+
+    # ---- TPU-native knobs (no reference analog) ----
+    # Posting lists are packed into fixed-size device blocks of this many rows
+    # so IVF scans are static-shaped gathers feeding the MXU.
+    posting_list_block_rows: int = 256
+    # dtype used for on-device scoring ("bfloat16" or "float32").
+    scoring_dtype: str = "float32"
+
+    def to_json(self) -> dict:
+        d = dataclasses.asdict(self)
+        for k in ("quantization_type", "posting_list_encoding_type", "distance_type"):
+            d[k] = getattr(self, k).value
+        d["attribute_schema"] = self.attribute_schema.to_json() if self.attribute_schema else None
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict) -> "CollectionConfig":
+        d = dict(d)
+        known = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in known}
+        if "quantization_type" in d:
+            d["quantization_type"] = QuantizerType(d["quantization_type"])
+        if "posting_list_encoding_type" in d:
+            d["posting_list_encoding_type"] = IntSeqEncodingType(d["posting_list_encoding_type"])
+        if "distance_type" in d:
+            d["distance_type"] = DistanceType(d["distance_type"])
+        if d.get("attribute_schema"):
+            d["attribute_schema"] = AttributeSchema.from_json(d["attribute_schema"])
+        return cls(**d)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "CollectionConfig":
+        with open(path) as f:
+            return cls.from_json(json.load(f))
+
+    @classmethod
+    def default_test_config(cls) -> "CollectionConfig":
+        """Small config for tests; mirrors collection.rs:213-246."""
+        return cls(
+            num_features=4,
+            centroids_max_layers=2,
+            product_quantization_subvector_dimension=2,
+            product_quantization_num_bits=2,
+            product_quantization_num_training_rows=100,
+            initial_num_centroids=10,
+            num_data_points_for_clustering=1000,
+            posting_list_encoding_type=IntSeqEncodingType.ELIAS_FANO,
+            posting_list_kmeans_unbalanced_penalty=0.1,
+            wal_file_size=1024 * 1024 * 1024,
+            max_pending_ops=10000,
+            max_time_to_flush_ms=10000,
+            posting_list_block_rows=8,
+        )
+
+
+@dataclass
+class SearchParams:
+    """Search-time parameters; mirrors search_params.rs:1-34."""
+
+    top_k: int = 10
+    ef_construction: int = 100  # ef_search for HNSW beams (reference reuses the name)
+    record_pages: bool = False
+    num_explored_centroids: Optional[int] = None  # defaults to top_k
+    centroid_distance_ratio: float = 0.1
+
+    def explored_centroids(self) -> int:
+        return self.num_explored_centroids if self.num_explored_centroids is not None else self.top_k

@@ -1,0 +1,3 @@
+from .distance import l2_distance, dot_distance, pairwise_distance  # noqa: F401
+from .topk import top_k_smallest, merge_top_k  # noqa: F401
+from .kmeans import kmeans, KMeansResult  # noqa: F401

@@ -1,0 +1,68 @@
+"""Batched distance computation on the MXU.
+
+The reference computes one-pair SIMD distances (utils/src/distance/l2.rs:30-67,
+dot_product.rs:19-100). On TPU the equivalent unit of work is a *batched*
+distance: a (B, d) query block against an (N, d) vector block is one matmul on
+the 128x128 systolic array, so every distance API here is batched and the
+single-pair form is the degenerate B=N=1 case.
+
+Conventions (matching the reference's ordering semantics):
+  - L2 returns *squared* euclidean distance (monotone in true L2; the
+    reference ranks on accumulated squared lanes too).
+  - Dot product returns the *negated* dot product (dot_product.rs: score is
+    negated so that smaller == closer everywhere).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def l2_distance(queries: jax.Array, vectors: jax.Array, precision=None) -> jax.Array:
+    """Squared L2 distance matrix: (B, d) x (N, d) -> (B, N)."""
+    q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (B, 1)
+    x_sq = jnp.sum(vectors * vectors, axis=-1)  # (N,)
+    cross = jax.lax.dot_general(
+        queries,
+        vectors,
+        (((queries.ndim - 1,), (vectors.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    d = q_sq + x_sq[None, :] - 2.0 * cross
+    return jnp.maximum(d, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def dot_distance(queries: jax.Array, vectors: jax.Array, precision=None) -> jax.Array:
+    """Negated dot product matrix: (B, d) x (N, d) -> (B, N); smaller=closer."""
+    return -jax.lax.dot_general(
+        queries,
+        vectors,
+        (((queries.ndim - 1,), (vectors.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def pairwise_distance(queries, vectors, distance_type: str = "L2", valid_mask=None):
+    """Distance matrix with optional validity masking.
+
+    valid_mask: optional (N,) or (B, N) bool; invalid entries get +inf so they
+    never survive top-k. This is the TPU-native form of the reference's
+    invalidated-id skip (ivf/block_based/index.rs:192-199): deletions become
+    masks, not control flow.
+    """
+    if distance_type in ("L2", "l2"):
+        d = l2_distance(queries, vectors)
+    elif distance_type in ("DotProduct", "dot", "ip"):
+        d = dot_distance(queries, vectors)
+    else:
+        raise ValueError(f"unknown distance type {distance_type}")
+    if valid_mask is not None:
+        d = jnp.where(valid_mask, d, jnp.inf)
+    return d

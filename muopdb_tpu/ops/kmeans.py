@@ -1,0 +1,157 @@
+"""Balanced (penalized) Lloyd k-means, fully jitted.
+
+The reference implements its own Lloyd loop with a size-penalty term
+``tolerance * cluster_size`` that discourages unbalanced clusters
+(kmeans_builder/kmeans_builder.rs:20-36,183-221) and re-seeds empty clusters
+from the largest cluster. Here the whole loop is one XLA program:
+
+  - assignment   = argmin over a (N, k) distance matrix — one MXU matmul
+  - update       = segment-sum (one-hot matmul or scatter-add fused by XLA)
+  - size penalty = previous-iteration cluster sizes added to the distance
+                   matrix (the batched analog of the reference's sequential
+                   running-count penalty)
+  - empty rescue = empty clusters re-seeded from the points currently
+                   farthest from their assigned centroid (static-shape form
+                   of "steal from the largest cluster")
+
+vmap over the leading axis gives the per-subspace PQ trainer for free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .distance import l2_distance
+
+
+class KMeansResult(NamedTuple):
+    centroids: jax.Array  # (k, d) float32
+    assignments: jax.Array  # (N,) int32
+    num_iterations: jax.Array  # scalar int32
+
+
+def _init_centroids(key, x, k):
+    n = x.shape[0]
+    idx = jax.random.choice(key, n, shape=(k,), replace=n < k)
+    return x[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iter", "penalty"))
+def kmeans(
+    x: jax.Array,
+    k: int,
+    *,
+    key: jax.Array,
+    max_iter: int = 20,
+    penalty: float = 0.0,
+    tol: float = 1e-4,
+) -> KMeansResult:
+    """Run penalized Lloyd k-means on (N, d) data.
+
+    penalty: weight of the cluster-size balancing term, in units of squared
+    distance per point (the reference's `tolerance * cluster_size`,
+    kmeans_builder.rs:203-208, scaled here by mean pairwise distance so it is
+    dimensionally stable across datasets).
+    """
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    init = _init_centroids(key, x, k)
+
+    # Scale penalty relative to the typical nearest-centroid distance so the
+    # term is dimensionally stable; normalized by n/k so penalty=1.0 means
+    # "one average spacing per relative overfill" (the reference's
+    # `tolerance * cluster_size`, kmeans_builder.rs:203-208, has raw units).
+    size_scale = float(penalty) * (float(k) / float(n))
+
+    def _penalized_assign(dist, counts):
+        """Damped fixed-point assignment under the size penalty.
+
+        The reference assigns points sequentially, penalizing the *running*
+        count (self-limiting). The batched analog oscillates if counts come
+        only from the previous Lloyd step, so we run a short damped inner
+        fixed point over the assignment<->counts pair.
+        """
+        scale = size_scale * jnp.mean(jnp.min(dist, axis=-1))
+        assign = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+        def inner(_, carry):
+            counts, _ = carry
+            a = jnp.argmin(dist + scale * counts[None, :], axis=-1).astype(jnp.int32)
+            c = jnp.bincount(a, length=k).astype(jnp.float32)
+            return 0.5 * counts + 0.5 * c, a
+
+        if penalty > 0.0:
+            counts, assign = jax.lax.fori_loop(0, 3, inner, (counts, assign))
+        return assign, counts
+
+    def step(state):
+        centroids, _, counts, it, _ = state
+        dist = l2_distance(x, centroids)  # (N, k)
+        assign, damped_counts = _penalized_assign(dist, counts)
+        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # (N, k)
+        new_counts = jnp.sum(one_hot, axis=0)  # (k,)
+        sums = jax.lax.dot_general(
+            one_hot, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (k, d)
+        new_centroids = sums / jnp.maximum(new_counts[:, None], 1.0)
+
+        # Rescue empty clusters by re-seeding from the *largest* cluster's
+        # outermost points (kmeans_builder.rs empty-cluster handling steals
+        # from the largest cluster; its farthest members split it sensibly).
+        d_assigned = jnp.take_along_axis(dist, assign[:, None], axis=-1)[:, 0]
+        largest = jnp.argmax(new_counts)
+        d_local = jnp.where(assign == largest, d_assigned, -jnp.inf)
+        _, far_idx = jax.lax.top_k(d_local, min(k, n))
+        empty = new_counts == 0
+        empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+        cand = x[far_idx[jnp.clip(empty_rank, 0, min(k, n) - 1)]]
+        new_centroids = jnp.where(empty[:, None], cand, new_centroids)
+
+        # Carry the *damped* counts so the penalty fixed point continues
+        # smoothly across Lloyd steps (raw counts re-trigger oscillation).
+        carried = damped_counts if penalty > 0.0 else new_counts
+        carried = jnp.where(empty, 1.0, carried)
+
+        shift = jnp.mean(jnp.sum((new_centroids - centroids) ** 2, axis=-1))
+        return new_centroids, assign, carried, it + 1, shift
+
+    def cond(state):
+        _, _, _, it, shift = state
+        return jnp.logical_and(it < max_iter, shift > tol)
+
+    state0 = (
+        init,
+        jnp.zeros((n,), jnp.int32),
+        jnp.full((k,), float(n) / k, jnp.float32),
+        jnp.int32(0),
+        jnp.float32(jnp.inf),
+    )
+    centroids, _, counts, iters, _ = jax.lax.while_loop(cond, step, state0)
+    # Final assignment keeps the size penalty so the returned labels reflect
+    # the balanced objective (the reference's labels come out of the same
+    # penalized assignment loop, kmeans_builder.rs:199-221).
+    final_assign, _ = _penalized_assign(l2_distance(x, centroids), counts)
+    return KMeansResult(centroids, final_assign, iters)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iter", "penalty"))
+def kmeans_multi(
+    x: jax.Array,
+    k: int,
+    *,
+    key: jax.Array,
+    max_iter: int = 20,
+    penalty: float = 0.0,
+) -> jax.Array:
+    """Independent k-means per leading-axis group: (m, N, dsub) -> (m, k, dsub).
+
+    This is the PQ per-subvector trainer (pq/pq_builder.rs:43-100) as one
+    vmapped XLA program: all m subspaces train simultaneously on the MXU.
+    """
+    keys = jax.random.split(key, x.shape[0])
+    fn = lambda xs, kk: kmeans(xs, k, key=kk, max_iter=max_iter, penalty=penalty).centroids
+    return jax.vmap(fn)(x.astype(jnp.float32), keys)

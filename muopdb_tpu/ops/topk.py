@@ -1,0 +1,37 @@
+"""Top-k selection on device.
+
+The reference maintains binary heaps per query (ivf/block_based/index.rs:250-285,
+hnsw utils). On TPU, selection is a data-parallel primitive: `lax.top_k` over a
+scores row, or `lax.approx_min_k` when k << N. Merging shard-local results is
+a concat + re-top-k, which is how the aggregator's score-merge
+(aggregator.rs:134) becomes an on-device op.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def top_k_smallest(distances: jax.Array, ids: jax.Array, k: int):
+    """Per-row smallest-k: (B, N) dists + (N,) or (B, N) int ids -> (B,k),(B,k).
+
+    Invalid slots must carry +inf distance; their ids come back but rank last.
+    """
+    neg, idx = jax.lax.top_k(-distances, k)  # top_k is largest-k
+    if ids.ndim == 1:
+        sel = ids[idx]
+    else:
+        sel = jnp.take_along_axis(ids, idx, axis=-1)
+    return -neg, sel
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_top_k(dists_a, ids_a, dists_b, ids_b, k: int):
+    """Merge two per-row top-k result sets into one (B, k) set."""
+    d = jnp.concatenate([dists_a, dists_b], axis=-1)
+    i = jnp.concatenate([ids_a, ids_b], axis=-1)
+    return top_k_smallest(d, i, k)

@@ -1,0 +1,1 @@
+from . import ids, io  # noqa: F401

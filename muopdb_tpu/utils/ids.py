@@ -1,0 +1,62 @@
+"""128-bit document / user ids.
+
+The reference uses u128 ids throughout, carried on the wire as (low_id,
+high_id) u64 pairs or UUID strings (muopdb.proto:72-81; mem.rs:70-120).
+TPUs have no native u128, so device-side code uses dense int32 *point ids*
+per segment, and the host keeps point_id -> u128 doc-id remap tables stored
+as (hi, lo) uint64 numpy column pairs.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterable, List, Tuple
+
+import numpy as np
+
+U64 = 1 << 64
+MASK64 = U64 - 1
+
+
+def u128_from_parts(low: int, high: int) -> int:
+    return ((high & MASK64) << 64) | (low & MASK64)
+
+
+def u128_to_parts(v: int) -> Tuple[int, int]:
+    """Return (low, high)."""
+    return v & MASK64, (v >> 64) & MASK64
+
+
+def u128_from_uuid(s: str) -> int:
+    return uuid.UUID(s).int
+
+
+def u128_to_uuid(v: int) -> str:
+    return str(uuid.UUID(int=v))
+
+
+def pack_u128s(values: Iterable[int]) -> np.ndarray:
+    """Pack python ints into an (n, 2) uint64 array of (lo, hi) columns."""
+    vals = list(values)
+    out = np.empty((len(vals), 2), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        lo, hi = u128_to_parts(v)
+        out[i, 0] = lo
+        out[i, 1] = hi
+    return out
+
+
+def unpack_u128s(arr: np.ndarray) -> List[int]:
+    arr = np.asarray(arr, dtype=np.uint64).reshape(-1, 2)
+    return [u128_from_parts(int(lo), int(hi)) for lo, hi in arr]
+
+
+def u128s_to_bytes(arr: np.ndarray) -> bytes:
+    """Little-endian 16-byte-per-id serialization, matching the reference's
+    in-file layout of u128 ids (wal/file.rs:18-25)."""
+    return np.ascontiguousarray(np.asarray(arr, dtype=np.uint64).reshape(-1, 2)).tobytes()
+
+
+def u128s_from_bytes(b: bytes) -> np.ndarray:
+    flat = np.frombuffer(b, dtype=np.uint64)
+    return flat.reshape(-1, 2).copy()

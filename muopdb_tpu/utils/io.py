@@ -1,0 +1,93 @@
+"""Versioned persistence helpers.
+
+Mirrors the reference's crash-safe conventions (utils/src/io.rs:12-60,
+collection/core.rs:1013-1071): state files are written to a temp name then
+atomically renamed to ``version_N``; readers scan for the latest N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import secrets
+from typing import Optional, Tuple
+
+_VERSION_RE = re.compile(r"^version_(\d+)$")
+
+
+def get_latest_version(directory: str) -> Tuple[Optional[int], Optional[str]]:
+    """Return (version, path) of the highest version_N file in directory."""
+    best = None
+    try:
+        names = os.listdir(directory)
+    except FileNotFoundError:
+        return None, None
+    for name in names:
+        m = _VERSION_RE.match(name)
+        if m:
+            v = int(m.group(1))
+            if best is None or v > best:
+                best = v
+    if best is None:
+        return None, None
+    return best, os.path.join(directory, f"version_{best}")
+
+
+def write_version_atomic(directory: str, version: int, payload: dict) -> str:
+    """Write payload as JSON to version_{version} via atomic rename."""
+    os.makedirs(directory, exist_ok=True)
+    tmp = os.path.join(directory, f"tmp_version_{secrets.token_hex(8)}")
+    final = os.path.join(directory, f"version_{version}")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+    # fsync the directory so the rename is durable
+    dfd = os.open(directory, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    return final
+
+
+def read_version(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def cleanup_tmp(directory: str, prefix: str = "tmp_") -> None:
+    """Remove leftover tmp_* files/dirs from a crashed writer
+    (reference: core.rs:313-329)."""
+    try:
+        names = os.listdir(directory)
+    except FileNotFoundError:
+        return
+    import shutil
+
+    for name in names:
+        if name.startswith(prefix):
+            p = os.path.join(directory, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
+def random_name(prefix: str) -> str:
+    return f"{prefix}{secrets.token_hex(8)}"
+
+
+def write_pad(f, alignment: int) -> int:
+    """Pad file to alignment boundary, returns bytes written
+    (reference: io.rs write_pad)."""
+    pos = f.tell()
+    pad = (-pos) % alignment
+    if pad:
+        f.write(b"\x00" * pad)
+    return pad

@@ -1,0 +1,111 @@
+"""Exact-recall tests for the device compute core (distance / top-k / kmeans),
+validated against numpy — the SURVEY.md §7.2 gate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from muopdb_tpu.ops import (
+    dot_distance,
+    kmeans,
+    l2_distance,
+    merge_top_k,
+    pairwise_distance,
+    top_k_smallest,
+)
+from muopdb_tpu.ops.kmeans import kmeans_multi
+
+
+def test_l2_matches_numpy(rng):
+    q = rng.standard_normal((7, 32)).astype(np.float32)
+    x = rng.standard_normal((50, 32)).astype(np.float32)
+    got = np.asarray(l2_distance(q, x))
+    want = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dot_matches_numpy(rng):
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    x = rng.standard_normal((20, 16)).astype(np.float32)
+    got = np.asarray(dot_distance(q, x))
+    np.testing.assert_allclose(got, -(q @ x.T), rtol=1e-5, atol=1e-5)
+
+
+def test_masked_distance_excludes_invalid(rng):
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    x = rng.standard_normal((10, 8)).astype(np.float32)
+    mask = np.ones(10, bool)
+    mask[3] = mask[7] = False
+    d = np.asarray(pairwise_distance(q, x, "L2", valid_mask=mask))
+    assert np.isinf(d[:, 3]).all() and np.isinf(d[:, 7]).all()
+    assert np.isfinite(d[:, 0]).all()
+
+
+def test_top_k_exact(rng):
+    d = rng.standard_normal((4, 100)).astype(np.float32)
+    ids = np.arange(100, dtype=np.int32)
+    dist, got_ids = top_k_smallest(jnp.asarray(d), jnp.asarray(ids), 5)
+    for row in range(4):
+        want = np.argsort(d[row], kind="stable")[:5]
+        np.testing.assert_array_equal(np.sort(got_ids[row]), np.sort(want))
+        np.testing.assert_allclose(np.asarray(dist[row]), np.sort(d[row])[:5], rtol=1e-6)
+
+
+def test_merge_top_k(rng):
+    da = rng.random((2, 5)).astype(np.float32)
+    db = rng.random((2, 5)).astype(np.float32)
+    ia = np.arange(5, dtype=np.int32)[None].repeat(2, 0)
+    ib = (np.arange(5, dtype=np.int32) + 100)[None].repeat(2, 0)
+    d, i = merge_top_k(da, ia, db, ib, 3)
+    allv = np.concatenate([da, db], axis=1)
+    for row in range(2):
+        np.testing.assert_allclose(np.asarray(d[row]), np.sort(allv[row])[:3], rtol=1e-6)
+
+
+def test_kmeans_separated_clusters(rng):
+    # 3 well-separated blobs -> kmeans must recover them exactly by membership
+    centers = np.array([[0, 0], [10, 10], [-10, 5]], np.float32)
+    pts = np.concatenate(
+        [c + 0.1 * rng.standard_normal((50, 2)).astype(np.float32) for c in centers]
+    )
+    res = kmeans(jnp.asarray(pts), 3, key=jax.random.key(0), max_iter=50)
+    a = np.asarray(res.assignments)
+    # each blob maps to exactly one distinct cluster
+    blobs = [set(a[i * 50 : (i + 1) * 50].tolist()) for i in range(3)]
+    assert all(len(b) == 1 for b in blobs)
+    assert len(set().union(*blobs)) == 3
+    # centroids are near true centers
+    got = np.sort(np.asarray(res.centroids), axis=0)
+    want = np.sort(centers, axis=0)
+    np.testing.assert_allclose(got, want, atol=0.5)
+
+
+def test_kmeans_balanced_penalty(rng):
+    # one dense blob + a few outliers; with a strong penalty the split must be
+    # more balanced than without
+    pts = np.concatenate(
+        [
+            rng.standard_normal((190, 2)).astype(np.float32),
+            rng.standard_normal((10, 2)).astype(np.float32) + 50,
+        ]
+    )
+    r0 = kmeans(jnp.asarray(pts), 4, key=jax.random.key(1), max_iter=50, penalty=0.0)
+    r1 = kmeans(jnp.asarray(pts), 4, key=jax.random.key(1), max_iter=50, penalty=1.0)
+    c0 = np.bincount(np.asarray(r0.assignments), minlength=4)
+    c1 = np.bincount(np.asarray(r1.assignments), minlength=4)
+    assert c1.max() <= c0.max()
+
+
+def test_kmeans_more_clusters_than_points(rng):
+    pts = rng.standard_normal((3, 4)).astype(np.float32)
+    res = kmeans(jnp.asarray(pts), 8, key=jax.random.key(2), max_iter=5)
+    assert res.centroids.shape == (8, 4)
+    assert np.asarray(res.assignments).max() < 8
+
+
+def test_kmeans_multi_shapes(rng):
+    x = rng.standard_normal((4, 200, 2)).astype(np.float32)
+    cb = kmeans_multi(jnp.asarray(x), 16, key=jax.random.key(3), max_iter=10)
+    assert cb.shape == (4, 16, 2)
+    assert np.isfinite(np.asarray(cb)).all()
