@@ -1,0 +1,29 @@
+from .base import Quantizer  # noqa: F401
+from .noq import NoQuantizer  # noqa: F401
+from .pq import ProductQuantizer  # noqa: F401
+
+from ..config import CollectionConfig, QuantizerType
+
+
+def from_config(config: CollectionConfig):
+    """Instantiate the quantizer a collection config asks for (the analog of
+    collection_provider.rs:24-66's dispatch on quantizer type)."""
+    if config.quantization_type == QuantizerType.PRODUCT_QUANTIZER:
+        return ProductQuantizer(
+            dim=config.num_features,
+            subvector_dim=config.product_quantization_subvector_dimension,
+            num_bits=config.product_quantization_num_bits,
+        )
+    return NoQuantizer(dim=config.num_features)
+
+
+def load_dir(directory: str):
+    """Load whichever quantizer was saved in `directory`
+    (reference: Quantizer::read, quantization.rs:30-38)."""
+    import json
+    import os
+
+    with open(os.path.join(directory, "quantizer_config.json")) as f:
+        cfg = json.load(f)
+    cls = {"NoQuantizer": NoQuantizer, "ProductQuantizer": ProductQuantizer}[cfg["type"]]
+    return cls.load(directory)

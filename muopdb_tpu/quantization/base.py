@@ -1,0 +1,57 @@
+"""Quantizer interface.
+
+Capability parity with the reference's Quantizer trait
+(quantization/src/quantization.rs:6-42) — quantize / quantized_dimension /
+original_vector / distance / read-write — but batched: every method takes
+(N, d) arrays because on TPU a single vector is the degenerate case of a
+batch, and scoring happens via per-query lookup tables rather than
+pair-at-a-time SIMD.
+"""
+
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+
+
+class Quantizer(abc.ABC):
+    """Batched vector quantizer."""
+
+    #: storage dtype of quantized codes (np dtype)
+    code_dtype: np.dtype
+
+    @property
+    @abc.abstractmethod
+    def dim(self) -> int:
+        """Original vector dimensionality."""
+
+    @property
+    @abc.abstractmethod
+    def quantized_dim(self) -> int:
+        """Per-vector code length (elements of code_dtype)."""
+
+    @abc.abstractmethod
+    def quantize(self, vectors) -> np.ndarray:
+        """(N, dim) float -> (N, quantized_dim) codes."""
+
+    @abc.abstractmethod
+    def original_vectors(self, codes) -> np.ndarray:
+        """(N, quantized_dim) codes -> (N, dim) float32 reconstruction."""
+
+    @abc.abstractmethod
+    def distances(self, queries, codes, distance_type: str = "L2"):
+        """(B, dim) queries x (N, quantized_dim) codes -> (B, N) distances.
+
+        Asymmetric (query side unquantized) — the ADC path on TPU. The
+        reference computes symmetric code-code distance (pq/mod.rs:202-260);
+        asymmetric strictly dominates it in recall at the same memory and is
+        the BASELINE.md north-star formulation.
+        """
+
+    @abc.abstractmethod
+    def save(self, directory: str) -> None: ...
+
+    @classmethod
+    @abc.abstractmethod
+    def load(cls, directory: str) -> "Quantizer": ...

@@ -1,0 +1,46 @@
+"""Identity (no-op) quantizer; reference: quantization/src/noq/mod.rs:14-73."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..ops.distance import pairwise_distance
+from .base import Quantizer
+
+
+class NoQuantizer(Quantizer):
+    code_dtype = np.dtype(np.float32)
+
+    def __init__(self, dim: int):
+        self._dim = dim
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    @property
+    def quantized_dim(self) -> int:
+        return self._dim
+
+    def quantize(self, vectors) -> np.ndarray:
+        return np.asarray(vectors, dtype=np.float32)
+
+    def original_vectors(self, codes) -> np.ndarray:
+        return np.asarray(codes, dtype=np.float32)
+
+    def distances(self, queries, codes, distance_type: str = "L2"):
+        return pairwise_distance(queries, codes, distance_type)
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "quantizer_config.json"), "w") as f:
+            json.dump({"type": "NoQuantizer", "dim": self._dim}, f)
+
+    @classmethod
+    def load(cls, directory: str) -> "NoQuantizer":
+        with open(os.path.join(directory, "quantizer_config.json")) as f:
+            cfg = json.load(f)
+        return cls(dim=cfg["dim"])

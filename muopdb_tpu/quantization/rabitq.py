@@ -1,0 +1,102 @@
+"""RaBitQ binary quantization (experimental — parity with the reference's
+unwired rabitq crate, quantization/src/rabitq/mod.rs:6-31, rabitq_builder.rs:35-63).
+
+Implements the RaBitQ paper's construction: center data, apply a random
+orthogonal rotation (QR of a Gaussian), store sign-bit codes plus the two
+per-vector scalars the unbiased distance estimator needs. On TPU the
+rotation is a matmul and sign-code scoring is a {-1,+1} matmul on the MXU —
+binary codes score at full matrix-unit rate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RaBitQ:
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.centroid = None  # (d,)
+        self.rotation = None  # (d, d) orthogonal
+        self.signs = None  # (N, d) float32 in {-1,+1} (bit-packed on save)
+        self.dist_to_centroid = None  # (N,) ||o_r - c||
+        self.dot_scale = None  # (N,) <o_bar, x_bar> term of the estimator
+
+    def build(self, vectors, *, key=None):
+        x = np.asarray(vectors, np.float32)
+        n, d = x.shape
+        assert d == self.dim
+        key = key if key is not None else jax.random.key(0)
+        self.centroid = x.mean(0)
+        g = jax.random.normal(key, (d, d), dtype=jnp.float32)
+        q, _ = jnp.linalg.qr(g)
+        self.rotation = np.asarray(q)
+
+        centered = x - self.centroid
+        self.dist_to_centroid = np.linalg.norm(centered, axis=1)
+        # rotate into the quantization basis
+        rotated = centered @ self.rotation
+        signs = np.where(rotated >= 0, 1.0, -1.0).astype(np.float32)
+        self.signs = signs
+        # <o_bar, x_bar>: cosine between the unit data vector and its
+        # quantized direction; the estimator's correction scale.
+        norm = np.maximum(self.dist_to_centroid, 1e-12)
+        o_bar = rotated / norm[:, None]
+        x_bar = signs / np.sqrt(d)
+        self.dot_scale = np.maximum((o_bar * x_bar).sum(1), 1e-12)
+        return self
+
+    def estimate_distances(self, queries) -> np.ndarray:
+        """Unbiased squared-L2 estimates: (B, d) -> (B, N).
+
+        ||q - o||^2 ~= ||q - c||^2 + ||o - c||^2 + 2 * ||o - c|| * est<q_bar, o_bar>
+        where est<q_bar,o_bar> = <q_bar, x_bar> / <o_bar, x_bar>.
+        """
+        q = np.asarray(queries, np.float32)
+        qc = q - self.centroid
+        q_dist = np.linalg.norm(qc, axis=1)  # (B,)
+        q_rot = jnp.asarray(qc) @ jnp.asarray(self.rotation)  # (B, d)
+        q_bar = np.asarray(q_rot) / np.maximum(q_dist, 1e-12)[:, None]
+        # <q_bar, x_bar>: binary-code matmul — runs on the MXU at full rate
+        dots = np.asarray(
+            jnp.asarray(q_bar)
+            @ (jnp.asarray(self.signs).T / np.sqrt(self.dim))
+        )  # (B, N)
+        est_cos = dots / self.dot_scale[None, :]
+        return (
+            q_dist[:, None] ** 2
+            + self.dist_to_centroid[None, :] ** 2
+            - 2.0 * self.dist_to_centroid[None, :] * q_dist[:, None] * est_cos
+        )
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez(
+            os.path.join(directory, "rabitq.npz"),
+            centroid=self.centroid,
+            rotation=self.rotation,
+            bits=np.packbits(self.signs > 0, axis=1),
+            dist_to_centroid=self.dist_to_centroid,
+            dot_scale=self.dot_scale,
+        )
+        with open(os.path.join(directory, "quantizer_config.json"), "w") as f:
+            json.dump({"type": "RaBitQ", "dim": self.dim}, f)
+
+    @classmethod
+    def load(cls, directory: str) -> "RaBitQ":
+        with open(os.path.join(directory, "quantizer_config.json")) as f:
+            cfg = json.load(f)
+        z = np.load(os.path.join(directory, "rabitq.npz"))
+        rq = cls(cfg["dim"])
+        rq.centroid = z["centroid"]
+        rq.rotation = z["rotation"]
+        bits = np.unpackbits(z["bits"], axis=1)[:, : cfg["dim"]]
+        rq.signs = np.where(bits > 0, 1.0, -1.0).astype(np.float32)
+        rq.dist_to_centroid = z["dist_to_centroid"]
+        rq.dot_scale = z["dot_scale"]
+        return rq

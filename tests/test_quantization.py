@@ -1,0 +1,113 @@
+"""Quantizer round-trip + recall tests (reference pattern: build -> write ->
+read-back -> search, e.g. pq/mod.rs tests)."""
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.quantization import NoQuantizer, ProductQuantizer, load_dir
+from muopdb_tpu.quantization.pq import adc_scores
+from muopdb_tpu.quantization.rabitq import RaBitQ
+
+
+def test_noq_roundtrip(tmp_path, rng):
+    q = NoQuantizer(dim=16)
+    x = rng.standard_normal((10, 16)).astype(np.float32)
+    assert np.allclose(q.original_vectors(q.quantize(x)), x)
+    q.save(str(tmp_path))
+    q2 = load_dir(str(tmp_path))
+    assert isinstance(q2, NoQuantizer) and q2.dim == 16
+
+
+def test_noq_distance_exact(rng):
+    q = NoQuantizer(dim=8)
+    qs = rng.standard_normal((3, 8)).astype(np.float32)
+    xs = rng.standard_normal((5, 8)).astype(np.float32)
+    want = ((qs[:, None] - xs[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(q.distances(qs, xs)), want, rtol=1e-4, atol=1e-4)
+
+
+def test_pq_reconstruction_error_small(rng):
+    # clustered data quantizes well: reconstruction must be much closer to the
+    # original than to a random other point
+    d, m = 32, 8
+    x = rng.standard_normal((2000, d)).astype(np.float32)
+    pq = ProductQuantizer(dim=d, subvector_dim=d // m, num_bits=8).train(x, max_iter=15)
+    codes = pq.quantize(x[:100])
+    rec = pq.original_vectors(codes)
+    err = ((rec - x[:100]) ** 2).sum(-1).mean()
+    base = ((x[:100] - x[100:200]) ** 2).sum(-1).mean()
+    assert err < 0.3 * base
+
+
+def test_pq_adc_close_to_true_distance(rng):
+    d = 16
+    x = rng.standard_normal((1000, d)).astype(np.float32)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    pq = ProductQuantizer(dim=d, subvector_dim=2, num_bits=8).train(x, max_iter=15)
+    codes = pq.quantize(x)
+    adc = np.asarray(pq.distances(q, codes))
+    true = ((q[:, None] - x[None]) ** 2).sum(-1)
+    # ADC distance to quantized points approximates true distance
+    rel = np.abs(adc - true) / (true + 1e-6)
+    assert np.median(rel) < 0.25
+
+
+def test_pq_adc_recall_at_10(rng):
+    d = 32
+    x = rng.standard_normal((2000, d)).astype(np.float32)
+    q = x[:8] + 0.01 * rng.standard_normal((8, d)).astype(np.float32)
+    pq = ProductQuantizer(dim=d, subvector_dim=4, num_bits=8).train(x, max_iter=15)
+    codes = pq.quantize(x)
+    adc = np.asarray(pq.distances(q, codes))
+    true = ((q[:, None] - x[None]) ** 2).sum(-1)
+    recall = 0.0
+    for row in range(len(q)):
+        got = set(np.argsort(adc[row])[:10].tolist())
+        want = set(np.argsort(true[row])[:10].tolist())
+        recall += len(got & want) / 10
+    # random gaussian data is PQ's worst case; near-duplicate queries must
+    # still find their source point and most of the true neighborhood
+    assert recall / len(q) >= 0.5
+    top1_hits = sum(int(np.argsort(adc[i])[0] == i) for i in range(len(q)))
+    assert top1_hits >= 6
+
+
+def test_pq_save_load(tmp_path, rng):
+    x = rng.standard_normal((500, 8)).astype(np.float32)
+    pq = ProductQuantizer(dim=8, subvector_dim=2, num_bits=4).train(x, max_iter=10)
+    pq.save(str(tmp_path))
+    pq2 = load_dir(str(tmp_path))
+    np.testing.assert_array_equal(pq.quantize(x[:20]), pq2.quantize(x[:20]))
+
+
+def test_pq_symmetric_table_shape(rng):
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    pq = ProductQuantizer(dim=8, subvector_dim=4, num_bits=4).train(x, max_iter=5)
+    t = pq.symmetric_table()
+    assert t.shape == (2, 16, 16)
+    # diagonal is zero (distance of a centroid to itself)
+    assert np.allclose(np.diagonal(t, axis1=1, axis2=2), 0, atol=1e-4)
+
+
+def test_pq_invalid_args():
+    with pytest.raises(ValueError):
+        ProductQuantizer(dim=10, subvector_dim=3)
+    with pytest.raises(ValueError):
+        ProductQuantizer(dim=8, subvector_dim=2, num_bits=9)
+
+
+def test_rabitq_estimates_order(tmp_path, rng):
+    d = 64
+    x = rng.standard_normal((500, d)).astype(np.float32)
+    q = x[:4] + 0.05 * rng.standard_normal((4, d)).astype(np.float32)
+    rq = RaBitQ(d).build(x)
+    est = rq.estimate_distances(q)
+    true = ((q[:, None] - x[None]) ** 2).sum(-1)
+    # top-1 by estimate should be in true top-20 for most queries
+    hits = sum(
+        int(np.argmin(est[i]) in np.argsort(true[i])[:20]) for i in range(4)
+    )
+    assert hits >= 3
+    rq.save(str(tmp_path))
+    rq2 = RaBitQ.load(str(tmp_path))
+    np.testing.assert_allclose(rq2.estimate_distances(q), est, rtol=1e-4, atol=1e-3)
