@@ -1,0 +1,2 @@
+from .flat import FlatIndex  # noqa: F401
+from .ivf import IvfBuilder, IvfIndex  # noqa: F401

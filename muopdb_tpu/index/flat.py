@@ -1,0 +1,56 @@
+"""Exact brute-force index.
+
+No reference analog (the reference's smallest index is IVF), but on TPU a
+brute-force batched matmul over HBM-resident vectors is both the recall
+ceiling and — for large query batches — often the *bandwidth-optimal* scan,
+so it is a first-class index here and the recall oracle for every test.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import pairwise_distance
+from ..ops.topk import top_k_smallest
+
+
+class FlatIndex:
+    def __init__(self, vectors: np.ndarray, doc_ids: np.ndarray | None = None, distance_type: str = "L2"):
+        self.vectors = jnp.asarray(np.asarray(vectors, np.float32))
+        n = self.vectors.shape[0]
+        self.doc_ids = (
+            np.arange(n, dtype=np.uint64).reshape(-1, 1).repeat(2, 1) * np.array([1, 0], np.uint64)
+            if doc_ids is None
+            else np.asarray(doc_ids)
+        )
+        self.distance_type = distance_type
+        self.valid = jnp.ones((n,), dtype=bool)
+
+    def invalidate(self, point_ids) -> None:
+        self.valid = self.valid.at[jnp.asarray(point_ids)].set(False)
+
+    def search(self, queries, k: int = 10):
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        d = pairwise_distance(q, self.vectors, self.distance_type, valid_mask=self.valid)
+        ids = jnp.arange(self.vectors.shape[0], dtype=jnp.int32)
+        return top_k_smallest(d, ids, k)
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez(
+            os.path.join(directory, "flat.npz"),
+            vectors=np.asarray(self.vectors),
+            doc_ids=self.doc_ids,
+            valid=np.asarray(self.valid),
+        )
+
+    @classmethod
+    def load(cls, directory: str) -> "FlatIndex":
+        z = np.load(os.path.join(directory, "flat.npz"))
+        idx = cls(z["vectors"], z["doc_ids"])
+        idx.valid = jnp.asarray(z["valid"])
+        return idx

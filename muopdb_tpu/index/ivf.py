@@ -1,0 +1,595 @@
+"""IVF index with a packed-block TPU layout.
+
+Reference behavior being re-provided (not ported):
+  - build-time clustering with balanced penalty + recursive split of
+    oversized posting lists (ivf/builder.rs:460-542)
+  - multi-assignment of vectors to clusters within a distance threshold
+    (ivf/builder.rs:292-366)
+  - reindexing so each posting list's vectors are contiguous for locality
+    (ivf/builder.rs:556-676)
+  - search = probe top-`nprobe` centroids, scan their posting lists, top-k
+    (ivf/block_based/index.rs:175-285)
+  - deletions as invalidated ids checked during the scan
+    (ivf/block_based/index.rs:192-199)
+
+TPU-first redesign: posting lists are packed into fixed-size *blocks* of
+`block_rows` vectors (padded with -1 point ids). Block data lives on device:
+scanning a probed list is a static-shaped gather of its blocks followed by
+one batched distance matmul and a masked top-k — no per-point control flow,
+no heaps, no pointer chasing. Deletions are a device-resident boolean mask
+applied inside the scan (a mask update, not a rebuild). The reference's
+on-disk combined-file format becomes a directory of arrays (npz) because the
+"file format" that matters on TPU is the in-HBM block layout.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CollectionConfig
+from ..ops.distance import l2_distance, pairwise_distance
+from ..ops.kmeans import kmeans
+from ..ops.topk import top_k_smallest
+from ..quantization import NoQuantizer, ProductQuantizer
+from ..quantization.pq import adc_scores
+from ..utils.ids import pack_u128s
+
+
+def _dedup_rows(dist, ids):
+    """Mask duplicate point ids per row to +inf (keep one occurrence).
+
+    Multi-assignment places a point in several posting lists
+    (ivf/builder.rs:319-327); the reference dedups via its reindexed
+    "stopping points" layout. Here: sort by id, mask repeats.
+    """
+    order = jnp.argsort(ids, axis=-1)
+    ids_s = jnp.take_along_axis(ids, order, axis=-1)
+    dist_s = jnp.take_along_axis(dist, order, axis=-1)
+    prev = jnp.concatenate(
+        [jnp.full((ids_s.shape[0], 1), -2, ids_s.dtype), ids_s[:, :-1]], axis=-1
+    )
+    dup = (ids_s == prev) & (ids_s >= 0)
+    return jnp.where(dup, jnp.inf, dist_s), ids_s
+
+
+# ---------------------------------------------------------------------------
+# Builder
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IvfBuildConfig:
+    num_centroids: int = 10
+    max_iterations: int = 20
+    num_data_points_for_clustering: int = 20000
+    max_clusters_per_vector: int = 1
+    distance_threshold_pct: float = 0.1
+    max_posting_list_size: int = 2**31
+    kmeans_unbalanced_penalty: float = 0.0
+    block_rows: int = 256
+    distance_type: str = "L2"
+
+    @classmethod
+    def from_collection_config(cls, c: CollectionConfig) -> "IvfBuildConfig":
+        return cls(
+            num_centroids=c.initial_num_centroids,
+            num_data_points_for_clustering=c.num_data_points_for_clustering,
+            max_clusters_per_vector=c.max_clusters_per_vector,
+            distance_threshold_pct=c.clustering_distance_threshold_pct,
+            max_posting_list_size=min(c.max_posting_list_size, 2**31),
+            kmeans_unbalanced_penalty=c.posting_list_kmeans_unbalanced_penalty,
+            block_rows=c.posting_list_block_rows,
+            distance_type=c.distance_type.value,
+        )
+
+
+class IvfBuilder:
+    """Accumulates vectors on host, builds the device layout.
+
+    The reference's IvfBuilder (ivf/builder.rs:40-49) spills to files; here
+    accumulation is a host numpy buffer and the heavy steps (k-means,
+    assignment) run as device programs.
+    """
+
+    def __init__(self, config: IvfBuildConfig, dim: int):
+        self.config = config
+        self.dim = dim
+        self._rows: list[np.ndarray] = []
+        self._doc_ids: list[int] = []
+
+    def add(self, doc_id: int, vector: np.ndarray) -> None:
+        self._rows.append(np.asarray(vector, np.float32).reshape(self.dim))
+        self._doc_ids.append(doc_id)
+
+    def add_batch(self, doc_ids, vectors) -> None:
+        v = np.asarray(vectors, np.float32).reshape(-1, self.dim)
+        self._rows.extend(v)
+        self._doc_ids.extend(int(d) for d in doc_ids)
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    # -- clustering ------------------------------------------------------
+    def _cluster(self, x: np.ndarray, seed: int = 0) -> np.ndarray:
+        """k-means with recursive splitting of oversized clusters
+        (ivf/builder.rs:460-542's heap-split, as a loop of device re-clusterings)."""
+        cfg = self.config
+        n = x.shape[0]
+        k = min(cfg.num_centroids, max(1, n))
+        sample = x
+        if n > cfg.num_data_points_for_clustering:
+            sel = np.random.default_rng(seed).choice(n, cfg.num_data_points_for_clustering, replace=False)
+            sample = x[sel]
+        res = kmeans(
+            jnp.asarray(sample),
+            k,
+            key=jax.random.key(seed),
+            max_iter=cfg.max_iterations,
+            penalty=cfg.kmeans_unbalanced_penalty,
+        )
+        centroids = np.asarray(res.centroids)
+
+        for _ in range(8):  # bounded split rounds
+            assign = np.asarray(jnp.argmin(l2_distance(jnp.asarray(x), jnp.asarray(centroids)), axis=-1))
+            counts = np.bincount(assign, minlength=len(centroids))
+            oversized = np.nonzero(counts > cfg.max_posting_list_size)[0]
+            if len(oversized) == 0:
+                break
+            keep = [c for i, c in enumerate(centroids) if i not in set(oversized.tolist())]
+            new = []
+            for ci in oversized:
+                pts = x[assign == ci]
+                parts = int(np.ceil(len(pts) / cfg.max_posting_list_size)) + 1
+                sub = kmeans(
+                    jnp.asarray(pts),
+                    min(parts, len(pts)),
+                    key=jax.random.key(seed + 1 + int(ci)),
+                    max_iter=cfg.max_iterations,
+                    penalty=cfg.kmeans_unbalanced_penalty,
+                )
+                new.extend(np.asarray(sub.centroids))
+            centroids = np.asarray(keep + new, np.float32)
+        return centroids
+
+    def _assign(self, x: np.ndarray, centroids: np.ndarray):
+        """Posting-list assignment with multi-assignment within the distance
+        threshold (ivf/builder.rs:292-366)."""
+        cfg = self.config
+        mc = max(1, cfg.max_clusters_per_vector)
+        k = len(centroids)
+        mc = min(mc, k)
+        # top-mc nearest centroids per point, on device, chunked to bound memory
+        xj = jnp.asarray(x)
+        cj = jnp.asarray(centroids)
+        dists_idx = []
+        chunk = 65536
+        for s in range(0, len(x), chunk):
+            d = l2_distance(xj[s : s + chunk], cj)
+            nd, ni = jax.lax.top_k(-d, mc)
+            dists_idx.append((np.asarray(-nd), np.asarray(ni)))
+        nearest_d = np.concatenate([a for a, _ in dists_idx])
+        nearest_i = np.concatenate([b for _, b in dists_idx])
+        # multi-assign: within (1 + pct) of nearest (builder.rs:319-327)
+        thresh = nearest_d[:, :1] * (1.0 + cfg.distance_threshold_pct)
+        ok = nearest_d <= np.maximum(thresh, nearest_d[:, :1])  # col 0 always true
+        posting_lists = [[] for _ in range(k)]
+        for pt in range(len(x)):
+            for j in range(mc):
+                if ok[pt, j]:
+                    posting_lists[nearest_i[pt, j]].append(pt)
+        return posting_lists
+
+    def build(self, quantizer=None, seed: int = 0) -> "IvfIndex":
+        assert self._rows, "no vectors added"
+        x = np.stack(self._rows)
+        centroids = self._cluster(x, seed)
+        posting_lists = self._assign(x, centroids)
+        doc_ids = pack_u128s(self._doc_ids)  # (N, 2) uint64 (lo, hi)
+        return IvfIndex.from_posting_lists(
+            x,
+            centroids,
+            posting_lists,
+            doc_ids=doc_ids,
+            block_rows=self.config.block_rows,
+            quantizer=quantizer,
+            distance_type=self.config.distance_type,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Immutable device index
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "max_blocks", "block_rows", "chunk", "centroid_distance_ratio", "dedup"))
+def _scan_flat(
+    queries,  # (B, d) f32
+    centroids,  # (C, d) f32
+    pl_vectors,  # (num_blocks, block_rows, d)
+    pos_to_point,  # (num_blocks, block_rows) int32, -1 pad
+    list_block_start,  # (C+1,) int32
+    point_valid,  # (N,) bool
+    *,
+    nprobe: int,
+    k: int,
+    max_blocks: int,
+    block_rows: int,
+    chunk: int,
+    centroid_distance_ratio: float = -1.0,
+    dedup: bool = False,
+):
+    """Scan probed posting lists: static-shape gather + one distance matmul +
+    masked top-k per query chunk. Returns (dists (B,k), point_ids (B,k))."""
+    b, d = queries.shape
+    cdist = l2_distance(queries, centroids)  # (B, C)
+    probe_d, probe = jax.lax.top_k(-cdist, nprobe)
+    probe_d = -probe_d  # (B, nprobe)
+    # SPANN-style centroid pruning (spann/index.rs:233-246): drop probes whose
+    # centroid distance exceeds nearest * (1 + ratio). ratio < 0 disables.
+    if centroid_distance_ratio >= 0.0:
+        lim = probe_d[:, :1] * (1.0 + centroid_distance_ratio)
+        probe_ok = probe_d <= lim
+    else:
+        probe_ok = jnp.ones_like(probe, dtype=bool)
+
+    nb = pl_vectors.shape[0]
+    starts = list_block_start[probe]  # (B, nprobe)
+    counts = list_block_start[probe + 1] - starts  # (B, nprobe)
+
+    def scan_chunk(args):
+        q_c, starts_c, counts_c, probe_ok_c = args
+        # block index grid: (chunk, nprobe, max_blocks)
+        offs = jnp.arange(max_blocks, dtype=jnp.int32)
+        blocks = starts_c[:, :, None] + offs[None, None, :]
+        bmask = (offs[None, None, :] < counts_c[:, :, None]) & probe_ok_c[:, :, None]
+        blocks = jnp.clip(blocks, 0, nb - 1)
+        flat_blocks = blocks.reshape(q_c.shape[0], -1)  # (chunk, P)
+        vecs = pl_vectors[flat_blocks]  # (chunk, P, rows, d)
+        pts = pos_to_point[flat_blocks]  # (chunk, P, rows)
+        cand_valid = (
+            bmask.reshape(q_c.shape[0], -1)[:, :, None]
+            & (pts >= 0)
+            & point_valid[jnp.clip(pts, 0, point_valid.shape[0] - 1)]
+        )
+        # distances: one dot_general per query over all its candidates
+        P = flat_blocks.shape[1]
+        vflat = vecs.reshape(q_c.shape[0], P * block_rows, d)
+        dist = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(q_c, vflat)
+        dist = jnp.where(cand_valid.reshape(q_c.shape[0], -1), dist, jnp.inf)
+        ids = pts.reshape(q_c.shape[0], -1)
+        if dedup:
+            dist, ids = _dedup_rows(dist, ids)
+        return top_k_smallest(dist, ids, k)
+
+    # pad B to a multiple of chunk and lax.map over chunks to bound memory
+    pad = (-b) % chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    sp = jnp.pad(starts, ((0, pad), (0, 0)))
+    cp = jnp.pad(counts, ((0, pad), (0, 0)))
+    op = jnp.pad(probe_ok, ((0, pad), (0, 0)))
+    nchunks = (b + pad) // chunk
+    res_d, res_i = jax.lax.map(
+        scan_chunk,
+        (
+            qp.reshape(nchunks, chunk, d),
+            sp.reshape(nchunks, chunk, nprobe),
+            cp.reshape(nchunks, chunk, nprobe),
+            op.reshape(nchunks, chunk, nprobe),
+        ),
+    )
+    return res_d.reshape(-1, k)[:b], res_i.reshape(-1, k)[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "max_blocks", "block_rows", "chunk", "centroid_distance_ratio", "dedup"))
+def _scan_pq(
+    queries,
+    lut,  # (B, m, ksub) precomputed ADC tables
+    centroids,
+    pl_codes,  # (num_blocks, block_rows, m) uint8|int8
+    pos_to_point,
+    list_block_start,
+    point_valid,
+    *,
+    nprobe: int,
+    k: int,
+    max_blocks: int,
+    block_rows: int,
+    chunk: int,
+    centroid_distance_ratio: float = -1.0,
+    dedup: bool = False,
+):
+    """ADC scan over PQ code blocks (BASELINE.md north-star path)."""
+    b = queries.shape[0]
+    cdist = l2_distance(queries, centroids)
+    probe_d, probe = jax.lax.top_k(-cdist, nprobe)
+    probe_d = -probe_d
+    if centroid_distance_ratio >= 0.0:
+        probe_ok = probe_d <= probe_d[:, :1] * (1.0 + centroid_distance_ratio)
+    else:
+        probe_ok = jnp.ones_like(probe, dtype=bool)
+
+    nb = pl_codes.shape[0]
+    m = pl_codes.shape[-1]
+    ksub = lut.shape[-1]
+    starts = list_block_start[probe]
+    counts = list_block_start[probe + 1] - starts
+
+    def scan_chunk(args):
+        q_lut, starts_c, counts_c, probe_ok_c = args
+        cb = q_lut.shape[0]
+        offs = jnp.arange(max_blocks, dtype=jnp.int32)
+        blocks = starts_c[:, :, None] + offs[None, None, :]
+        bmask = (offs[None, None, :] < counts_c[:, :, None]) & probe_ok_c[:, :, None]
+        blocks = jnp.clip(blocks, 0, nb - 1)
+        flat_blocks = blocks.reshape(cb, -1)  # (cb, P)
+        codes = pl_codes[flat_blocks]  # (cb, P, rows, m)
+        pts = pos_to_point[flat_blocks]
+        cand_valid = (
+            bmask.reshape(cb, -1)[:, :, None]
+            & (pts >= 0)
+            & point_valid[jnp.clip(pts, 0, point_valid.shape[0] - 1)]
+        )
+        P = flat_blocks.shape[1]
+        codes_flat = codes.reshape(cb, P * block_rows, m)
+        # per-query ADC: scores[c, n] = sum_m lut[c, m, codes[c, n, m]]
+        dist = jax.vmap(lambda l, c: adc_scores(l[None], c)[0])(q_lut, codes_flat)
+        dist = jnp.where(cand_valid.reshape(cb, -1), dist, jnp.inf)
+        ids = pts.reshape(cb, -1)
+        if dedup:
+            dist, ids = _dedup_rows(dist, ids)
+        return top_k_smallest(dist, ids, k)
+
+    pad = (-b) % chunk
+    lp = jnp.pad(lut, ((0, pad), (0, 0), (0, 0)))
+    sp = jnp.pad(starts, ((0, pad), (0, 0)))
+    cp = jnp.pad(counts, ((0, pad), (0, 0)))
+    op = jnp.pad(probe_ok, ((0, pad), (0, 0)))
+    nchunks = (b + pad) // chunk
+    res_d, res_i = jax.lax.map(
+        scan_chunk,
+        (
+            lp.reshape(nchunks, chunk, m, ksub),
+            sp.reshape(nchunks, chunk, nprobe),
+            cp.reshape(nchunks, chunk, nprobe),
+            op.reshape(nchunks, chunk, nprobe),
+        ),
+    )
+    return res_d.reshape(-1, k)[:b], res_i.reshape(-1, k)[:b]
+
+
+class IvfIndex:
+    """Immutable IVF index resident on device.
+
+    Layout (TPU-native replacement for the reference's combined index file,
+    ivf/writer.rs:46-146 + block_based/storage.rs:52-91):
+      centroids        (C, d) f32
+      pl_vectors       (num_blocks, block_rows, d) — flat path, or
+      pl_codes         (num_blocks, block_rows, m) uint8 — PQ path
+      pos_to_point     (num_blocks, block_rows) int32, -1 = padding
+      list_block_start (C+1,) int32: blocks of list c are [start[c], start[c+1])
+      point_valid      (N,) bool — deletion mask (invalidated_ids analog)
+      doc_ids          host (N, 2) uint64 — point -> u128 doc id remap
+    """
+
+    def __init__(
+        self,
+        centroids,
+        pl_data,
+        pos_to_point,
+        list_block_start,
+        num_points: int,
+        doc_ids,
+        quantizer,
+        distance_type: str = "L2",
+        block_rows: int = 256,
+    ):
+        self.centroids = jnp.asarray(centroids)
+        self.pl_data = jnp.asarray(pl_data)
+        self.pos_to_point = jnp.asarray(pos_to_point, jnp.int32)
+        self.list_block_start = jnp.asarray(list_block_start, jnp.int32)
+        self.num_points = num_points
+        self.doc_ids = np.asarray(doc_ids)  # (N, 2) uint64 (lo, hi)
+        self.quantizer = quantizer
+        self.distance_type = distance_type
+        self.block_rows = block_rows
+        self.point_valid = jnp.ones((max(num_points, 1),), dtype=bool)
+        counts = np.diff(np.asarray(self.list_block_start))
+        self.max_blocks = int(counts.max()) if len(counts) else 1
+        # multi-assignment duplicates points across lists -> scans must dedup
+        self.needs_dedup = int(np.sum(np.asarray(self.pos_to_point) >= 0)) > num_points
+
+    # -- construction ----------------------------------------------------
+    @classmethod
+    def from_posting_lists(
+        cls,
+        vectors: np.ndarray,
+        centroids: np.ndarray,
+        posting_lists,
+        *,
+        doc_ids=None,
+        block_rows: int = 256,
+        quantizer=None,
+        distance_type: str = "L2",
+    ) -> "IvfIndex":
+        n, d = vectors.shape
+        quantizer = quantizer or NoQuantizer(dim=d)
+        if doc_ids is None:
+            doc_ids = np.stack([np.arange(n, dtype=np.uint64), np.zeros(n, np.uint64)], 1)
+        elif doc_ids.ndim == 1:
+            doc_ids = np.stack([doc_ids.astype(np.uint64), np.zeros(n, np.uint64)], 1)
+
+        is_pq = isinstance(quantizer, ProductQuantizer)
+        payload = quantizer.quantize(vectors)  # (N, d) f32 or (N, m) u8
+        payload_width = payload.shape[1]
+
+        blocks = []
+        pos_blocks = []
+        list_block_start = [0]
+        for pts in posting_lists:
+            pts = np.asarray(pts, np.int64)
+            nblk = max(1, int(np.ceil(len(pts) / block_rows))) if len(pts) else 0
+            for bi in range(nblk):
+                seg = pts[bi * block_rows : (bi + 1) * block_rows]
+                rows = np.full((block_rows, payload_width), 0, dtype=payload.dtype)
+                ptids = np.full((block_rows,), -1, dtype=np.int32)
+                rows[: len(seg)] = payload[seg]
+                ptids[: len(seg)] = seg
+                blocks.append(rows)
+                pos_blocks.append(ptids)
+            list_block_start.append(list_block_start[-1] + nblk)
+        if not blocks:  # fully empty index
+            blocks = [np.zeros((block_rows, payload_width), payload.dtype)]
+            pos_blocks = [np.full((block_rows,), -1, np.int32)]
+
+        return cls(
+            centroids=np.asarray(centroids, np.float32),
+            pl_data=np.stack(blocks),
+            pos_to_point=np.stack(pos_blocks),
+            list_block_start=np.asarray(list_block_start, np.int32),
+            num_points=n,
+            doc_ids=doc_ids,
+            quantizer=quantizer,
+            distance_type=distance_type,
+            block_rows=block_rows,
+        )
+
+    # -- mutation (deletions only; the index itself is immutable) --------
+    def invalidate(self, point_ids) -> None:
+        """Mark points deleted; pure mask update, no recompilation
+        (the reference's InvalidatedIdsStorage + DashSet,
+        ivf/block_based/index.rs:30-31)."""
+        if len(point_ids) == 0:
+            return
+        self.point_valid = self.point_valid.at[jnp.asarray(np.asarray(point_ids, np.int32))].set(False)
+
+    def invalidate_doc_ids(self, doc_ids_u128) -> int:
+        """Invalidate by u128 doc ids; returns number found."""
+        want = {(int(x) & ((1 << 64) - 1), int(x) >> 64) for x in doc_ids_u128}
+        hits = [
+            i
+            for i in range(self.num_points)
+            if (int(self.doc_ids[i, 0]), int(self.doc_ids[i, 1])) in want
+        ]
+        self.invalidate(hits)
+        return len(hits)
+
+    @property
+    def num_valid_points(self) -> int:
+        return int(np.asarray(jnp.sum(self.point_valid[: self.num_points])))
+
+    # -- search ----------------------------------------------------------
+    def search(
+        self,
+        queries,
+        k: int = 10,
+        nprobe: int = 10,
+        *,
+        centroid_distance_ratio: float = -1.0,
+        chunk: int = 8,
+    ):
+        """Returns (dists (B, k), point_ids (B, k)); invalid slots have
+        point_id -1 and +inf distance."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        nprobe = min(nprobe, self.centroids.shape[0])
+        if isinstance(self.quantizer, ProductQuantizer):
+            lut = self.quantizer.compute_lut(q, self.distance_type)
+            d, i = _scan_pq(
+                q,
+                lut,
+                self.centroids,
+                self.pl_data,
+                self.pos_to_point,
+                self.list_block_start,
+                self.point_valid,
+                nprobe=nprobe,
+                k=k,
+                max_blocks=self.max_blocks,
+                block_rows=self.block_rows,
+                chunk=chunk,
+                centroid_distance_ratio=centroid_distance_ratio,
+                dedup=self.needs_dedup,
+            )
+        else:
+            d, i = _scan_flat(
+                q,
+                self.centroids,
+                self.pl_data,
+                self.pos_to_point,
+                self.list_block_start,
+                self.point_valid,
+                nprobe=nprobe,
+                k=k,
+                max_blocks=self.max_blocks,
+                block_rows=self.block_rows,
+                chunk=chunk,
+                centroid_distance_ratio=centroid_distance_ratio,
+                dedup=self.needs_dedup,
+            )
+        return d, jnp.where(jnp.isinf(d), -1, i)
+
+    def search_doc_ids(self, queries, k: int = 10, nprobe: int = 10, **kw):
+        """Search and remap point ids -> u128 doc ids (host-side remap, the
+        analog of ivf/block_based/index.rs:298-332)."""
+        d, i = self.search(queries, k, nprobe, **kw)
+        d = np.asarray(d)
+        i = np.asarray(i)
+        out = []
+        for row in range(i.shape[0]):
+            pairs = []
+            for col in range(i.shape[1]):
+                if i[row, col] >= 0 and np.isfinite(d[row, col]):
+                    lo, hi = self.doc_ids[i[row, col]]
+                    pairs.append(((int(hi) << 64) | int(lo), float(d[row, col])))
+            out.append(pairs)
+        return out
+
+    # -- persistence -----------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez(
+            os.path.join(directory, "ivf.npz"),
+            centroids=np.asarray(self.centroids),
+            pl_data=np.asarray(self.pl_data),
+            pos_to_point=np.asarray(self.pos_to_point),
+            list_block_start=np.asarray(self.list_block_start),
+            doc_ids=self.doc_ids,
+            point_valid=np.asarray(self.point_valid),
+        )
+        self.quantizer.save(directory)
+        with open(os.path.join(directory, "ivf_config.json"), "w") as f:
+            json.dump(
+                {
+                    "num_points": self.num_points,
+                    "distance_type": self.distance_type,
+                    "block_rows": self.block_rows,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, directory: str) -> "IvfIndex":
+        from ..quantization import load_dir
+
+        z = np.load(os.path.join(directory, "ivf.npz"))
+        with open(os.path.join(directory, "ivf_config.json")) as f:
+            cfg = json.load(f)
+        idx = cls(
+            centroids=z["centroids"],
+            pl_data=z["pl_data"],
+            pos_to_point=z["pos_to_point"],
+            list_block_start=z["list_block_start"],
+            num_points=cfg["num_points"],
+            doc_ids=z["doc_ids"],
+            quantizer=load_dir(directory),
+            distance_type=cfg["distance_type"],
+            block_rows=cfg["block_rows"],
+        )
+        idx.point_valid = jnp.asarray(z["point_valid"])
+        return idx
