@@ -1,0 +1,424 @@
+"""HNSW index, TPU-first.
+
+Reference behavior re-provided (not ported):
+  - multi-layer navigable-small-world graph with geometric level assignment
+    (hnsw/builder.rs:332-337), neighbor selection by the distance-dominance
+    heuristic (hnsw/builder.rs:339-375), bidirectional edges with trim
+    (hnsw/builder.rs:258-295)
+  - greedy descent from the top layer, then ef-bounded best-first search on
+    the bottom layer (hnsw/block_based/index.rs:159-287)
+
+TPU-first redesign (the SURVEY.md §7 "batched frontier expansion"):
+  - construction: instead of sequential point-by-point inserts, the base
+    graph comes from an *exact kNN graph* computed with chunked MXU distance
+    matmuls over the whole dataset, then pruned with a vectorized form of
+    the same distance-dominance heuristic. This produces the same edge
+    structure family at a fraction of the wall-clock (the insert loop is
+    inherently serial; the kNN graph is one big batched compute).
+  - search: queries advance as a *batch*. Each hop expands the best
+    unexpanded beam entries, gathers their padded neighbor lists, scores
+    all neighbors with one distance matmul, merges + dedups by sort, and
+    keeps top-ef. Fixed hop bound + convergence flag keeps it jit-able.
+  - deletions: validity mask consulted when emitting results (graph still
+    routes through deleted nodes, as in the reference's invalidated set).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import l2_distance, pairwise_distance
+from ..ops.topk import top_k_smallest
+from ..utils.ids import pack_u128s
+
+
+@dataclass
+class HnswBuildConfig:
+    max_neighbors: int = 16  # M; layer 0 uses 2*M as in hnswlib/reference
+    max_layers: int = 10
+    ef_construction: int = 100  # candidate pool size (kNN-graph K here)
+    distance_type: str = "L2"
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Construction helpers (device compute, host orchestration)
+# ---------------------------------------------------------------------------
+
+
+def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+    """Exact kNN graph (self excluded) via chunked device matmuls."""
+    n = x.shape[0]
+    k = min(k, n - 1)
+    xj = jnp.asarray(x)
+    ids_out = np.empty((n, k), np.int32)
+    d_out = np.empty((n, k), np.float32)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    for s in range(0, n, chunk):
+        q = xj[s : s + chunk]
+        d = l2_distance(q, xj)
+        rows = jnp.arange(s, min(s + chunk, n))
+        d = d.at[rows - s, rows].set(jnp.inf)  # exclude self
+        dd, ii = top_k_smallest(d, ids, k)
+        ids_out[s : s + chunk] = np.asarray(ii)
+        d_out[s : s + chunk] = np.asarray(dd)
+    return ids_out, d_out
+
+
+def _heuristic_prune(
+    x: np.ndarray, cand_ids: np.ndarray, cand_d: np.ndarray, m: int, chunk: int = 4096
+) -> np.ndarray:
+    """Vectorized distance-dominance neighbor selection.
+
+    For each node: walk candidates nearest-first, keep c iff no already-kept
+    s has d(c, s) < d(c, node) (hnsw/builder.rs:339-375). All nodes process
+    in lock-step over candidate rank; the candidate-candidate distance
+    tensors come from device matmuls.
+
+    Returns (n, m) int32 edges, -1 padded.
+    """
+    n, k = cand_ids.shape
+    out = np.full((n, m), -1, np.int32)
+    for s in range(0, n, chunk):
+        cid = cand_ids[s : s + chunk]  # (c, k)
+        cdist = cand_d[s : s + chunk]  # (c, k) distance cand->node
+        cv = jnp.asarray(x[cid])  # (c, k, d)
+        # pairwise distances among candidates: (c, k, k)
+        cc = np.asarray(jax.vmap(l2_distance)(cv, cv))
+        c = cid.shape[0]
+        keep = np.zeros((c, k), bool)
+        kept_count = np.zeros(c, np.int32)
+        for j in range(k):
+            # candidate j dominated if any kept s has cc[:, j, s] < cdist[:, j]
+            dom = (cc[:, j, :] < cdist[:, j, None]) & keep
+            ok = ~dom.any(1) & (kept_count < m) & (cid[:, j] >= 0)
+            keep[:, j] = ok
+            kept_count += ok.astype(np.int32)
+        for row in range(c):
+            sel = cid[row, keep[row]][:m]
+            out[s + row, : len(sel)] = sel
+    return out
+
+
+def _add_reverse_edges(edges: np.ndarray, x: np.ndarray, m_max: int) -> np.ndarray:
+    """Make edges bidirectional, trimming overflow by distance
+    (hnsw/builder.rs:258-295's insert+trim, batched)."""
+    n = edges.shape[0]
+    adj = [set(row[row >= 0].tolist()) for row in edges]
+    for src in range(n):
+        for dst in edges[src]:
+            if dst >= 0:
+                adj[dst].add(src)
+    out = np.full((n, m_max), -1, np.int32)
+    for i in range(n):
+        nb = np.fromiter(adj[i], np.int32, len(adj[i]))
+        if len(nb) > m_max:
+            d = ((x[nb] - x[i]) ** 2).sum(1)
+            nb = nb[np.argsort(d)[:m_max]]
+        out[i, : len(nb)] = nb
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device search
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "k", "max_hops", "expand_width")
+)
+def _beam_search(
+    queries,  # (B, d)
+    vectors,  # (N, d)
+    edges,  # (N, deg) int32, -1 pad
+    entry_ids,  # (B, E) int32 starting points
+    valid,  # (N,) bool — deletion mask for result emission
+    *,
+    ef: int,
+    k: int,
+    max_hops: int,
+    expand_width: int = 1,
+):
+    """Batched-frontier best-first search on one graph layer.
+
+    State per query: beam of (id, dist, expanded). Each hop expands the
+    `expand_width` best unexpanded entries, scores their neighbors in one
+    batched gather+matmul, merges, sorts, dedups, truncates to ef.
+    """
+    b, d = queries.shape
+    n, deg = edges.shape
+    e = entry_ids.shape[1]
+    W = expand_width
+
+    def dist_to(ids):  # ids (B, t) -> (B, t)
+        v = vectors[jnp.clip(ids, 0, n - 1)]  # (B, t, d)
+        dd = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(queries, v)
+        return jnp.where(ids >= 0, dd, jnp.inf)
+
+    beam_ids = jnp.full((b, ef), -1, jnp.int32)
+    beam_d = jnp.full((b, ef), jnp.inf)
+    beam_exp = jnp.zeros((b, ef), bool)
+    # seed beam with entry points
+    ed = dist_to(entry_ids)
+    seed_n = min(e, ef)
+    sd, si = jax.lax.top_k(-ed, seed_n)
+    beam_ids = beam_ids.at[:, :seed_n].set(jnp.take_along_axis(entry_ids, si, 1))
+    beam_d = beam_d.at[:, :seed_n].set(-sd)
+
+    def dedup(ids, dist, exp):
+        # sort by (id, expanded-first) then mask repeats; -1 pads sort first
+        # and are already inf-distance
+        key = ids * 2 + (1 - exp.astype(jnp.int32))
+        order = jnp.argsort(key, axis=-1)
+        ids_s = jnp.take_along_axis(ids, order, 1)
+        dist_s = jnp.take_along_axis(dist, order, 1)
+        exp_s = jnp.take_along_axis(exp, order, 1)
+        prev = jnp.concatenate(
+            [jnp.full((ids_s.shape[0], 1), -2, ids_s.dtype), ids_s[:, :-1]], 1
+        )
+        dup = (ids_s == prev) & (ids_s >= 0)
+        return ids_s, jnp.where(dup, jnp.inf, dist_s), exp_s & ~dup
+
+    def hop(state):
+        ids, dd, exp, _ = state
+        # pick best unexpanded
+        cand_d = jnp.where(exp | (ids < 0), jnp.inf, dd)
+        sel_negd, sel_idx = jax.lax.top_k(-cand_d, W)  # (B, W)
+        sel_ids = jnp.take_along_axis(ids, sel_idx, 1)
+        sel_ok = jnp.isfinite(-sel_negd)
+        # mark expanded
+        exp = exp | jnp.zeros_like(exp).at[
+            jnp.arange(b)[:, None], sel_idx
+        ].set(sel_ok)
+        # gather neighbors
+        nb = edges[jnp.clip(sel_ids, 0, n - 1)]  # (B, W, deg)
+        nb = jnp.where(sel_ok[:, :, None], nb, -1).reshape(b, W * deg)
+        nd = dist_to(nb)
+        # merge
+        all_ids = jnp.concatenate([ids, nb], 1)
+        all_d = jnp.concatenate([dd, nd], 1)
+        all_exp = jnp.concatenate([exp, jnp.zeros_like(nb, dtype=bool)], 1)
+        all_ids, all_d, all_exp = dedup(all_ids, all_d, all_exp)
+        keep_negd, keep = jax.lax.top_k(-all_d, ef)
+        new_ids = jnp.take_along_axis(all_ids, keep, 1)
+        new_ids = jnp.where(jnp.isfinite(-keep_negd), new_ids, -1)
+        new_d = -keep_negd
+        new_exp = jnp.take_along_axis(all_exp, keep, 1)
+        improved = jnp.any(new_ids != ids)
+        return new_ids, new_d, new_exp, improved
+
+    def cond(state):
+        ids, dd, exp, _ = state
+        frontier = jnp.any((~exp) & (ids >= 0) & jnp.isfinite(dd))
+        return frontier
+
+    def body(carry):
+        state, hops = carry
+        return hop(state), hops + 1
+
+    state = (beam_ids, beam_d, beam_exp, jnp.bool_(True))
+    (beam_ids, beam_d, beam_exp, _), _ = jax.lax.while_loop(
+        lambda c: jnp.logical_and(cond(c[0]), c[1] < max_hops),
+        body,
+        (state, jnp.int32(0)),
+    )
+    # emit top-k among valid nodes only
+    emit_d = jnp.where(
+        (beam_ids >= 0) & valid[jnp.clip(beam_ids, 0, n - 1)], beam_d, jnp.inf
+    )
+    kd, ki = jax.lax.top_k(-emit_d, min(k, ef))
+    out_ids = jnp.take_along_axis(beam_ids, ki, 1)
+    out_d = -kd
+    return out_d, jnp.where(jnp.isfinite(out_d), out_ids, -1)
+
+
+# ---------------------------------------------------------------------------
+# Index
+# ---------------------------------------------------------------------------
+
+
+class HnswIndex:
+    """Multi-layer HNSW with device-resident layer graphs.
+
+    Layer representation: layer 0 covers all points (edges (N, 2M)); upper
+    layers store edges in *global* id space for their member nodes, with a
+    dense membership mask — gathers stay static-shaped.
+    """
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        layer_edges: list[np.ndarray],  # [ (N, deg_l) ] per layer, global ids
+        entry_point: int,
+        doc_ids: np.ndarray,
+        distance_type: str = "L2",
+        config: HnswBuildConfig | None = None,
+    ):
+        self.vectors = jnp.asarray(np.asarray(vectors, np.float32))
+        self.layer_edges = [jnp.asarray(e) for e in layer_edges]
+        self.entry_point = int(entry_point)
+        self.doc_ids = np.asarray(doc_ids)
+        self.distance_type = distance_type
+        self.config = config or HnswBuildConfig()
+        n = self.vectors.shape[0]
+        self.valid = jnp.ones((n,), bool)
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layer_edges)
+
+    @property
+    def num_points(self) -> int:
+        return int(self.vectors.shape[0])
+
+    def invalidate(self, point_ids) -> None:
+        if len(point_ids):
+            self.valid = self.valid.at[jnp.asarray(np.asarray(point_ids, np.int32))].set(False)
+
+    def search(self, queries, k: int = 10, ef_search: int = 100, max_hops: int | None = None):
+        """Returns (dists (B, k), point_ids (B, k)), -1/-inf padded."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        b = q.shape[0]
+        n = self.num_points
+        max_hops = max_hops or 4 * ef_search
+        # greedy descent through upper layers (beam width 1)
+        entry = jnp.full((b, 1), self.entry_point, jnp.int32)
+        for l in range(self.num_layers - 1, 0, -1):
+            _, entry = _beam_search(
+                q,
+                self.vectors,
+                self.layer_edges[l],
+                entry,
+                jnp.ones((n,), bool),  # upper layers route through everything
+                ef=1,
+                k=1,
+                max_hops=64,
+            )
+            entry = jnp.where(entry < 0, self.entry_point, entry)
+        ef = max(ef_search, k)
+        return _beam_search(
+            q,
+            self.vectors,
+            self.layer_edges[0],
+            entry,
+            self.valid,
+            ef=ef,
+            k=k,
+            max_hops=max_hops,
+        )
+
+    # -- persistence -----------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        arrays = {
+            "vectors": np.asarray(self.vectors),
+            "doc_ids": self.doc_ids,
+            "valid": np.asarray(self.valid),
+        }
+        for i, e in enumerate(self.layer_edges):
+            arrays[f"layer_{i}"] = np.asarray(e)
+        np.savez(os.path.join(directory, "hnsw.npz"), **arrays)
+        with open(os.path.join(directory, "hnsw_config.json"), "w") as f:
+            json.dump(
+                {
+                    "entry_point": self.entry_point,
+                    "num_layers": self.num_layers,
+                    "distance_type": self.distance_type,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, directory: str) -> "HnswIndex":
+        z = np.load(os.path.join(directory, "hnsw.npz"))
+        with open(os.path.join(directory, "hnsw_config.json")) as f:
+            cfg = json.load(f)
+        layers = [z[f"layer_{i}"] for i in range(cfg["num_layers"])]
+        idx = cls(
+            z["vectors"], layers, cfg["entry_point"], z["doc_ids"], cfg["distance_type"]
+        )
+        idx.valid = jnp.asarray(z["valid"])
+        return idx
+
+
+class HnswBuilder:
+    """Builds an HnswIndex from accumulated vectors.
+
+    The serial insert loop of the reference (hnsw/builder.rs) is replaced by
+    whole-graph batched construction; see module docstring.
+    """
+
+    def __init__(self, config: HnswBuildConfig, dim: int):
+        self.config = config
+        self.dim = dim
+        self._rows: list[np.ndarray] = []
+        self._doc_ids: list[int] = []
+
+    def add(self, doc_id: int, vector) -> None:
+        self._rows.append(np.asarray(vector, np.float32).reshape(self.dim))
+        self._doc_ids.append(int(doc_id))
+
+    def add_batch(self, doc_ids, vectors) -> None:
+        v = np.asarray(vectors, np.float32).reshape(-1, self.dim)
+        self._rows.extend(v)
+        self._doc_ids.extend(int(x) for x in doc_ids)
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def build(self) -> HnswIndex:
+        assert self._rows
+        cfg = self.config
+        x = np.stack(self._rows)
+        n = x.shape[0]
+        m = cfg.max_neighbors
+        rng = np.random.default_rng(cfg.seed)
+
+        # geometric level assignment (hnsw/builder.rs:332-337)
+        ml = 1.0 / np.log(max(m, 2))
+        levels = np.minimum(
+            (-np.log(rng.uniform(1e-12, 1.0, n)) * ml).astype(np.int32),
+            cfg.max_layers - 1,
+        )
+        if n == 1:
+            levels[:] = 0
+        entry_point = int(np.argmax(levels))
+
+        # layer 0: exact kNN graph + heuristic prune + reverse edges
+        k0 = min(max(cfg.ef_construction // 2, 2 * m), max(n - 1, 1))
+        knn_ids, knn_d = _exact_knn(x, k0)
+        fw = _heuristic_prune(x, knn_ids, knn_d, m)
+        edges0 = _add_reverse_edges(fw, x, 2 * m)
+        layers = [edges0]
+
+        # upper layers: same construction on the member subset, edges stored
+        # in global id space
+        for l in range(1, int(levels.max()) + 1):
+            members = np.nonzero(levels >= l)[0].astype(np.int32)
+            deg = m
+            e_global = np.full((n, deg), -1, np.int32)
+            if len(members) > 1:
+                sub = x[members]
+                kk = min(max(m * 2, 2), len(members) - 1)
+                sids, sd = _exact_knn(sub, kk)
+                sfw = _heuristic_prune(sub, sids, sd, m)
+                sbi = _add_reverse_edges(sfw, sub, m)
+                glob = np.where(sbi >= 0, members[np.clip(sbi, 0, None)], -1)
+                e_global[members] = glob
+            layers.append(e_global)
+
+        return HnswIndex(
+            x,
+            layers,
+            entry_point,
+            pack_u128s(self._doc_ids),
+            cfg.distance_type,
+            cfg,
+        )

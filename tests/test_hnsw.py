@@ -1,0 +1,71 @@
+"""HNSW build/search/recall/persistence tests."""
+
+import numpy as np
+
+from muopdb_tpu.index.flat import FlatIndex
+from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder, HnswIndex
+
+
+def _build(rng, n=1000, d=32, m=8, ef=64):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    b = HnswBuilder(HnswBuildConfig(max_neighbors=m, ef_construction=ef), dim=d)
+    b.add_batch(np.arange(n), x)
+    return x, b.build()
+
+
+def test_hnsw_exact_on_line():
+    x = np.asarray([[i, i] for i in range(50)], np.float32)
+    b = HnswBuilder(HnswBuildConfig(max_neighbors=4, ef_construction=16), dim=2)
+    b.add_batch(np.arange(50), x)
+    idx = b.build()
+    d, ids = idx.search(np.asarray([[20.2, 20.2]], np.float32), k=3, ef_search=16)
+    got = np.asarray(ids)[0].tolist()
+    assert got[0] == 20 and 21 in got
+
+
+def test_hnsw_recall_vs_bruteforce(rng):
+    x, idx = _build(rng, n=1500, d=24, m=12, ef=96)
+    q = rng.standard_normal((16, 24)).astype(np.float32)
+    _, want = FlatIndex(x).search(q, k=10)
+    _, got = idx.search(q, k=10, ef_search=96)
+    recall = np.mean(
+        [
+            len(set(np.asarray(got)[i].tolist()) & set(np.asarray(want)[i].tolist())) / 10
+            for i in range(len(q))
+        ]
+    )
+    assert recall >= 0.9, recall
+
+
+def test_hnsw_has_multiple_layers(rng):
+    _, idx = _build(rng, n=2000, d=8, m=4)
+    assert idx.num_layers >= 2
+
+
+def test_hnsw_invalidate(rng):
+    x, idx = _build(rng, n=400, d=16)
+    q = x[:2]
+    _, got = idx.search(q, k=1, ef_search=32)
+    assert np.asarray(got)[0, 0] == 0
+    idx.invalidate([0, 1])
+    _, got2 = idx.search(q, k=1, ef_search=32)
+    assert np.asarray(got2)[0, 0] not in (0, 1)
+
+
+def test_hnsw_save_load(tmp_path, rng):
+    x, idx = _build(rng, n=300, d=16)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    d1, i1 = idx.search(q, k=5, ef_search=32)
+    idx.save(str(tmp_path))
+    idx2 = HnswIndex.load(str(tmp_path))
+    d2, i2 = idx2.search(q, k=5, ef_search=32)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_hnsw_single_point():
+    b = HnswBuilder(HnswBuildConfig(max_neighbors=4), dim=4)
+    b.add(7, [1, 2, 3, 4])
+    idx = b.build()
+    d, ids = idx.search(np.asarray([[1, 2, 3, 4]], np.float32), k=1)
+    assert np.asarray(ids)[0, 0] == 0
+    assert np.asarray(d)[0, 0] < 1e-5
