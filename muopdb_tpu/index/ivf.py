@@ -208,37 +208,42 @@ class IvfBuilder:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "max_blocks", "block_rows", "chunk", "centroid_distance_ratio", "dedup"))
-def _scan_flat(
-    queries,  # (B, d) f32
-    centroids,  # (C, d) f32
-    pl_vectors,  # (num_blocks, block_rows, d)
-    pos_to_point,  # (num_blocks, block_rows) int32, -1 pad
-    list_block_start,  # (C+1,) int32
-    point_valid,  # (N,) bool
-    *,
-    nprobe: int,
-    k: int,
-    max_blocks: int,
-    block_rows: int,
-    chunk: int,
-    centroid_distance_ratio: float = -1.0,
-    dedup: bool = False,
-):
-    """Scan probed posting lists: static-shape gather + one distance matmul +
-    masked top-k per query chunk. Returns (dists (B,k), point_ids (B,k))."""
-    b, d = queries.shape
+@functools.partial(jax.jit, static_argnames=("nprobe", "centroid_distance_ratio"))
+def _probe(queries, centroids, *, nprobe: int, centroid_distance_ratio: float = -1.0):
+    """Top-`nprobe` centroids per query with SPANN-style ratio pruning
+    (spann/index.rs:233-246): drop probes whose centroid distance exceeds
+    nearest * (1 + ratio). ratio < 0 disables. Returns (probe, probe_ok)."""
     cdist = l2_distance(queries, centroids)  # (B, C)
     probe_d, probe = jax.lax.top_k(-cdist, nprobe)
     probe_d = -probe_d  # (B, nprobe)
-    # SPANN-style centroid pruning (spann/index.rs:233-246): drop probes whose
-    # centroid distance exceeds nearest * (1 + ratio). ratio < 0 disables.
     if centroid_distance_ratio >= 0.0:
         lim = probe_d[:, :1] * (1.0 + centroid_distance_ratio)
         probe_ok = probe_d <= lim
     else:
         probe_ok = jnp.ones_like(probe, dtype=bool)
+    return probe, probe_ok
 
+
+@functools.partial(jax.jit, static_argnames=("k", "max_blocks", "block_rows", "chunk", "dedup"))
+def _scan_flat(
+    queries,  # (B, d) f32
+    probe,  # (B, nprobe) int32 posting-list ids
+    probe_ok,  # (B, nprobe) bool
+    pl_vectors,  # (num_blocks, block_rows, d)
+    pos_to_point,  # (num_blocks, block_rows) int32, -1 pad
+    list_block_start,  # (C+1,) int32
+    point_valid,  # (N,) bool
+    *,
+    k: int,
+    max_blocks: int,
+    block_rows: int,
+    chunk: int,
+    dedup: bool = False,
+):
+    """Scan probed posting lists: static-shape gather + one distance matmul +
+    masked top-k per query chunk. Returns (dists (B,k), point_ids (B,k))."""
+    b, d = queries.shape
+    nprobe = probe.shape[1]
     nb = pl_vectors.shape[0]
     starts = list_block_start[probe]  # (B, nprobe)
     counts = list_block_start[probe + 1] - starts  # (B, nprobe)
@@ -287,34 +292,26 @@ def _scan_flat(
     return res_d.reshape(-1, k)[:b], res_i.reshape(-1, k)[:b]
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "max_blocks", "block_rows", "chunk", "centroid_distance_ratio", "dedup"))
+@functools.partial(jax.jit, static_argnames=("k", "max_blocks", "block_rows", "chunk", "dedup"))
 def _scan_pq(
     queries,
     lut,  # (B, m, ksub) precomputed ADC tables
-    centroids,
+    probe,  # (B, nprobe) int32
+    probe_ok,  # (B, nprobe) bool
     pl_codes,  # (num_blocks, block_rows, m) uint8|int8
     pos_to_point,
     list_block_start,
     point_valid,
     *,
-    nprobe: int,
     k: int,
     max_blocks: int,
     block_rows: int,
     chunk: int,
-    centroid_distance_ratio: float = -1.0,
     dedup: bool = False,
 ):
     """ADC scan over PQ code blocks (BASELINE.md north-star path)."""
     b = queries.shape[0]
-    cdist = l2_distance(queries, centroids)
-    probe_d, probe = jax.lax.top_k(-cdist, nprobe)
-    probe_d = -probe_d
-    if centroid_distance_ratio >= 0.0:
-        probe_ok = probe_d <= probe_d[:, :1] * (1.0 + centroid_distance_ratio)
-    else:
-        probe_ok = jnp.ones_like(probe, dtype=bool)
-
+    nprobe = probe.shape[1]
     nb = pl_codes.shape[0]
     m = pl_codes.shape[-1]
     ksub = lut.shape[-1]
@@ -498,38 +495,46 @@ class IvfIndex:
         point_id -1 and +inf distance."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         nprobe = min(nprobe, self.centroids.shape[0])
+        probe, probe_ok = _probe(
+            q, self.centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
+        )
+        return self.search_with_probes(q, probe, probe_ok, k=k, chunk=chunk)
+
+    def search_with_probes(self, queries, probe, probe_ok, *, k: int = 10, chunk: int = 8):
+        """Scan explicitly-probed posting lists. SPANN entry point: the
+        centroid HNSW picks `probe` and this scans them (the analog of
+        spann/index.rs:253-265 search_with_centroids_and_remap)."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
         if isinstance(self.quantizer, ProductQuantizer):
             lut = self.quantizer.compute_lut(q, self.distance_type)
             d, i = _scan_pq(
                 q,
                 lut,
-                self.centroids,
+                probe,
+                probe_ok,
                 self.pl_data,
                 self.pos_to_point,
                 self.list_block_start,
                 self.point_valid,
-                nprobe=nprobe,
                 k=k,
                 max_blocks=self.max_blocks,
                 block_rows=self.block_rows,
                 chunk=chunk,
-                centroid_distance_ratio=centroid_distance_ratio,
                 dedup=self.needs_dedup,
             )
         else:
             d, i = _scan_flat(
                 q,
-                self.centroids,
+                probe,
+                probe_ok,
                 self.pl_data,
                 self.pos_to_point,
                 self.list_block_start,
                 self.point_valid,
-                nprobe=nprobe,
                 k=k,
                 max_blocks=self.max_blocks,
                 block_rows=self.block_rows,
                 chunk=chunk,
-                centroid_distance_ratio=centroid_distance_ratio,
                 dedup=self.needs_dedup,
             )
         return d, jnp.where(jnp.isinf(d), -1, i)

@@ -1,0 +1,169 @@
+"""Multi-user SPANN: one vector index per user inside a shared segment.
+
+Reference behavior re-provided:
+  - MultiSpannBuilder: per-user SpannBuilder created on demand
+    (multi_spann/builder.rs:56-69); build() also constructs a blocked bloom
+    filter over all (user, doc) pairs (:129-153)
+  - MultiSpannIndex: user -> per-user index opened lazily from a combined
+    file set via an offset table (multi_spann/index.rs:21-129); global
+    invalidation storage replayed onto lazily-opened users (:64-76)
+  - MultiSpannWriter's combined files + odht offset table
+    (multi_spann/writer.rs:121-271) become a per-user directory tree plus a
+    users.json manifest — on TPU the layout that matters is per-user device
+    arrays, not byte offsets in one file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.bloom import BlockedBloomFilter
+from .spann import SpannBuildConfig, SpannBuilder, SpannIndex
+
+
+def _user_dir(directory: str, user_id: int) -> str:
+    return os.path.join(directory, f"user_{user_id:032x}")
+
+
+class MultiSpannBuilder:
+    """DashMap<user, SpannBuilder> analog (multi_spann/builder.rs:56-69)."""
+
+    def __init__(self, config: SpannBuildConfig, dim: int, fpr: float = 0.01):
+        self.config = config
+        self.dim = dim
+        self.fpr = fpr
+        self._builders: Dict[int, SpannBuilder] = {}
+
+    def insert(self, user_id: int, doc_id: int, vector) -> None:
+        b = self._builders.get(user_id)
+        if b is None:
+            b = self._builders[user_id] = SpannBuilder(self.config, self.dim)
+        b.add(doc_id, vector)
+
+    def user_ids(self) -> List[int]:
+        return list(self._builders)
+
+    @property
+    def num_docs(self) -> int:
+        return sum(len(b) for b in self._builders.values())
+
+    def build(self, quantizer=None, seed: int = 0) -> "MultiSpannIndex":
+        users = {}
+        bloom = BlockedBloomFilter(self.num_docs, self.fpr)
+        for uid, b in self._builders.items():
+            idx = b.build(quantizer=quantizer, seed=seed)
+            users[uid] = idx
+            for lo, hi in idx.doc_ids:
+                bloom.insert(uid, (int(hi) << 64) | int(lo))
+        return MultiSpannIndex(users, bloom)
+
+
+class MultiSpannIndex:
+    """user -> SpannIndex with shared deletion plumbing."""
+
+    def __init__(self, users: Dict[int, SpannIndex], bloom: Optional[BlockedBloomFilter] = None,
+                 directory: Optional[str] = None, lazy_users: Optional[List[int]] = None):
+        self._users = users
+        self.bloom = bloom
+        self._directory = directory
+        self._lazy = set(lazy_users or [])
+        # invalidations recorded against users not opened yet
+        # (multi_spann/index.rs:64-76 pending invalidations)
+        self._pending_invalidations: Dict[int, List[int]] = {}
+
+    # -- lookup ----------------------------------------------------------
+    def user_ids(self) -> List[int]:
+        return sorted(set(self._users) | self._lazy)
+
+    def _get(self, user_id: int) -> Optional[SpannIndex]:
+        idx = self._users.get(user_id)
+        if idx is None and user_id in self._lazy:
+            idx = SpannIndex.load(_user_dir(self._directory, user_id))
+            self._users[user_id] = idx
+            self._lazy.discard(user_id)
+            pend = self._pending_invalidations.pop(user_id, None)
+            if pend:
+                idx.invalidate_doc_ids(pend)
+        return idx
+
+    @property
+    def num_docs(self) -> int:
+        return sum(self._get(u).num_points for u in self.user_ids())
+
+    @property
+    def num_valid_docs(self) -> int:
+        return sum(self._get(u).num_valid_points for u in self.user_ids())
+
+    def may_contain(self, user_id: int, doc_id: int) -> bool:
+        if self.bloom is not None:
+            return self.bloom.may_contain(user_id, doc_id)
+        return True
+
+    # -- search ----------------------------------------------------------
+    def search_for_user(
+        self,
+        user_id: int,
+        queries,
+        k: int = 10,
+        num_explored_centroids: int = 10,
+        **kw,
+    ) -> List[List[Tuple[int, float]]]:
+        idx = self._get(user_id)
+        if idx is None:
+            return [[] for _ in range(np.asarray(queries).reshape(-1, 1).shape[0] if np.asarray(queries).ndim == 1 else len(queries))]
+        return idx.search_doc_ids(queries, k, num_explored_centroids, **kw)
+
+    def search_for_users(
+        self, user_ids: Iterable[int], queries, k: int = 10, num_explored_centroids: int = 10, **kw
+    ) -> List[List[Tuple[int, float]]]:
+        """Per query: merge per-user results by score and keep top-k overall
+        (snapshot.rs:39-106 semantics)."""
+        q = np.asarray(queries, np.float32)
+        merged: List[List[Tuple[int, float]]] = [[] for _ in range(len(q))]
+        for uid in user_ids:
+            res = self.search_for_user(uid, q, k, num_explored_centroids, **kw)
+            for row, pairs in enumerate(res):
+                merged[row].extend(pairs)
+        return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
+
+    # -- deletions -------------------------------------------------------
+    def invalidate(self, user_id: int, doc_ids: Iterable[int]) -> int:
+        doc_ids = list(doc_ids)
+        if user_id in self._lazy:
+            self._pending_invalidations.setdefault(user_id, []).extend(doc_ids)
+            return len(doc_ids)
+        idx = self._users.get(user_id)
+        if idx is None:
+            return 0
+        return idx.invalidate_doc_ids(doc_ids)
+
+    def iter_for_user(self, user_id: int):
+        idx = self._get(user_id)
+        return iter(()) if idx is None else idx.iter_valid()
+
+    # -- persistence -----------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        all_users = self.user_ids()
+        for uid in all_users:
+            self._get(uid).save(_user_dir(directory, uid))
+        if self.bloom is not None:
+            self.bloom.save(os.path.join(directory, "bloom"))
+        with open(os.path.join(directory, "users.json"), "w") as f:
+            json.dump({"user_ids": [f"{u:032x}" for u in all_users]}, f)
+
+    @classmethod
+    def load(cls, directory: str, lazy: bool = True) -> "MultiSpannIndex":
+        with open(os.path.join(directory, "users.json")) as f:
+            manifest = json.load(f)
+        uids = [int(s, 16) for s in manifest["user_ids"]]
+        bloom_path = os.path.join(directory, "bloom.npz")
+        bloom = BlockedBloomFilter.load(bloom_path) if os.path.exists(bloom_path) else None
+        if lazy:
+            return cls({}, bloom, directory=directory, lazy_users=uids)
+        users = {u: SpannIndex.load(_user_dir(directory, u)) for u in uids}
+        return cls(users, bloom)

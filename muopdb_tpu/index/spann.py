@@ -1,0 +1,172 @@
+"""SPANN index: HNSW over centroids + IVF posting lists.
+
+Reference: spann/index.rs:15-21 (composition), :211-265 (search = centroid
+ann_search -> ratio prune -> posting-list scan), spann/builder.rs:246-262
+(build IVF first, then insert centroids into HNSW), spann/iter.rs:8-47
+(sequential valid-doc iterator, used by merge/vacuum).
+
+TPU shape: both stages are device programs — the centroid graph beam search
+emits the probe set, which feeds the packed-block IVF scan; queries stay
+batched end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CollectionConfig
+from .hnsw import HnswBuildConfig, HnswBuilder, HnswIndex
+from .ivf import IvfBuildConfig, IvfBuilder, IvfIndex
+
+
+@dataclass
+class SpannBuildConfig:
+    ivf: IvfBuildConfig
+    centroids_max_neighbors: int = 10
+    centroids_max_layers: int = 10
+    centroids_ef_construction: int = 100
+
+    @classmethod
+    def from_collection_config(cls, c: CollectionConfig) -> "SpannBuildConfig":
+        return cls(
+            ivf=IvfBuildConfig.from_collection_config(c),
+            centroids_max_neighbors=c.centroids_max_neighbors,
+            centroids_max_layers=c.centroids_max_layers,
+            centroids_ef_construction=c.centroids_ef_construction,
+        )
+
+
+class SpannIndex:
+    def __init__(self, centroid_hnsw: HnswIndex, ivf: IvfIndex):
+        self.centroid_hnsw = centroid_hnsw
+        self.ivf = ivf
+
+    @property
+    def num_points(self) -> int:
+        return self.ivf.num_points
+
+    @property
+    def num_valid_points(self) -> int:
+        return self.ivf.num_valid_points
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        return self.ivf.doc_ids
+
+    def search(
+        self,
+        queries,
+        k: int = 10,
+        num_explored_centroids: int = 10,
+        *,
+        centroid_distance_ratio: float = 0.1,
+        ef_search: int | None = None,
+        chunk: int = 8,
+    ):
+        """spann/index.rs:211-265: HNSW ann over centroids, prune by distance
+        ratio, scan the surviving posting lists."""
+        q = np.asarray(queries, np.float32)
+        nc = self.centroid_hnsw.num_points
+        ne = min(num_explored_centroids, nc)
+        ef = max(ef_search or ne, ne)
+        cd, probes = self.centroid_hnsw.search(q, k=ne, ef_search=ef)
+        # ratio prune (spann/index.rs:233-246)
+        ok = jnp.asarray(cd) <= jnp.asarray(cd)[:, :1] * (1.0 + centroid_distance_ratio)
+        ok = ok & (jnp.asarray(probes) >= 0)
+        probes = jnp.clip(jnp.asarray(probes), 0, None)
+        return self.ivf.search_with_probes(q, probes, ok, k=k, chunk=chunk)
+
+    def search_doc_ids(self, queries, k: int = 10, num_explored_centroids: int = 10, **kw):
+        d, i = self.search(queries, k, num_explored_centroids, **kw)
+        d = np.asarray(d)
+        i = np.asarray(i)
+        out = []
+        for row in range(i.shape[0]):
+            pairs = []
+            for col in range(i.shape[1]):
+                if i[row, col] >= 0 and np.isfinite(d[row, col]):
+                    lo, hi = self.ivf.doc_ids[i[row, col]]
+                    pairs.append(((int(hi) << 64) | int(lo), float(d[row, col])))
+            out.append(pairs)
+        return out
+
+    # -- deletion / iteration (for optimizers) ---------------------------
+    def invalidate(self, point_ids) -> None:
+        self.ivf.invalidate(point_ids)
+
+    def invalidate_doc_ids(self, doc_ids_u128) -> int:
+        return self.ivf.invalidate_doc_ids(doc_ids_u128)
+
+    def iter_valid(self):
+        """Yield (doc_id_u128, vector) for every live point — SpannIter
+        (spann/iter.rs:8-47), used by merge/vacuum optimizers.
+
+        Requires raw vectors; PQ-quantized indexes yield reconstructions.
+        """
+        valid = np.asarray(self.ivf.point_valid)
+        pos = np.asarray(self.ivf.pos_to_point).reshape(-1)
+        data = np.asarray(self.ivf.pl_data).reshape(pos.shape[0], -1)
+        seen = set()
+        for slot, pt in enumerate(pos):
+            if pt < 0 or pt in seen or not valid[pt]:
+                continue
+            seen.add(pt)
+            lo, hi = self.ivf.doc_ids[pt]
+            vec = data[slot]
+            if hasattr(self.ivf.quantizer, "codebook") and self.ivf.quantizer.codebook is not None:
+                vec = self.ivf.quantizer.original_vectors(vec[None])[0]
+            yield ((int(hi) << 64) | int(lo)), np.asarray(vec, np.float32)
+
+    # -- persistence -----------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        self.centroid_hnsw.save(os.path.join(directory, "centroids"))
+        self.ivf.save(os.path.join(directory, "ivf"))
+        with open(os.path.join(directory, "spann_config.json"), "w") as f:
+            json.dump({"type": "Spann"}, f)
+
+    @classmethod
+    def load(cls, directory: str) -> "SpannIndex":
+        return cls(
+            HnswIndex.load(os.path.join(directory, "centroids")),
+            IvfIndex.load(os.path.join(directory, "ivf")),
+        )
+
+
+class SpannBuilder:
+    """Build IVF first, then the centroid HNSW (spann/builder.rs:246-262)."""
+
+    def __init__(self, config: SpannBuildConfig, dim: int):
+        self.config = config
+        self.dim = dim
+        self.ivf_builder = IvfBuilder(config.ivf, dim)
+
+    def add(self, doc_id: int, vector) -> None:
+        self.ivf_builder.add(doc_id, vector)
+
+    def add_batch(self, doc_ids, vectors) -> None:
+        self.ivf_builder.add_batch(doc_ids, vectors)
+
+    def __len__(self) -> int:
+        return len(self.ivf_builder)
+
+    def build(self, quantizer=None, seed: int = 0) -> SpannIndex:
+        ivf = self.ivf_builder.build(quantizer=quantizer, seed=seed)
+        centroids = np.asarray(ivf.centroids)
+        hb = HnswBuilder(
+            HnswBuildConfig(
+                max_neighbors=self.config.centroids_max_neighbors,
+                max_layers=self.config.centroids_max_layers,
+                ef_construction=self.config.centroids_ef_construction,
+                distance_type=self.config.ivf.distance_type,
+                seed=seed,
+            ),
+            dim=self.dim,
+        )
+        hb.add_batch(np.arange(len(centroids)), centroids)
+        return SpannIndex(hb.build(), ivf)

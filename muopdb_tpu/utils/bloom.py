@@ -1,0 +1,62 @@
+"""Blocked bloom filter over (user_id, doc_id) pairs.
+
+Reference: utils/src/bloom_filter/blocked_bloom_filter.rs:13-58 — one
+cache-block per key, k derived from the target false-positive rate; written
+per segment by MultiSpannWriter and used for `may_contain`-style deletion
+short-circuiting (Segment::may_contain, segment/mod.rs:24-41).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import numpy as np
+
+BLOCK_BITS = 512  # one 64-byte cache block per key
+
+
+def _hash_pair(user_id: int, doc_id: int) -> tuple[int, int]:
+    h = hashlib.blake2b(
+        user_id.to_bytes(16, "little") + doc_id.to_bytes(16, "little"), digest_size=16
+    ).digest()
+    return int.from_bytes(h[:8], "little"), int.from_bytes(h[8:], "little")
+
+
+class BlockedBloomFilter:
+    def __init__(self, num_keys: int, fpr: float = 0.01):
+        num_keys = max(num_keys, 1)
+        bits_per_key = max(1.44 * math.log2(1.0 / max(fpr, 1e-9)), 1.0)
+        total_bits = int(num_keys * bits_per_key)
+        self.num_blocks = max(1, (total_bits + BLOCK_BITS - 1) // BLOCK_BITS)
+        self.k = max(1, round(0.693 * bits_per_key))
+        self.bits = np.zeros((self.num_blocks, BLOCK_BITS // 8), np.uint8)
+
+    def insert(self, user_id: int, doc_id: int) -> None:
+        h1, h2 = _hash_pair(user_id, doc_id)
+        block = h1 % self.num_blocks
+        for i in range(self.k):
+            bit = (h1 + i * h2) % BLOCK_BITS
+            self.bits[block, bit // 8] |= 1 << (bit % 8)
+
+    def may_contain(self, user_id: int, doc_id: int) -> bool:
+        h1, h2 = _hash_pair(user_id, doc_id)
+        block = h1 % self.num_blocks
+        for i in range(self.k):
+            bit = (h1 + i * h2) % BLOCK_BITS
+            if not (self.bits[block, bit // 8] >> (bit % 8)) & 1:
+                return False
+        return True
+
+    def save(self, path: str) -> None:
+        np.savez(path, bits=self.bits, k=np.int64(self.k))
+
+    @classmethod
+    def load(cls, path: str) -> "BlockedBloomFilter":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        f = cls.__new__(cls)
+        f.bits = z["bits"]
+        f.num_blocks = f.bits.shape[0]
+        f.k = int(z["k"])
+        return f

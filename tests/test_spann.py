@@ -1,0 +1,100 @@
+"""SPANN + multi-user SPANN round trips (reference pattern:
+spann/index.rs:292-366, multi_spann tests)."""
+
+import numpy as np
+
+from muopdb_tpu.index.flat import FlatIndex
+from muopdb_tpu.index.ivf import IvfBuildConfig
+from muopdb_tpu.index.multi_spann import MultiSpannBuilder, MultiSpannIndex
+from muopdb_tpu.index.spann import SpannBuildConfig, SpannBuilder, SpannIndex
+from muopdb_tpu.quantization import ProductQuantizer
+
+
+def _cfg(num_centroids=16, block_rows=32, **kw):
+    return SpannBuildConfig(
+        ivf=IvfBuildConfig(num_centroids=num_centroids, block_rows=block_rows, **kw),
+        centroids_max_neighbors=8,
+        centroids_ef_construction=32,
+    )
+
+
+def test_spann_deterministic_neighbors():
+    # the reference's toy: vectors [i,i,i,i] -> known neighbors
+    n, d = 100, 4
+    b = SpannBuilder(_cfg(num_centroids=4, block_rows=8), dim=d)
+    b.add_batch(np.arange(n), np.asarray([[i] * d for i in range(n)], np.float32))
+    idx = b.build()
+    _, ids = idx.search(np.asarray([[2.4] * d], np.float32), k=2, num_explored_centroids=4)
+    got = np.asarray(ids)[0].tolist()
+    assert 2 in got and 3 in got
+
+
+def test_spann_recall(rng):
+    n, d = 2000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    b = SpannBuilder(_cfg(num_centroids=16, block_rows=64), dim=d)
+    b.add_batch(np.arange(n), x)
+    idx = b.build()
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    _, want = FlatIndex(x).search(q, k=10)
+    _, got = idx.search(q, k=10, num_explored_centroids=8, centroid_distance_ratio=10.0)
+    recall = np.mean(
+        [
+            len(set(np.asarray(got)[i].tolist()) & set(np.asarray(want)[i].tolist())) / 10
+            for i in range(len(q))
+        ]
+    )
+    assert recall >= 0.75, recall
+
+
+def test_spann_save_load_and_iter(tmp_path, rng):
+    n, d = 300, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    b = SpannBuilder(_cfg(num_centroids=4, block_rows=16), dim=d)
+    b.add_batch(np.arange(n) + 10, x)
+    idx = b.build()
+    idx.invalidate_doc_ids([10, 11])
+    idx.save(str(tmp_path))
+    idx2 = SpannIndex.load(str(tmp_path))
+    assert idx2.num_valid_points == n - 2
+    docs = dict(idx2.iter_valid())
+    assert len(docs) == n - 2 and 10 not in docs and 12 in docs
+    np.testing.assert_allclose(docs[12], x[2], rtol=1e-5)
+
+
+def test_multi_spann_users_isolated(rng):
+    d = 8
+    b = MultiSpannBuilder(_cfg(num_centroids=2, block_rows=8), dim=d)
+    xa = rng.standard_normal((50, d)).astype(np.float32)
+    xb = rng.standard_normal((50, d)).astype(np.float32) + 100
+    for i in range(50):
+        b.insert(1, 1000 + i, xa[i])
+        b.insert(2, 2000 + i, xb[i])
+    idx = b.build()
+    # user 1 search never returns user 2 docs
+    res = idx.search_for_user(1, xa[:2], k=5, num_explored_centroids=2)
+    assert all(1000 <= doc < 2000 for row in res for doc, _ in row)
+    assert res[0][0][0] == 1000
+    # fan across users merges by score
+    both = idx.search_for_users([1, 2], xb[:1], k=3, num_explored_centroids=2)
+    assert both[0][0][0] == 2000  # user-2 doc wins (closer)
+
+
+def test_multi_spann_bloom_and_lazy_load(tmp_path, rng):
+    d = 8
+    b = MultiSpannBuilder(_cfg(num_centroids=2, block_rows=8), dim=d)
+    x = rng.standard_normal((30, d)).astype(np.float32)
+    for i in range(30):
+        b.insert(7, i, x[i])
+    idx = b.build()
+    assert idx.may_contain(7, 5)
+    idx.save(str(tmp_path))
+
+    lazy = MultiSpannIndex.load(str(tmp_path), lazy=True)
+    assert lazy.user_ids() == [7]
+    # invalidate before the user is opened -> pending replay on open
+    # (multi_spann/index.rs:64-76)
+    lazy.invalidate(7, [3])
+    res = lazy.search_for_user(7, x[3:4], k=1, num_explored_centroids=2)
+    assert res[0][0][0] != 3
+    assert lazy.num_valid_docs == 29
