@@ -1,0 +1,8 @@
+from .elias_fano import EliasFano  # noqa: F401
+from .plain import PlainEncoding  # noqa: F401
+
+CODECS = {"EliasFano": EliasFano, "PlainEncoding": PlainEncoding}
+
+
+def get_codec(name: str):
+    return CODECS[name]

@@ -1,0 +1,79 @@
+"""Elias-Fano monotone-sequence codec.
+
+Reference: compression/src/elias_fano/ef.rs:10-70 (classic EF: n lower bits
+of width floor(log2(U/n)) packed contiguously + upper bits in unary),
+mmap_decoder.rs / block_based_decoder.rs (select-based iteration, skip_to).
+
+Host-side numpy implementation: encode/decode are whole-sequence vectorized
+ops (bit-plane packing via np.packbits), because posting lists are always
+decoded into arrays before hitting the device. A C++ kernel can replace the
+hot decode loop; the format is fixed here:
+
+  u64 n | u64 universe | u64 lower_bits_len_bytes | lower bits | upper bits
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class EliasFano:
+    name = "EliasFano"
+
+    @staticmethod
+    def encode(values: np.ndarray, universe: int | None = None) -> bytes:
+        a = np.asarray(values, np.uint64)
+        n = len(a)
+        if n == 0:
+            return np.asarray([0, 0, 0], np.uint64).tobytes()
+        if np.any(np.diff(a.astype(np.int64)) < 0):
+            raise ValueError("EliasFano requires a monotone non-decreasing sequence")
+        u = int(universe if universe is not None else int(a[-1]) + 1)
+        u = max(u, int(a[-1]) + 1)
+        l = max(0, int(np.floor(np.log2(max(u, 1) / n)))) if n else 0
+
+        lower = a & np.uint64((1 << l) - 1) if l else np.zeros(n, np.uint64)
+        upper = (a >> np.uint64(l)).astype(np.int64)
+
+        # pack lower bits: n * l bits
+        if l:
+            bits = ((lower[:, None] >> np.arange(l, dtype=np.uint64)[None, :]) & 1).astype(np.uint8)
+            lower_bytes = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+        else:
+            lower_bytes = b""
+
+        # upper bits: unary — bit positions upper[i] + i set in a bitvector
+        positions = upper + np.arange(n, dtype=np.int64)
+        ub_len = int(positions[-1]) + 1
+        ub = np.zeros(ub_len, np.uint8)
+        ub[positions] = 1
+        upper_bytes = np.packbits(ub, bitorder="little").tobytes()
+
+        header = np.asarray([n, u, len(lower_bytes)], np.uint64).tobytes()
+        return header + lower_bytes + upper_bytes
+
+    @staticmethod
+    def decode(data: bytes) -> np.ndarray:
+        n, u, lb_len = (int(x) for x in np.frombuffer(data[:24], np.uint64))
+        if n == 0:
+            return np.zeros(0, np.uint64)
+        l = max(0, int(np.floor(np.log2(max(u, 1) / n))))
+        off = 24
+        if l:
+            bits = np.unpackbits(
+                np.frombuffer(data[off : off + lb_len], np.uint8), bitorder="little"
+            )[: n * l].reshape(n, l)
+            lower = (bits.astype(np.uint64) << np.arange(l, dtype=np.uint64)[None, :]).sum(
+                1, dtype=np.uint64
+            )
+        else:
+            lower = np.zeros(n, np.uint64)
+        off += lb_len
+        ub = np.unpackbits(np.frombuffer(data[off:], np.uint8), bitorder="little")
+        positions = np.flatnonzero(ub)[:n].astype(np.int64)
+        upper = (positions - np.arange(n, dtype=np.int64)).astype(np.uint64)
+        return (upper << np.uint64(l)) | lower
+
+    @staticmethod
+    def size_bytes(values: np.ndarray, universe: int | None = None) -> int:
+        return len(EliasFano.encode(values, universe))

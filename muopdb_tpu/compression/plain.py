@@ -1,0 +1,26 @@
+"""Uncompressed little-endian int-sequence codec.
+
+Reference: compression/src/noc/mod.rs:9-60 (PlainEncoder/Decoder implementing
+the IntSeqEncoder/Decoder traits, compression.rs:9-205). Host-side arrays are
+numpy; the API is whole-sequence (batch) rather than value-at-a-time because
+posting lists land on device as arrays anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class PlainEncoding:
+    name = "PlainEncoding"
+
+    @staticmethod
+    def encode(values: np.ndarray, universe: int | None = None) -> bytes:
+        a = np.asarray(values, np.uint64)
+        header = np.asarray([len(a)], np.uint64).tobytes()
+        return header + a.tobytes()
+
+    @staticmethod
+    def decode(data: bytes) -> np.ndarray:
+        n = int(np.frombuffer(data[:8], np.uint64)[0])
+        return np.frombuffer(data[8 : 8 + 8 * n], np.uint64).copy()

@@ -1,0 +1,3 @@
+from .tokenizer import tokenize, Tokenizer  # noqa: F401
+from .term_index import TermIndex, TermIndexBuilder  # noqa: F401
+from .planner import Filter, Planner  # noqa: F401

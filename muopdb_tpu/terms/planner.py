@@ -1,0 +1,160 @@
+"""Boolean filter planner.
+
+Reference: query/planner.rs:41-123 compiles a DocumentFilter proto tree into
+doc-at-a-time iterators (And/Or/Ids combinators with next/skip_to,
+query/iters/mod.rs:22-64); Contains stems its text and ANDs one term-iterator
+per token; NotContains is todo!() there — implemented here.
+
+TPU-first shape: the planner evaluates the whole tree into a *sorted id
+array / boolean mask* with vectorized set ops, because on device a filter is
+a mask multiplied into the scan, not a lazy iterator (SURVEY.md §7 "filter
+pushdown = boolean mask into the scan kernel"). An iterator adapter is
+provided for parity with term-only search semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .term_index import TermIndex
+from .tokenizer import tokenize
+
+
+@dataclass
+class Filter:
+    """Filter tree node (DocumentFilter, muopdb.proto:83-114)."""
+
+    op: str  # "and" | "or" | "contains" | "not_contains" | "ids"
+    children: List["Filter"] = field(default_factory=list)
+    attribute: str = ""  # path for contains/not_contains
+    value: str = ""
+    ids: Optional[np.ndarray] = None  # for "ids"
+
+    # -- constructors ----------------------------------------------------
+    @staticmethod
+    def and_(*children: "Filter") -> "Filter":
+        return Filter("and", list(children))
+
+    @staticmethod
+    def or_(*children: "Filter") -> "Filter":
+        return Filter("or", list(children))
+
+    @staticmethod
+    def contains(attribute: str, value: str) -> "Filter":
+        return Filter("contains", attribute=attribute, value=value)
+
+    @staticmethod
+    def not_contains(attribute: str, value: str) -> "Filter":
+        return Filter("not_contains", attribute=attribute, value=value)
+
+    @staticmethod
+    def ids_(ids) -> "Filter":
+        return Filter("ids", ids=np.asarray(ids, np.uint64))
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Filter":
+        if "and" in d:
+            return cls.and_(*(cls.from_json(c) for c in d["and"]))
+        if "or" in d:
+            return cls.or_(*(cls.from_json(c) for c in d["or"]))
+        if "contains" in d:
+            return cls.contains(d["contains"]["path"], d["contains"]["value"])
+        if "not_contains" in d:
+            return cls.not_contains(d["not_contains"]["path"], d["not_contains"]["value"])
+        if "ids" in d:
+            return cls.ids_(d["ids"])
+        raise ValueError(f"bad filter: {d}")
+
+
+class Planner:
+    """Evaluate a Filter tree against one user's TermIndex.
+
+    Terms are stored as "{attribute}:{token}" (mutable_segment.rs:72-105's
+    convention), so Contains(path, text) = AND over stemmed tokens of
+    `path:token` posting lists (planner.rs:63-119).
+    """
+
+    def __init__(self, term_index: TermIndex, num_points: int, language: str = "english"):
+        self.term_index = term_index
+        self.num_points = num_points
+        self.language = language
+
+    def _contains_ids(self, attribute: str, value: str) -> np.ndarray:
+        toks = tokenize(value, self.language)
+        if not toks:
+            return np.zeros(0, np.uint64)
+        acc: Optional[np.ndarray] = None
+        for t in toks:
+            ids = self.term_index.posting_list(f"{attribute}:{t}")
+            acc = ids if acc is None else np.intersect1d(acc, ids)
+            if len(acc) == 0:
+                break
+        return acc
+
+    def plan_ids(self, f: Filter) -> np.ndarray:
+        """Sorted uint64 point ids matching the filter."""
+        if f.op == "and":
+            acc: Optional[np.ndarray] = None
+            for c in f.children:
+                ids = self.plan_ids(c)
+                acc = ids if acc is None else np.intersect1d(acc, ids)
+                if len(acc) == 0:
+                    break
+            return acc if acc is not None else self._all_ids()
+        if f.op == "or":
+            acc = np.zeros(0, np.uint64)
+            for c in f.children:
+                acc = np.union1d(acc, self.plan_ids(c))
+            return acc
+        if f.op == "contains":
+            return self._contains_ids(f.attribute, f.value)
+        if f.op == "not_contains":
+            return np.setdiff1d(self._all_ids(), self._contains_ids(f.attribute, f.value))
+        if f.op == "ids":
+            return np.unique(f.ids.astype(np.uint64))
+        raise ValueError(f.op)
+
+    def _all_ids(self) -> np.ndarray:
+        return np.arange(self.num_points, dtype=np.uint64)
+
+    def plan_with_ids(self, f: Filter, candidate_ids: np.ndarray) -> np.ndarray:
+        """Intersect the filter with externally-supplied candidates
+        (planner.rs:45-61)."""
+        return np.intersect1d(self.plan_ids(f), np.asarray(candidate_ids, np.uint64))
+
+    def plan_mask(self, f: Filter) -> np.ndarray:
+        """(num_points,) bool mask — the device-side pushdown form."""
+        mask = np.zeros(self.num_points, bool)
+        ids = self.plan_ids(f)
+        ids = ids[ids < self.num_points]
+        mask[ids.astype(np.int64)] = True
+        return mask
+
+
+class IdSetIter:
+    """Doc-at-a-time iterator over a sorted id array — parity adapter for the
+    reference's InvertedIndexIter protocol (query/iters/mod.rs:57-64)."""
+
+    def __init__(self, ids: np.ndarray):
+        self._ids = np.asarray(ids, np.uint64)
+        self._pos = 0
+
+    def next(self) -> Optional[int]:
+        if self._pos >= len(self._ids):
+            return None
+        v = int(self._ids[self._pos])
+        self._pos += 1
+        return v
+
+    def skip_to(self, target: int) -> Optional[int]:
+        i = np.searchsorted(self._ids, np.uint64(target), side="left")
+        self._pos = int(i)
+        return self.point_id()
+
+    def point_id(self) -> Optional[int]:
+        if self._pos >= len(self._ids):
+            return None
+        return int(self._ids[self._pos])

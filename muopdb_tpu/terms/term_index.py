@@ -1,0 +1,124 @@
+"""Per-user inverted term index.
+
+Reference: terms/index.rs:44-186 — immutable file of
+`term_map | offsets | EF posting lists`, with get_term_id and posting-list
+iteration; multi_terms/{builder,writer,index}.rs — per-user lazy cache keyed
+by an offset table in a combined file.
+
+File format here (one file per user, little-endian):
+  u64 num_terms | u64 terms_blob_len
+  terms blob: '\n'-joined utf-8 sorted terms
+  u64 offsets[num_terms + 1]   (into the postings blob)
+  postings blob: per term, an EliasFano- or Plain-encoded sorted point-id
+  sequence
+
+Terms are stored sorted so lookup is binary search — the OnDiskOrderedMap
+role (utils/src/on_disk_ordered_map/map.rs:9-80) collapses into a sorted
+string table.
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..compression import get_codec
+
+
+class TermIndexBuilder:
+    """Accumulates (point_id, term) pairs (multi_terms/builder.rs analog)."""
+
+    def __init__(self):
+        self._postings: Dict[str, List[int]] = {}
+
+    def add(self, point_id: int, term: str) -> None:
+        self._postings.setdefault(term, []).append(point_id)
+
+    def add_terms(self, point_id: int, terms: Iterable[str]) -> None:
+        for t in terms:
+            self.add(point_id, t)
+
+    def __len__(self) -> int:
+        return len(self._postings)
+
+    def remap_point_ids(self, mapping: Dict[int, int]) -> None:
+        """Apply old->new point-id mapping (the reassigned_mappings step,
+        multi_terms/writer.rs:40-48)."""
+        for term, plist in self._postings.items():
+            self._postings[term] = [mapping.get(p, p) for p in plist]
+
+    def build(self, encoding: str = "EliasFano") -> "TermIndex":
+        codec = get_codec(encoding)
+        terms = sorted(self._postings)
+        blobs = []
+        for t in terms:
+            ids = np.asarray(sorted(set(self._postings[t])), np.uint64)
+            blobs.append(codec.encode(ids))
+        return TermIndex(terms, blobs, encoding)
+
+
+class TermIndex:
+    def __init__(self, terms: List[str], posting_blobs: List[bytes], encoding: str = "EliasFano"):
+        self._terms = terms
+        self._blobs = posting_blobs
+        self.encoding = encoding
+        self._codec = get_codec(encoding)
+
+    @property
+    def num_terms(self) -> int:
+        return len(self._terms)
+
+    def get_term_id(self, term: str) -> Optional[int]:
+        i = bisect.bisect_left(self._terms, term)
+        if i < len(self._terms) and self._terms[i] == term:
+            return i
+        return None
+
+    def posting_list(self, term: str) -> np.ndarray:
+        """Sorted uint64 point ids for a term (empty if absent)."""
+        tid = self.get_term_id(term)
+        if tid is None:
+            return np.zeros(0, np.uint64)
+        return self._codec.decode(self._blobs[tid])
+
+    def terms(self) -> List[str]:
+        return list(self._terms)
+
+    # -- persistence -----------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        terms_blob = "\n".join(self._terms).encode()
+        offsets = np.zeros(len(self._blobs) + 1, np.uint64)
+        offsets[1:] = np.cumsum([len(b) for b in self._blobs], dtype=np.uint64)
+        with open(path, "wb") as f:
+            f.write(np.asarray([len(self._terms), len(terms_blob)], np.uint64).tobytes())
+            enc = self.encoding.encode()
+            f.write(np.asarray([len(enc)], np.uint64).tobytes())
+            f.write(enc)
+            f.write(terms_blob)
+            f.write(offsets.tobytes())
+            for b in self._blobs:
+                f.write(b)
+
+    @classmethod
+    def load(cls, path: str) -> "TermIndex":
+        with open(path, "rb") as f:
+            data = f.read()
+        num_terms, terms_len = (int(x) for x in np.frombuffer(data[:16], np.uint64))
+        enc_len = int(np.frombuffer(data[16:24], np.uint64)[0])
+        off = 24
+        encoding = data[off : off + enc_len].decode()
+        off += enc_len
+        terms = data[off : off + terms_len].decode().split("\n") if terms_len else []
+        if terms == [""]:
+            terms = []
+        off += terms_len
+        offsets = np.frombuffer(data[off : off + 8 * (num_terms + 1)], np.uint64)
+        off += 8 * (num_terms + 1)
+        blobs = [
+            data[off + int(offsets[i]) : off + int(offsets[i + 1])] for i in range(num_terms)
+        ]
+        return cls(terms, blobs, encoding)

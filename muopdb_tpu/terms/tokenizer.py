@@ -1,0 +1,52 @@
+"""Tokenizers: whitespace lowercasing + Snowball stemming.
+
+Reference: tokenizer/mod.rs:22-55 (Tokenizer/TokenStream traits),
+white_space_tokenizer.rs (lowercase whitespace split),
+stemming_tokenizer.rs:20-52 (Snowball stemming for 19 languages via
+rust-stemmers). Here stemming uses NLTK's Snowball implementations;
+languages Snowball has no stemmer for fall back to plain lowercasing.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import List, Optional
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# languages supported by NLTK snowball (subset of config.LANGUAGES)
+_NLTK_LANGS = {
+    "arabic", "danish", "dutch", "english", "finnish", "french", "german",
+    "hungarian", "italian", "norwegian", "portuguese", "romanian", "russian",
+    "spanish", "swedish",
+}
+
+
+@functools.lru_cache(maxsize=32)
+def _stemmer(language: str):
+    if language in _NLTK_LANGS:
+        from nltk.stem.snowball import SnowballStemmer
+
+        return SnowballStemmer(language)
+    return None
+
+
+class Tokenizer:
+    """Lowercase + whitespace/punct split, optional Snowball stemming."""
+
+    def __init__(self, language: Optional[str] = "english", stem: bool = True):
+        self.language = language
+        self.stem = stem and language is not None
+
+    def tokens(self, text: str) -> List[str]:
+        toks = [t.lower() for t in _WORD_RE.findall(text)]
+        if self.stem:
+            st = _stemmer(self.language)
+            if st is not None:
+                toks = [st.stem(t) for t in toks]
+        return toks
+
+
+def tokenize(text: str, language: Optional[str] = "english", stem: bool = True) -> List[str]:
+    return Tokenizer(language, stem).tokens(text)

@@ -1,0 +1,135 @@
+"""Compression + tokenizer + term index + planner tests."""
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.compression import EliasFano, PlainEncoding
+from muopdb_tpu.terms import Filter, Planner, TermIndex, TermIndexBuilder, tokenize
+from muopdb_tpu.terms.planner import IdSetIter
+
+
+# -- compression ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", [EliasFano, PlainEncoding])
+def test_codec_roundtrip(codec, rng):
+    vals = np.unique(rng.integers(0, 10_000, 500)).astype(np.uint64)
+    out = codec.decode(codec.encode(vals))
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_ef_empty_and_single():
+    assert len(EliasFano.decode(EliasFano.encode(np.zeros(0, np.uint64)))) == 0
+    np.testing.assert_array_equal(
+        EliasFano.decode(EliasFano.encode(np.asarray([42], np.uint64))), [42]
+    )
+
+
+def test_ef_compresses_dense_sequences():
+    vals = np.arange(10_000, dtype=np.uint64)
+    assert len(EliasFano.encode(vals)) < len(PlainEncoding.encode(vals)) / 3
+
+
+def test_ef_rejects_unsorted():
+    with pytest.raises(ValueError):
+        EliasFano.encode(np.asarray([3, 1], np.uint64))
+
+
+def test_ef_duplicates_ok():
+    vals = np.asarray([1, 1, 2, 5, 5, 5, 9], np.uint64)
+    np.testing.assert_array_equal(EliasFano.decode(EliasFano.encode(vals)), vals)
+
+
+# -- tokenizer -----------------------------------------------------------
+
+
+def test_tokenize_stems_english():
+    assert tokenize("Running databases quickly") == ["run", "databas", "quick"]
+
+
+def test_tokenize_no_stem():
+    assert tokenize("Running DBs", stem=False) == ["running", "dbs"]
+
+
+def test_tokenize_unsupported_language_falls_back():
+    assert tokenize("xin chào", language="vietnamese") == ["xin", "chào"]
+
+
+# -- term index ----------------------------------------------------------
+
+
+def _index():
+    b = TermIndexBuilder()
+    b.add_terms(0, ["body:hello", "body:world"])
+    b.add_terms(1, ["body:hello"])
+    b.add_terms(2, ["body:world", "tag:x"])
+    return b
+
+
+def test_term_index_postings(tmp_path):
+    idx = _index().build()
+    np.testing.assert_array_equal(idx.posting_list("body:hello"), [0, 1])
+    np.testing.assert_array_equal(idx.posting_list("body:world"), [0, 2])
+    assert len(idx.posting_list("nope")) == 0
+    p = str(tmp_path / "terms.bin")
+    idx.save(p)
+    idx2 = TermIndex.load(p)
+    assert idx2.terms() == idx.terms()
+    np.testing.assert_array_equal(idx2.posting_list("tag:x"), [2])
+
+
+def test_term_index_remap():
+    b = _index()
+    b.remap_point_ids({0: 10, 1: 11, 2: 12})
+    idx = b.build()
+    np.testing.assert_array_equal(idx.posting_list("body:hello"), [10, 11])
+
+
+# -- planner -------------------------------------------------------------
+
+
+def _planner():
+    b = TermIndexBuilder()
+    # docs: 0 "quick brown fox", 1 "lazy brown dog", 2 "quick dog"
+    for pid, text in [(0, "quick brown fox"), (1, "lazy brown dog"), (2, "quick dog")]:
+        b.add_terms(pid, [f"body:{t}" for t in tokenize(text)])
+    return Planner(b.build(), num_points=3)
+
+
+def test_planner_contains():
+    p = _planner()
+    np.testing.assert_array_equal(p.plan_ids(Filter.contains("body", "brown")), [0, 1])
+    np.testing.assert_array_equal(p.plan_ids(Filter.contains("body", "quick dog")), [2])
+
+
+def test_planner_and_or_not():
+    p = _planner()
+    f = Filter.or_(Filter.contains("body", "fox"), Filter.contains("body", "lazy"))
+    np.testing.assert_array_equal(p.plan_ids(f), [0, 1])
+    f2 = Filter.and_(f, Filter.contains("body", "brown"))
+    np.testing.assert_array_equal(p.plan_ids(f2), [0, 1])
+    f3 = Filter.not_contains("body", "dog")
+    np.testing.assert_array_equal(p.plan_ids(f3), [0])
+
+
+def test_planner_ids_and_mask():
+    p = _planner()
+    f = Filter.and_(Filter.ids_([1, 2]), Filter.contains("body", "quick"))
+    np.testing.assert_array_equal(p.plan_ids(f), [2])
+    mask = p.plan_mask(f)
+    np.testing.assert_array_equal(mask, [False, False, True])
+
+
+def test_planner_stemming_matches_variants():
+    b = TermIndexBuilder()
+    b.add_terms(0, [f"body:{t}" for t in tokenize("running runners")])
+    p = Planner(b.build(), num_points=1)
+    assert p.plan_ids(Filter.contains("body", "run")).tolist() == [0]
+
+
+def test_iter_protocol():
+    it = IdSetIter(np.asarray([2, 5, 9], np.uint64))
+    assert it.next() == 2
+    assert it.skip_to(6) == 9
+    assert it.next() == 9
+    assert it.next() is None
