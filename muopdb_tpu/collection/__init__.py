@@ -1,0 +1,1 @@
+from .wal import Wal, WalEntry, WalOpType, WalWriteCoordinator  # noqa: F401

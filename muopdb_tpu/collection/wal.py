@@ -1,0 +1,312 @@
+"""Write-ahead log with rolling files and leader/follower group commit.
+
+Reference behavior re-provided:
+  - Wal manages a deque of files rolling at max_file_size (wal/wal.rs:99-128)
+  - trim_wal deletes fully-flushed files, always keeping one (wal.rs:150-167)
+  - file format version1 | start_seq_no | per-entry records (wal/file.rs:18-25)
+  - entry: len(4) | n(8) | m(8) | doc_ids(16n) | user_ids(16m) | f32 data |
+    num_attrs(4) | attr bytes | op_type(1)  — attrs here are length-prefixed
+    JSON blobs (the reference uses a custom binary codec, wal/entry.rs:26-101;
+    the framing and every other field match)
+  - group commit: a filling write group whose first waiter becomes leader,
+    writes all entries, fsyncs once, distributes sequence numbers; followers
+    time out after 10 ms and self-promote (collection/core.rs:600-738)
+
+The tokio leader/follower dance maps onto a threading.Condition: writers
+enqueue; whoever finds no active leader becomes leader, drains up to
+`group_size` entries, appends + fsyncs once, then notifies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import threading
+from dataclasses import dataclass, field
+from enum import IntEnum
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.ids import pack_u128s, u128s_from_bytes, u128s_to_bytes
+
+WAL_VERSION = 1
+_HEADER = struct.Struct("<BQ")  # version, start_seq_no
+
+
+class WalOpType(IntEnum):
+    INSERT = 0
+    DELETE = 1
+
+
+@dataclass
+class WalEntry:
+    doc_ids: np.ndarray  # (n, 2) uint64
+    user_ids: np.ndarray  # (m, 2) uint64
+    data: np.ndarray  # flattened f32 vectors (empty for DELETE)
+    op_type: WalOpType = WalOpType.INSERT
+    attributes: List[dict] = field(default_factory=list)  # one dict per doc (optional)
+    seq_no: int = -1  # assigned on append
+
+    @classmethod
+    def insert(cls, doc_ids, user_ids, vectors, attributes=None) -> "WalEntry":
+        return cls(
+            pack_u128s(doc_ids) if not isinstance(doc_ids, np.ndarray) else doc_ids,
+            pack_u128s(user_ids) if not isinstance(user_ids, np.ndarray) else user_ids,
+            np.asarray(vectors, np.float32).reshape(-1),
+            WalOpType.INSERT,
+            attributes or [],
+        )
+
+    @classmethod
+    def delete(cls, doc_ids, user_ids) -> "WalEntry":
+        return cls(
+            pack_u128s(doc_ids) if not isinstance(doc_ids, np.ndarray) else doc_ids,
+            pack_u128s(user_ids) if not isinstance(user_ids, np.ndarray) else user_ids,
+            np.zeros(0, np.float32),
+            WalOpType.DELETE,
+        )
+
+    def encode(self) -> bytes:
+        """Entry framing follows wal/file.rs:18-25 with one addition: an
+        explicit u64 data_len after the id arrays makes the record
+        self-describing (the reference infers it from the record length and
+        its fixed-width attr codec; ours uses JSON attr blobs)."""
+        attr_blobs = b""
+        for a in self.attributes:
+            blob = json.dumps(a, separators=(",", ":")).encode()
+            attr_blobs += struct.pack("<I", len(blob)) + blob
+        data_bytes = self.data.astype(np.float32).tobytes()
+        body = (
+            struct.pack("<QQQ", self.doc_ids.shape[0], self.user_ids.shape[0], len(data_bytes))
+            + u128s_to_bytes(self.doc_ids)
+            + u128s_to_bytes(self.user_ids)
+            + data_bytes
+            + struct.pack("<I", len(self.attributes))
+            + attr_blobs
+            + struct.pack("<B", int(self.op_type))
+        )
+        return struct.pack("<I", len(body)) + body
+
+    @classmethod
+    def decode(cls, body: bytes) -> "WalEntry":
+        n, m, dlen = struct.unpack_from("<QQQ", body, 0)
+        off = 24
+        doc_ids = u128s_from_bytes(body[off : off + 16 * n])
+        off += 16 * n
+        user_ids = u128s_from_bytes(body[off : off + 16 * m])
+        off += 16 * m
+        data = np.frombuffer(body[off : off + dlen], np.float32).copy()
+        off += dlen
+        (num_attrs,) = struct.unpack_from("<I", body, off)
+        off += 4
+        attrs = []
+        for _ in range(num_attrs):
+            (blen,) = struct.unpack_from("<I", body, off)
+            off += 4
+            attrs.append(json.loads(body[off : off + blen]))
+            off += blen
+        op_type = WalOpType(body[off])
+        return cls(doc_ids, user_ids, data, op_type, attrs)
+
+
+class WalFile:
+    def __init__(self, path: str, start_seq_no: int, create: bool):
+        self.path = path
+        self.start_seq_no = start_seq_no
+        if create:
+            self._f = open(path, "wb")
+            self._f.write(_HEADER.pack(WAL_VERSION, start_seq_no))
+            self.num_entries = 0
+        else:
+            size = os.path.getsize(path)
+            with open(path, "rb") as rf:
+                version, sseq = _HEADER.unpack(rf.read(_HEADER.size))
+                assert version == WAL_VERSION
+                self.start_seq_no = sseq
+                self.num_entries = sum(1 for _ in _iter_entries(rf, size))
+            self._f = open(path, "ab")
+
+    @property
+    def size(self) -> int:
+        self._f.flush()
+        return os.path.getsize(self.path)
+
+    @property
+    def end_seq_no(self) -> int:  # exclusive
+        return self.start_seq_no + self.num_entries
+
+    def append(self, entry: WalEntry) -> int:
+        seq = self.end_seq_no
+        self._f.write(entry.encode())
+        self.num_entries += 1
+        return seq
+
+    def sync(self) -> None:
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def close(self) -> None:
+        self._f.close()
+
+    def entries(self) -> Iterator[Tuple[int, WalEntry]]:
+        self._f.flush()
+        size = os.path.getsize(self.path)
+        with open(self.path, "rb") as rf:
+            rf.read(_HEADER.size)
+            for i, body in enumerate(_iter_entries(rf, size)):
+                e = WalEntry.decode(body)
+                e.seq_no = self.start_seq_no + i
+                yield e.seq_no, e
+
+
+def _iter_entries(f, size) -> Iterator[bytes]:
+    while True:
+        pos = f.tell()
+        hdr = f.read(4)
+        if len(hdr) < 4:
+            return
+        (blen,) = struct.unpack("<I", hdr)
+        if pos + 4 + blen > size:
+            return  # truncated tail (crash mid-write) — stop replay here
+        body = f.read(blen)
+        if len(body) < blen:
+            return
+        yield body
+
+
+class Wal:
+    """Rolling WAL over a directory of files named wal_{start_seq_no}."""
+
+    def __init__(self, directory: str, max_file_size: int = 1 << 20):
+        self.directory = directory
+        self.max_file_size = max_file_size
+        os.makedirs(directory, exist_ok=True)
+        self._files: List[WalFile] = []
+        names = sorted(
+            (n for n in os.listdir(directory) if n.startswith("wal_")),
+            key=lambda n: int(n.split("_")[1]),
+        )
+        for n in names:
+            self._files.append(WalFile(os.path.join(directory, n), int(n.split("_")[1]), create=False))
+        if not self._files:
+            self._open_new(0)
+
+    def _open_new(self, start_seq: int) -> None:
+        path = os.path.join(self.directory, f"wal_{start_seq}")
+        self._files.append(WalFile(path, start_seq, create=True))
+
+    @property
+    def next_seq_no(self) -> int:
+        return self._files[-1].end_seq_no
+
+    def append(self, entry: WalEntry) -> int:
+        f = self._files[-1]
+        if f.size >= self.max_file_size:
+            f.sync()
+            self._open_new(f.end_seq_no)
+            f = self._files[-1]
+        return f.append(entry)
+
+    def sync(self) -> None:
+        self._files[-1].sync()
+
+    def trim(self, flushed_seq_no: int) -> None:
+        """Delete files whose entries are all <= flushed_seq_no; always keep
+        at least one file (wal.rs:150-167)."""
+        while len(self._files) > 1 and self._files[0].end_seq_no - 1 <= flushed_seq_no:
+            f = self._files.pop(0)
+            f.close()
+            os.remove(f.path)
+
+    def entries_from(self, seq_no: int) -> Iterator[Tuple[int, WalEntry]]:
+        """Replay entries with seq > seq_no (startup recovery,
+        core.rs:337-441)."""
+        for f in self._files:
+            if f.end_seq_no - 1 <= seq_no:
+                continue
+            for s, e in f.entries():
+                if s > seq_no:
+                    yield s, e
+
+    def close(self) -> None:
+        for f in self._files:
+            f.close()
+
+
+class WalWriteCoordinator:
+    """Leader/follower group commit (core.rs:33-89,600-738).
+
+    Writers call append(entry) -> (seq_no, synced). The first writer to find
+    no leader becomes leader: it waits up to `follower_timeout` for the group
+    to fill, appends every queued entry in arrival order, fsyncs once, then
+    hands each waiter its sequence number. Arrival order == WAL order ==
+    downstream op order (the lock-held-until-enqueued invariant of
+    core.rs:561-596 holds because the leader drains the queue under the same
+    condition lock it assigns sequence numbers under).
+    """
+
+    def __init__(self, wal: Wal, group_size: int = 940, follower_timeout: float = 0.010,
+                 on_committed=None):
+        self.wal = wal
+        self.group_size = group_size
+        self.follower_timeout = follower_timeout
+        self.on_committed = on_committed  # callback(seq_no, entry) in WAL order
+        self._cond = threading.Condition()
+        self._queue: List[dict] = []
+        self._leader_active = False
+
+    def append(self, entry: WalEntry) -> int:
+        slot = {"entry": entry, "seq": None, "done": threading.Event()}
+        with self._cond:
+            self._queue.append(slot)
+            if not self._leader_active:
+                self._leader_active = True
+                lead = True
+            else:
+                lead = False
+            self._cond.notify_all()
+        if lead:
+            self._lead()
+        else:
+            # follower: wait; self-promote if the leader stalls (core.rs:682-738)
+            while not slot["done"].wait(self.follower_timeout):
+                with self._cond:
+                    if slot["done"].is_set():
+                        break
+                    if not self._leader_active:
+                        self._leader_active = True
+                        promote = True
+                    else:
+                        promote = False
+                if promote:
+                    self._lead()
+        slot["done"].wait()
+        return slot["seq"]
+
+    def _lead(self) -> None:
+        import time
+
+        deadline = time.monotonic() + self.follower_timeout
+        with self._cond:
+            while len(self._queue) < self.group_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cond.wait(remaining)
+            group = self._queue[: self.group_size]
+            del self._queue[: len(group)]
+        committed = []
+        for slot in group:
+            slot["seq"] = self.wal.append(slot["entry"])
+            slot["entry"].seq_no = slot["seq"]
+            committed.append(slot)
+        self.wal.sync()  # one fsync for the whole group
+        for slot in committed:
+            if self.on_committed is not None:
+                self.on_committed(slot["seq"], slot["entry"])
+            slot["done"].set()
+        with self._cond:
+            self._leader_active = False
+            self._cond.notify_all()

@@ -490,21 +490,30 @@ class IvfIndex:
         *,
         centroid_distance_ratio: float = -1.0,
         chunk: int = 8,
+        filter_mask=None,
     ):
         """Returns (dists (B, k), point_ids (B, k)); invalid slots have
-        point_id -1 and +inf distance."""
+        point_id -1 and +inf distance.
+
+        filter_mask: optional (num_points,) bool — boolean-filter pushdown
+        (the TPU form of plan_with_ids intersection, planner.rs:45-61)."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         nprobe = min(nprobe, self.centroids.shape[0])
         probe, probe_ok = _probe(
             q, self.centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
         )
-        return self.search_with_probes(q, probe, probe_ok, k=k, chunk=chunk)
+        return self.search_with_probes(q, probe, probe_ok, k=k, chunk=chunk, filter_mask=filter_mask)
 
-    def search_with_probes(self, queries, probe, probe_ok, *, k: int = 10, chunk: int = 8):
+    def search_with_probes(self, queries, probe, probe_ok, *, k: int = 10, chunk: int = 8, filter_mask=None):
         """Scan explicitly-probed posting lists. SPANN entry point: the
         centroid HNSW picks `probe` and this scans them (the analog of
         spann/index.rs:253-265 search_with_centroids_and_remap)."""
         q = jnp.asarray(np.asarray(queries, np.float32))
+        valid = self.point_valid
+        if filter_mask is not None:
+            fm = jnp.asarray(np.asarray(filter_mask, bool))
+            fm = jnp.pad(fm, (0, valid.shape[0] - fm.shape[0]))
+            valid = valid & fm
         if isinstance(self.quantizer, ProductQuantizer):
             lut = self.quantizer.compute_lut(q, self.distance_type)
             d, i = _scan_pq(
@@ -515,7 +524,7 @@ class IvfIndex:
                 self.pl_data,
                 self.pos_to_point,
                 self.list_block_start,
-                self.point_valid,
+                valid,
                 k=k,
                 max_blocks=self.max_blocks,
                 block_rows=self.block_rows,
@@ -530,7 +539,7 @@ class IvfIndex:
                 self.pl_data,
                 self.pos_to_point,
                 self.list_block_start,
-                self.point_valid,
+                valid,
                 k=k,
                 max_blocks=self.max_blocks,
                 block_rows=self.block_rows,

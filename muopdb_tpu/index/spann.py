@@ -67,6 +67,7 @@ class SpannIndex:
         centroid_distance_ratio: float = 0.1,
         ef_search: int | None = None,
         chunk: int = 8,
+        filter_mask=None,
     ):
         """spann/index.rs:211-265: HNSW ann over centroids, prune by distance
         ratio, scan the surviving posting lists."""
@@ -79,7 +80,7 @@ class SpannIndex:
         ok = jnp.asarray(cd) <= jnp.asarray(cd)[:, :1] * (1.0 + centroid_distance_ratio)
         ok = ok & (jnp.asarray(probes) >= 0)
         probes = jnp.clip(jnp.asarray(probes), 0, None)
-        return self.ivf.search_with_probes(q, probes, ok, k=k, chunk=chunk)
+        return self.ivf.search_with_probes(q, probes, ok, k=k, chunk=chunk, filter_mask=filter_mask)
 
     def search_doc_ids(self, queries, k: int = 10, num_explored_centroids: int = 10, **kw):
         d, i = self.search(queries, k, num_explored_centroids, **kw)
