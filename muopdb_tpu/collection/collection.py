@@ -1,0 +1,408 @@
+"""Collection: the concurrency core tying WAL, segments, TOC, optimizers.
+
+Reference: collection/core.rs (documented at core.rs:112-163) — versioned
+TOC with snapshot pinning, WAL group commit feeding an op channel whose
+order matches WAL order, flush that swaps the mutable segment and atomically
+commits a new version, remove fan-out, auto vacuum/merge; snapshot.rs
+(search_for_users merge).
+
+Layout on disk:
+  {dir}/collection_config.json
+  {dir}/versions/version_N          TOC checkpoint chain (the "model
+                                    checkpoint" of this system)
+  {dir}/wal/wal_{start_seq}
+  {dir}/segment_{hex}/...           immutable segments (self-contained)
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import shutil
+import threading
+import time
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import CollectionConfig
+from ..terms.planner import Filter
+from ..utils import io as vio
+from .optimizers import OPTIMIZERS
+from .segment import ImmutableSegment, MutableSegment, PendingMutableSegment, PendingSegment
+from .toc import TableOfContent, VersionsInfo, read_latest_toc, write_toc
+from .wal import Wal, WalEntry, WalOpType, WalWriteCoordinator
+
+# test hook mirroring the reference's TEST_SLOW_FLUSH race hook (core.rs:906-910)
+TEST_SLOW_FLUSH_ENV = "MUOPDB_TEST_SLOW_FLUSH"
+
+
+class Snapshot:
+    """Pinned view: version + segment handles (core.rs:978-1002)."""
+
+    def __init__(self, collection: "Collection", version: int, segments: List):
+        self._collection = collection
+        self.version = version
+        self.segments = segments
+        self._released = False
+
+    def search_for_users(
+        self,
+        user_ids: Iterable[int],
+        queries,
+        k: int = 10,
+        num_explored_centroids: Optional[int] = None,
+        where: Optional[Filter] = None,
+        **kw,
+    ) -> List[List[Tuple[int, float]]]:
+        """Per user, per segment search; merge by score; truncate to k
+        (snapshot.rs:39-106)."""
+        q = np.asarray(queries, np.float32).reshape(-1, self._collection.config.num_features)
+        ne = num_explored_centroids or k
+        merged: List[List[Tuple[int, float]]] = [[] for _ in range(len(q))]
+        for user_id in user_ids:
+            for seg in self.segments:
+                res = seg.search_for_user(user_id, q, k, ne, where, **kw)
+                for row, pairs in enumerate(res):
+                    merged[row].extend(pairs)
+        return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
+
+    def term_search_for_users(self, user_ids, where: Filter, limit: int = 100) -> List[int]:
+        out: List[int] = []
+        for user_id in user_ids:
+            for seg in self.segments:
+                out.extend(seg.term_search_for_user(user_id, where, limit - len(out)))
+                if len(out) >= limit:
+                    return out
+        return out
+
+    def release(self) -> None:
+        if not self._released:
+            self._released = True
+            self._collection.release_version(self.version)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.release()
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass
+
+
+class Collection:
+    def __init__(self, name: str, directory: str, config: CollectionConfig):
+        self.name = name
+        self.directory = directory
+        self.config = config
+        os.makedirs(directory, exist_ok=True)
+        os.makedirs(self.versions_dir, exist_ok=True)
+        config.save(os.path.join(directory, "collection_config.json"))
+
+        self.versions_info = VersionsInfo()
+        self.all_segments: Dict[str, object] = {}  # name -> Immutable/PendingSegment
+        self._toc_lock = threading.RLock()  # guards TOC commits + all_segments
+        self._toc = TableOfContent()
+
+        self.mutable = MutableSegment(config)
+        self._mutable_lock = threading.RLock()
+        self.pending_mutable: Optional[PendingMutableSegment] = None
+        self._flush_lock = threading.Lock()
+
+        self.wal: Optional[Wal] = None
+        self.wal_coordinator: Optional[WalWriteCoordinator] = None
+        self._op_queue: "queue.Queue[Tuple[int, WalEntry]]" = queue.Queue(maxsize=100)
+        if config.wal_file_size > 0:
+            self.wal = Wal(os.path.join(directory, "wal"), config.wal_file_size)
+            self.wal_coordinator = WalWriteCoordinator(
+                self.wal,
+                group_size=config.wal_write_group_size,
+                on_committed=self._enqueue_op,
+            )
+        self._ops_since_flush = 0
+        self._last_flush_time = time.monotonic()
+
+    # -- open / recovery -------------------------------------------------
+    @property
+    def versions_dir(self) -> str:
+        return os.path.join(self.directory, "versions")
+
+    @classmethod
+    def open(cls, name: str, directory: str) -> "Collection":
+        """Reopen from disk: latest TOC + pending rebuild + WAL replay
+        (core.rs:287-441, collection/reader.rs:32-112)."""
+        config = CollectionConfig.load(os.path.join(directory, "collection_config.json"))
+        col = cls(name, directory, config)
+        vio.cleanup_tmp(directory, "tmp_segment_")
+        version, toc = read_latest_toc(col.versions_dir)
+        if version is not None:
+            col.versions_info.current_version = version
+            with col._toc_lock:
+                col._toc = toc
+                inner_of_pending = {n for inner in toc.pending.values() for n in inner}
+                for seg_name in toc.toc:
+                    if seg_name in toc.pending:
+                        inner = [
+                            ImmutableSegment.open(os.path.join(directory, n), config, n)
+                            for n in toc.pending[seg_name]
+                        ]
+                        col.all_segments[seg_name] = PendingSegment(
+                            inner, os.path.join(directory, seg_name), config
+                        )
+                    else:
+                        col.all_segments[seg_name] = ImmutableSegment.open(
+                            os.path.join(directory, seg_name), config, seg_name
+                        )
+                _ = inner_of_pending
+        # WAL replay after the checkpoint (core.rs:337-441)
+        if col.wal is not None:
+            for seq, entry in col.wal.entries_from(toc.sequence_number):
+                col._apply_entry(seq, entry)
+        return col
+
+    # -- write path ------------------------------------------------------
+    def _enqueue_op(self, seq: int, entry: WalEntry) -> None:
+        # called by the WAL leader in WAL order, so channel order == WAL order
+        # (core.rs:561-596 invariant)
+        self._op_queue.put((seq, entry))
+
+    def write_to_wal(self, doc_ids, user_ids, vectors=None, attributes=None,
+                     op_type: WalOpType = WalOpType.INSERT) -> int:
+        """Durable append via group commit; applied async by ingestion
+        workers (core.rs:537-652). Returns the assigned sequence number."""
+        assert self.wal_coordinator is not None, "collection has no WAL"
+        if op_type == WalOpType.INSERT:
+            entry = WalEntry.insert(doc_ids, user_ids, vectors, attributes)
+        else:
+            entry = WalEntry.delete(doc_ids, user_ids)
+        return self.wal_coordinator.append(entry)
+
+    def process_one_op(self) -> int:
+        """Drain one op from the channel (ingestion worker loop,
+        collection_manager.rs:215-237). Returns docs processed."""
+        try:
+            seq, entry = self._op_queue.get_nowait()
+        except queue.Empty:
+            return 0
+        return self._apply_entry(seq, entry)
+
+    def _apply_entry(self, seq: int, entry: WalEntry) -> int:
+        from ..utils.ids import unpack_u128s
+
+        user_ids = unpack_u128s(entry.user_ids)
+        doc_ids = unpack_u128s(entry.doc_ids)
+        if entry.op_type == WalOpType.INSERT:
+            dim = self.config.num_features
+            vecs = entry.data.reshape(len(doc_ids), dim)
+            attrs = entry.attributes or [None] * len(doc_ids)
+            self.insert_for_users(user_ids, doc_ids, vecs, attrs, sequence_number=seq)
+        else:
+            for u in user_ids:
+                self.remove(u, doc_ids, sequence_number=seq)
+        self._ops_since_flush += 1
+        return len(doc_ids)
+
+    def insert_for_users(self, user_ids, doc_ids, vectors, attributes=None,
+                         sequence_number: int = -1) -> None:
+        """(core.rs:821, mutable_segment.rs:54)"""
+        attrs = attributes or [None] * len(doc_ids)
+        with self._mutable_lock:
+            for u in user_ids:
+                for d, v, a in zip(doc_ids, np.asarray(vectors, np.float32), attrs):
+                    self.mutable.insert_for_user(u, d, v, a, sequence_number)
+
+    def remove(self, user_id: int, doc_ids, sequence_number: int = -1) -> int:
+        """Invalidate everywhere: mutable, pending-mutable, all segments
+        (core.rs:1410-1439)."""
+        removed = 0
+        for d in doc_ids:
+            with self._mutable_lock:
+                found = self.mutable.remove_for_user(user_id, d, sequence_number)
+                if self.pending_mutable is not None:
+                    self.pending_mutable.remove_for_user(user_id, d)
+            with self._toc_lock:
+                segs = [self.all_segments[n] for n in self._toc.toc]
+            for seg in segs:
+                found = seg.remove(user_id, d) or found
+            removed += int(found)
+        return removed
+
+    # -- flush -----------------------------------------------------------
+    def flush(self) -> Optional[str]:
+        """Mutable -> immutable segment + TOC commit + WAL trim
+        (core.rs:867-974). Returns new segment name or None if skipped."""
+        if not self._flush_lock.acquire(blocking=False):
+            return None  # another flush in flight (try-lock, core.rs:870)
+        try:
+            with self._mutable_lock:
+                if self.mutable.num_docs == 0:
+                    return None
+                pending = PendingMutableSegment(self.mutable)
+                self.mutable = MutableSegment(self.config)
+                self.pending_mutable = pending
+
+            if os.environ.get(TEST_SLOW_FLUSH_ENV):
+                time.sleep(1.0)
+
+            seg_name = vio.random_name("segment_")
+            tmp_dir = os.path.join(self.directory, f"tmp_{seg_name}")
+            segment = pending.build(tmp_dir)
+            final_dir = os.path.join(self.directory, seg_name)
+            os.rename(tmp_dir, final_dir)
+            segment = ImmutableSegment.open(final_dir, self.config, seg_name)
+
+            # replay deletions that arrived during the build (core.rs:952-969)
+            for user_id, doc_id in pending.drain_deletions():
+                segment.remove(user_id, doc_id)
+
+            self.add_segments([seg_name], [segment], sequence_number=pending.last_sequence_number)
+            with self._mutable_lock:
+                self.pending_mutable = None
+            if self.wal is not None and pending.last_sequence_number >= 0:
+                self.wal.trim(pending.last_sequence_number)
+            self._ops_since_flush = 0
+            self._last_flush_time = time.monotonic()
+            return seg_name
+        finally:
+            self._flush_lock.release()
+
+    def should_auto_flush(self) -> bool:
+        """(collection_manager.rs:239-260 auto-flush check)"""
+        c = self.config
+        if c.max_pending_ops and self._ops_since_flush >= c.max_pending_ops:
+            return True
+        if c.max_time_to_flush_ms and (
+            time.monotonic() - self._last_flush_time
+        ) * 1000.0 >= c.max_time_to_flush_ms:
+            return self.mutable.num_docs > 0
+        return False
+
+    # -- TOC commits ------------------------------------------------------
+    def add_segments(self, names: List[str], segments: List, sequence_number: int = -1) -> None:
+        """Commit a new version adding segments (core.rs:1013-1071)."""
+        with self._toc_lock:
+            for n, s in zip(names, segments):
+                self.all_segments[n] = s
+            new_toc = TableOfContent(
+                self._toc.toc + names,
+                dict(self._toc.pending),
+                max(self._toc.sequence_number, sequence_number),
+            )
+            v = self.versions_info.advance()
+            write_toc(self.versions_dir, v, new_toc)
+            self._toc = new_toc
+
+    def replace_segment(self, new_name: str, new_segment, old_names: List[str],
+                        pending_entry: Optional[List[str]] = None) -> None:
+        """Commit a version replacing old segments with one new segment
+        (core.rs:1079-1158). pending_entry, when set, records the pending map
+        for crash recovery of in-flight optimizers."""
+        with self._toc_lock:
+            toc = [n for n in self._toc.toc if n not in set(old_names)]
+            toc.append(new_name)
+            pending = dict(self._toc.pending)
+            for n in old_names:
+                pending.pop(n, None)
+            if pending_entry is not None:
+                pending[new_name] = pending_entry
+            else:
+                pending.pop(new_name, None)
+            self.all_segments[new_name] = new_segment
+            new_toc = TableOfContent(toc, pending, self._toc.sequence_number)
+            v = self.versions_info.advance()
+            write_toc(self.versions_dir, v, new_toc)
+            self._toc = new_toc
+            # drop replaced segment handles (disk dirs kept for pinned readers;
+            # vacuumed lazily)
+            for n in old_names:
+                self.all_segments.pop(n, None)
+
+    # -- snapshots --------------------------------------------------------
+    def get_snapshot(self) -> Snapshot:
+        with self._toc_lock:
+            version = self.versions_info.pin()
+            segments = [self.all_segments[n] for n in self._toc.toc]
+        return Snapshot(self, version, segments)
+
+    def release_version(self, version: int) -> None:
+        self.versions_info.release(version)
+
+    @property
+    def num_segments(self) -> int:
+        with self._toc_lock:
+            return len(self._toc.toc)
+
+    def segment_infos(self) -> List[dict]:
+        """(admin GetSegments: name + size + version, admin_server.rs)"""
+        with self._toc_lock:
+            segs = [(n, self.all_segments[n]) for n in self._toc.toc]
+            version = self.versions_info.current_version
+        return [
+            {"name": n, "size_in_bytes": s.size_in_bytes(), "version": version}
+            for n, s in segs
+        ]
+
+    # -- optimizers -------------------------------------------------------
+    def run_optimizer(self, segment_names: List[str], kind: str = "merge") -> str:
+        """init_optimizing -> optimize -> build -> replay deletes -> switch ->
+        finalize (core.rs:1264-1355, engine.rs:27-59)."""
+        optimizer = OPTIMIZERS[kind]()
+        pending_name = vio.random_name("pending_segment_")
+        with self._toc_lock:
+            inner = [self.all_segments[n] for n in segment_names]
+            assert all(isinstance(s, ImmutableSegment) for s in inner), (
+                "cannot optimize a segment that is already being optimized"
+            )
+            ps = PendingSegment(inner, os.path.join(self.directory, pending_name), self.config)
+            # TOC version: pending segment visible (searches forward to inner),
+            # with the pending map for crash recovery (core.rs:1264-1285)
+            self.replace_segment(pending_name, ps, segment_names,
+                                 pending_entry=[s.name for s in inner])
+
+        built_dir = os.path.join(self.directory, f"tmp_built_{pending_name}")
+        optimizer.optimize(ps, built_dir)
+        # pending_to_finalized (core.rs:1291-1337): promote the built dir to a
+        # real segment dir *before* loading, so the deletion log lands in its
+        # final location, then replay raced deletions and flip atomically
+        final_name = vio.random_name("segment_")
+        final_dir = os.path.join(self.directory, final_name)
+        os.rename(built_dir, final_dir)
+        ps.build_index(final_dir)
+        ps._built.name = final_name
+        ps.apply_pending_deletions()
+        ps.switch_to_internal_index()
+        # the switched-in segment object (with its deletion masks) becomes the
+        # committed segment — no reopen, no lost invalidations
+        self.replace_segment(final_name, ps._built, [pending_name])
+        return final_name
+
+    def auto_optimize(self) -> List[str]:
+        """auto_vacuum (>10% deleted) + auto_merge down to max segments
+        (core.rs:1480-1562)."""
+        actions: List[str] = []
+        with self._toc_lock:
+            seg_items = [(n, self.all_segments[n]) for n in self._toc.toc]
+        # vacuum
+        for n, s in seg_items:
+            if isinstance(s, ImmutableSegment) and s.invalid_ratio() > 0.1:
+                actions.append(self.run_optimizer([n], "vacuum"))
+        # merge smallest
+        with self._toc_lock:
+            seg_items = [
+                (n, self.all_segments[n])
+                for n in self._toc.toc
+                if isinstance(self.all_segments[n], ImmutableSegment)
+            ]
+        if len(seg_items) > self.config.max_number_of_segments:
+            n_to_merge = len(seg_items) - self.config.max_number_of_segments + 1
+            smallest = sorted(seg_items, key=lambda t: t[1].num_docs)[:n_to_merge]
+            actions.append(self.run_optimizer([n for n, _ in smallest], "merge"))
+        return actions
+
+    def close(self) -> None:
+        if self.wal is not None:
+            self.wal.close()

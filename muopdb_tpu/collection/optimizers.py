@@ -1,0 +1,108 @@
+"""Segment optimizers: merge, vacuum, noop.
+
+Reference: optimizers/mod.rs:12-27 (SegmentOptimizer trait),
+engine.rs:27-59 (init_optimizing -> run_optimizer), merge.rs:38-95 (re-insert
+every valid (user, doc, vector) from all inner segments into a fresh builder,
+remapping term posting lists through the (segment, user, old_pid) -> new_pid
+map), vacuum.rs:37-65 (same for one segment), noop.rs:32-52 (dir copy).
+
+On TPU a merge/vacuum is cheap by design: gather the valid rows, rebuild the
+device layout (k-means + packing are batched device programs).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Dict, List
+
+import numpy as np
+
+from ..config import CollectionConfig, QuantizerType
+from ..index.multi_spann import MultiSpannBuilder, _user_dir
+from ..index.spann import SpannBuildConfig
+from ..quantization import ProductQuantizer
+from ..terms.term_index import TermIndexBuilder
+from .segment import ImmutableSegment, PendingSegment
+
+
+class NoopOptimizer:
+    """Copies the single inner segment as-is (optimizers/noop.rs:32-52);
+    exists to exercise the optimizer framework in isolation."""
+
+    name = "noop"
+
+    def optimize(self, pending: PendingSegment, out_dir: str) -> None:
+        assert len(pending.inner) == 1
+        src = pending.inner[0].directory
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        shutil.copytree(src, out_dir)
+        # the copy must not inherit the source's deletion log replay twice
+        # (the mask is already reflected on open)
+
+
+class MergeOptimizer:
+    """Re-insert all valid docs of all inner segments into a fresh
+    multi-SPANN build, remapping term posting lists (merge.rs:38-95)."""
+
+    name = "merge"
+
+    def optimize(self, pending: PendingSegment, out_dir: str) -> None:
+        config: CollectionConfig = pending.config
+        spann_cfg = SpannBuildConfig.from_collection_config(config)
+        msb = MultiSpannBuilder(spann_cfg, config.num_features, fpr=config.fpr)
+        term_builders: Dict[int, TermIndexBuilder] = {}
+        all_vectors: List[np.ndarray] = []
+
+        for user_id in pending.user_ids():
+            new_pid = 0
+            tb = term_builders.setdefault(user_id, TermIndexBuilder())
+            seen_docs = set()
+            for seg in pending.inner:
+                remap: Dict[int, int] = {}
+                for old_pid, doc_id, vec in seg.index.iter_for_user_with_pid(user_id):
+                    if doc_id in seen_docs:
+                        continue  # newer segment wins on duplicate doc ids
+                    seen_docs.add(doc_id)
+                    msb.insert(user_id, doc_id, vec)
+                    all_vectors.append(vec)
+                    remap[old_pid] = new_pid
+                    new_pid += 1
+                # remap this segment's term postings for this user
+                ti = seg.term_index_for_user(user_id)
+                if ti is not None:
+                    for term in ti.terms():
+                        for p in ti.posting_list(term):
+                            if int(p) in remap:
+                                tb.add(remap[int(p)], term)
+
+        quantizer = None
+        if config.quantization_type == QuantizerType.PRODUCT_QUANTIZER and all_vectors:
+            quantizer = ProductQuantizer(
+                dim=config.num_features,
+                subvector_dim=config.product_quantization_subvector_dimension,
+                num_bits=config.product_quantization_num_bits,
+            ).train(
+                np.stack(all_vectors),
+                max_iter=25,
+                num_training_rows=config.product_quantization_num_training_rows,
+            )
+
+        os.makedirs(out_dir, exist_ok=True)
+        index = msb.build(quantizer=quantizer)
+        index.save(out_dir)
+        encoding = config.posting_list_encoding_type.value
+        for user_id, tb in term_builders.items():
+            if len(tb):
+                tb.build(encoding).save(os.path.join(_user_dir(out_dir, user_id), "terms.bin"))
+
+
+class VacuumOptimizer(MergeOptimizer):
+    """Merge of exactly one segment == drop its deleted rows
+    (vacuum.rs:37-65)."""
+
+    name = "vacuum"
+
+
+OPTIMIZERS = {"merge": MergeOptimizer, "vacuum": VacuumOptimizer, "noop": NoopOptimizer}

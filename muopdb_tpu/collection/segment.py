@@ -1,0 +1,442 @@
+"""Segment layer: mutable builder segment, immutable searchable segment,
+pending wrappers used during flush and optimize.
+
+Reference components re-provided:
+  - Segment trait {insert, remove, may_contain, name} (segment/mod.rs:24-41)
+  - MutableSegment: MultiSpannBuilder + MultiTermBuilder; text/keyword
+    attributes tokenize into "{attr}:{token}" terms
+    (segment/mutable_segment.rs:54-150)
+  - ImmutableSegment: MultiSpannIndex + MultiTermIndex; search, term search,
+    remove=invalidate, vacuum ratio (segment/immutable_segment.rs:21-136)
+  - PendingMutableSegment: records deletions arriving mid-flush for replay
+    (segment/pending_mutable_segment.rs:13-51)
+  - PendingSegment: optimizer intermediate that forwards searches to its
+    inner segments (with temp invalidations) until the rebuilt index is
+    atomically switched in (segment/pending_segment.rs:39-273)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import AttributeKind, CollectionConfig, QuantizerType
+from ..index.multi_spann import MultiSpannBuilder, MultiSpannIndex, _user_dir
+from ..index.spann import SpannBuildConfig
+from ..quantization import ProductQuantizer
+from ..terms.planner import Filter, Planner
+from ..terms.term_index import TermIndex, TermIndexBuilder
+from ..terms.tokenizer import tokenize
+
+
+def attribute_terms(config: CollectionConfig, attributes: Optional[dict]) -> List[str]:
+    """Flatten a document's attributes into index terms
+    ("{attr}:{token}", mutable_segment.rs:72-105)."""
+    if not attributes or config.attribute_schema is None:
+        return []
+    out: List[str] = []
+    for name, value in attributes.items():
+        at = config.attribute_schema.fields.get(name)
+        if at is None or value is None:
+            continue
+        if at.kind == AttributeKind.TEXT:
+            out.extend(f"{name}:{t}" for t in tokenize(str(value), at.language))
+        elif at.kind == AttributeKind.KEYWORD:
+            out.append(f"{name}:{str(value).lower()}")
+        elif at.kind in (AttributeKind.INTEGER, AttributeKind.FLOAT, AttributeKind.BOOLEAN):
+            out.append(f"{name}:{str(value).lower()}")
+        elif at.kind == AttributeKind.VECTOR_INT:
+            out.extend(f"{name}:{int(v)}" for v in value)
+        elif at.kind == AttributeKind.VECTOR_KEYWORD:
+            out.extend(f"{name}:{str(v).lower()}" for v in value)
+    return out
+
+
+class MutableSegment:
+    """In-memory write buffer; becomes an immutable segment at flush.
+
+    Rows are retained raw per user so deletions before flush simply drop the
+    row — no point-id remapping is ever needed (the reference instead remaps
+    term posting lists through reassigned-id files, multi_spann/writer.rs:266-276)."""
+
+    def __init__(self, config: CollectionConfig):
+        self.config = config
+        # user_id -> list of [doc_id, vector, terms, deleted]
+        self._rows: Dict[int, List[list]] = {}
+        self._doc_pos: Dict[Tuple[int, int], int] = {}  # (user, doc) -> row idx
+        self.last_sequence_number = -1
+        self._lock = threading.Lock()
+
+    @property
+    def num_docs(self) -> int:
+        with self._lock:
+            return sum(1 for rows in self._rows.values() for r in rows if not r[3])
+
+    def insert_for_user(
+        self,
+        user_id: int,
+        doc_id: int,
+        vector,
+        attributes: Optional[dict] = None,
+        sequence_number: int = -1,
+    ) -> None:
+        terms = attribute_terms(self.config, attributes)
+        v = np.asarray(vector, np.float32).reshape(self.config.num_features)
+        with self._lock:
+            rows = self._rows.setdefault(user_id, [])
+            key = (user_id, doc_id)
+            if key in self._doc_pos:  # upsert: replace previous version
+                rows[self._doc_pos[key]][3] = True
+            self._doc_pos[key] = len(rows)
+            rows.append([doc_id, v, terms, False])
+            self.last_sequence_number = max(self.last_sequence_number, sequence_number)
+
+    def remove_for_user(self, user_id: int, doc_id: int, sequence_number: int = -1) -> bool:
+        with self._lock:
+            pos = self._doc_pos.get((user_id, doc_id))
+            self.last_sequence_number = max(self.last_sequence_number, sequence_number)
+            if pos is None:
+                return False
+            row = self._rows[user_id][pos]
+            found = not row[3]
+            row[3] = True
+            del self._doc_pos[(user_id, doc_id)]
+            return found
+
+    def user_ids(self) -> List[int]:
+        with self._lock:
+            return list(self._rows)
+
+    def build(self, directory: str) -> "ImmutableSegment":
+        """Build the on-disk immutable segment (mutable_segment.rs:124-150):
+        SPANN per user, then term indexes, then read back."""
+        cfg = self.config
+        spann_cfg = SpannBuildConfig.from_collection_config(cfg)
+        msb = MultiSpannBuilder(spann_cfg, cfg.num_features, fpr=cfg.fpr)
+        term_builders: Dict[int, TermIndexBuilder] = {}
+        with self._lock:
+            rows_snapshot = {u: [r for r in rows if not r[3]] for u, rows in self._rows.items()}
+        for user_id, rows in rows_snapshot.items():
+            tb = term_builders.setdefault(user_id, TermIndexBuilder())
+            for pid, (doc_id, vec, terms, _) in enumerate(rows):
+                msb.insert(user_id, doc_id, vec)
+                if terms:
+                    tb.add_terms(pid, terms)
+
+        quantizer = None
+        if cfg.quantization_type == QuantizerType.PRODUCT_QUANTIZER:
+            all_vecs = [r[1] for rows in rows_snapshot.values() for r in rows]
+            if all_vecs:
+                quantizer = ProductQuantizer(
+                    dim=cfg.num_features,
+                    subvector_dim=cfg.product_quantization_subvector_dimension,
+                    num_bits=cfg.product_quantization_num_bits,
+                ).train(
+                    np.stack(all_vecs),
+                    max_iter=25,
+                    num_training_rows=cfg.product_quantization_num_training_rows,
+                )
+
+        os.makedirs(directory, exist_ok=True)
+        index = msb.build(quantizer=quantizer)
+        index.save(directory)
+        encoding = cfg.posting_list_encoding_type.value
+        for user_id, tb in term_builders.items():
+            if len(tb):
+                tb.build(encoding).save(os.path.join(_user_dir(directory, user_id), "terms.bin"))
+        return ImmutableSegment.open(directory, cfg, name=os.path.basename(directory))
+
+
+class ImmutableSegment:
+    """Searchable on-disk segment: MultiSpannIndex + per-user term indexes
+    (segment/immutable_segment.rs:21-47)."""
+
+    def __init__(self, directory: str, config: CollectionConfig, index: MultiSpannIndex, name: str):
+        self.directory = directory
+        self.config = config
+        self.index = index
+        self.name = name
+        self._term_cache: Dict[int, Optional[TermIndex]] = {}
+        self._inval_lock = threading.Lock()
+        self._inval_path = os.path.join(directory, "invalidated.log")
+
+    @classmethod
+    def open(cls, directory: str, config: CollectionConfig, name: Optional[str] = None) -> "ImmutableSegment":
+        seg = cls(
+            directory,
+            config,
+            MultiSpannIndex.load(directory, lazy=True),
+            name or os.path.basename(directory),
+        )
+        seg._replay_invalidations()
+        return seg
+
+    def _replay_invalidations(self) -> None:
+        """Replay the durable deletion log on open (the reference's
+        InvalidatedIdsStorage iterator replay, ivf/files/invalidated_ids.rs)."""
+        if not os.path.exists(self._inval_path):
+            return
+        with open(self._inval_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    u, d = line.split(",")
+                    self.index.invalidate(int(u), [int(d)])
+
+    def _log_invalidation(self, user_id: int, doc_id: int) -> None:
+        """Append + fsync one deletion (invalidated_ids.rs:121-146 fsyncs per
+        write for crash durability)."""
+        with self._inval_lock:
+            with open(self._inval_path, "a") as f:
+                f.write(f"{user_id},{doc_id}\n")
+                f.flush()
+                os.fsync(f.fileno())
+
+    # -- info ------------------------------------------------------------
+    @property
+    def num_docs(self) -> int:
+        return self.index.num_docs
+
+    @property
+    def num_valid_docs(self) -> int:
+        return self.index.num_valid_docs
+
+    def size_in_bytes(self) -> int:
+        total = 0
+        for root, _, files in os.walk(self.directory):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def invalid_ratio(self) -> float:
+        """Fraction deleted — drives auto-vacuum (immutable_segment.rs:75-82)."""
+        n = self.index.num_docs
+        return 0.0 if n == 0 else 1.0 - self.index.num_valid_docs / n
+
+    def user_ids(self) -> List[int]:
+        return self.index.user_ids()
+
+    def may_contain(self, user_id: int, doc_id: int) -> bool:
+        return self.index.may_contain(user_id, doc_id)
+
+    # -- term index ------------------------------------------------------
+    def term_index_for_user(self, user_id: int) -> Optional[TermIndex]:
+        if user_id not in self._term_cache:
+            path = os.path.join(_user_dir(self.directory, user_id), "terms.bin")
+            self._term_cache[user_id] = TermIndex.load(path) if os.path.exists(path) else None
+        return self._term_cache[user_id]
+
+    def _filter_mask(self, user_id: int, where: Optional[Filter]) -> Optional[np.ndarray]:
+        if where is None:
+            return None
+        ti = self.term_index_for_user(user_id)
+        spann = self.index._get(user_id)
+        n = spann.num_points if spann else 0
+        if ti is None:
+            ti = TermIndex([], [])
+        return Planner(ti, n).plan_mask(where)
+
+    # -- search ----------------------------------------------------------
+    def search_for_user(
+        self,
+        user_id: int,
+        queries,
+        k: int = 10,
+        num_explored_centroids: int = 10,
+        where: Optional[Filter] = None,
+        **kw,
+    ) -> List[List[Tuple[int, float]]]:
+        """Vector search; boolean filter becomes a mask pushed into the scan
+        (immutable_segment.rs:126-136 + planner intersection)."""
+        spann = self.index._get(user_id)
+        if spann is None:
+            q = np.asarray(queries, np.float32).reshape(-1, self.config.num_features)
+            return [[] for _ in range(len(q))]
+        mask = self._filter_mask(user_id, where)
+        return spann.search_doc_ids(
+            queries, k, num_explored_centroids, filter_mask=mask, **kw
+        )
+
+    def term_search_for_user(self, user_id: int, where: Filter, limit: int = 100) -> List[int]:
+        """Term-only search returning doc ids (immutable_segment.rs:149-226)."""
+        ti = self.term_index_for_user(user_id)
+        spann = self.index._get(user_id)
+        if spann is None:
+            return []
+        if ti is None:
+            ti = TermIndex([], [])
+        pids = Planner(ti, spann.num_points).plan_ids(where)
+        valid = np.asarray(spann.ivf.point_valid)
+        out = []
+        for pid in pids[:limit].astype(np.int64):
+            if pid < spann.num_points and valid[pid]:
+                lo, hi = spann.doc_ids[pid]
+                out.append((int(hi) << 64) | int(lo))
+        return out
+
+    # -- deletions -------------------------------------------------------
+    def remove(self, user_id: int, doc_id: int) -> bool:
+        if not self.may_contain(user_id, doc_id):
+            return False
+        found = self.index.invalidate(user_id, [doc_id]) > 0
+        if found:
+            self._log_invalidation(user_id, doc_id)
+        return found
+
+    def iter_for_user(self, user_id: int):
+        return self.index.iter_for_user(user_id)
+
+
+class PendingMutableSegment:
+    """The swapped-out mutable segment during flush; records deletions that
+    arrive mid-build for replay onto the freshly built segment
+    (pending_mutable_segment.rs:13-51)."""
+
+    def __init__(self, inner: MutableSegment):
+        self.inner = inner
+        self.deletions: List[Tuple[int, int]] = []  # (user_id, doc_id)
+        self._lock = threading.Lock()
+
+    @property
+    def last_sequence_number(self) -> int:
+        return self.inner.last_sequence_number
+
+    def remove_for_user(self, user_id: int, doc_id: int) -> None:
+        with self._lock:
+            self.deletions.append((user_id, doc_id))
+
+    def build(self, directory: str) -> ImmutableSegment:
+        return self.inner.build(directory)
+
+    def drain_deletions(self) -> List[Tuple[int, int]]:
+        with self._lock:
+            out = self.deletions
+            self.deletions = []
+            return out
+
+
+class PendingSegment:
+    """Optimizer intermediate (pending_segment.rs:39-273).
+
+    Forwards searches/deletes to its inner segments until the rebuilt index
+    is switched in; deletions during the optimize are kept in a temp set and
+    replayed onto the new index before the switch.
+    """
+
+    def __init__(self, inner: List[ImmutableSegment], directory: str, config: CollectionConfig):
+        self.inner = inner
+        self.directory = directory
+        self.config = config
+        self.name = os.path.basename(directory)
+        self._switched = False
+        self._built: Optional[ImmutableSegment] = None
+        self._temp_deletions: List[Tuple[int, int]] = []
+        self._lock = threading.Lock()
+
+    @property
+    def inner_names(self) -> List[str]:
+        return [s.name for s in self.inner]
+
+    @property
+    def num_docs(self) -> int:
+        with self._lock:
+            if self._switched:
+                return self._built.num_docs
+        return sum(s.num_docs for s in self.inner)
+
+    @property
+    def num_valid_docs(self) -> int:
+        with self._lock:
+            if self._switched:
+                return self._built.num_valid_docs
+        return sum(s.num_valid_docs for s in self.inner)
+
+    def invalid_ratio(self) -> float:
+        n = self.num_docs
+        return 0.0 if n == 0 else 1.0 - self.num_valid_docs / n
+
+    def size_in_bytes(self) -> int:
+        with self._lock:
+            if self._switched:
+                return self._built.size_in_bytes()
+        return sum(s.size_in_bytes() for s in self.inner)
+
+    def user_ids(self) -> List[int]:
+        with self._lock:
+            if self._switched:
+                return self._built.user_ids()
+        out = set()
+        for s in self.inner:
+            out.update(s.user_ids())
+        return sorted(out)
+
+    def may_contain(self, user_id: int, doc_id: int) -> bool:
+        with self._lock:
+            if self._switched:
+                return self._built.may_contain(user_id, doc_id)
+        return any(s.may_contain(user_id, doc_id) for s in self.inner)
+
+    def search_for_user(self, user_id: int, queries, k: int = 10,
+                        num_explored_centroids: int = 10, where=None, **kw):
+        with self._lock:
+            if self._switched:
+                return self._built.search_for_user(
+                    user_id, queries, k, num_explored_centroids, where, **kw
+                )
+            segments = list(self.inner)
+        q = np.asarray(queries, np.float32).reshape(-1, self.config.num_features)
+        merged: List[List[Tuple[int, float]]] = [[] for _ in range(len(q))]
+        for s in segments:
+            res = s.search_for_user(user_id, q, k, num_explored_centroids, where, **kw)
+            for row, pairs in enumerate(res):
+                merged[row].extend(pairs)
+        return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
+
+    def term_search_for_user(self, user_id: int, where, limit: int = 100) -> List[int]:
+        with self._lock:
+            if self._switched:
+                return self._built.term_search_for_user(user_id, where, limit)
+            segments = list(self.inner)
+        out: List[int] = []
+        for s in segments:
+            out.extend(s.term_search_for_user(user_id, where, limit - len(out)))
+            if len(out) >= limit:
+                break
+        return out
+
+    def remove(self, user_id: int, doc_id: int) -> bool:
+        """Deletions during optimize: forward to inner AND record for replay
+        (pending_segment.rs:236-273)."""
+        with self._lock:
+            if self._switched:
+                return self._built.remove(user_id, doc_id)
+            self._temp_deletions.append((user_id, doc_id))
+        found = False
+        for s in self.inner:
+            found = s.remove(user_id, doc_id) or found
+        return found
+
+    # -- optimizer protocol ----------------------------------------------
+    def build_index(self, built_directory: str) -> None:
+        """Load the optimizer's freshly written index files
+        (pending_segment.rs:132-149)."""
+        self._built = ImmutableSegment.open(built_directory, self.config, name=self.name)
+
+    def apply_pending_deletions(self) -> None:
+        """Replay deletions recorded during the optimize onto the new index
+        (pending_segment.rs:151-188)."""
+        with self._lock:
+            dels = list(self._temp_deletions)
+            self._temp_deletions = []
+        for user_id, doc_id in dels:
+            self._built.remove(user_id, doc_id)
+
+    def switch_to_internal_index(self) -> None:
+        """Atomic flip (pending_segment.rs:191-194)."""
+        with self._lock:
+            assert self._built is not None
+            self._switched = True

@@ -1,0 +1,81 @@
+"""Versioned table-of-contents: the collection's checkpoint chain.
+
+Reference: collection/mod.rs:20-33 (TableOfContent {toc, pending,
+sequence_number}), core.rs:1013-1071 (atomic version_{n+1} rename commit),
+core.rs:978-1002 + mod.rs:55-69 (snapshot = pin version refcount + clone
+segment handles), snapshot.rs:150-158 (drop releases the pin).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+from ..utils import io as vio
+
+
+@dataclass
+class TableOfContent:
+    toc: List[str] = field(default_factory=list)  # active segment names
+    pending: Dict[str, List[str]] = field(default_factory=dict)  # pending -> inner names
+    sequence_number: int = -1  # last WAL seq durably flushed into segments
+
+    def to_json(self) -> dict:
+        return {
+            "toc": self.toc,
+            "pending": self.pending,
+            "sequence_number": self.sequence_number,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "TableOfContent":
+        return cls(
+            list(d.get("toc", [])),
+            {k: list(v) for k, v in d.get("pending", {}).items()},
+            int(d.get("sequence_number", -1)),
+        )
+
+
+class VersionsInfo:
+    """Current version + per-version snapshot refcounts (mod.rs:55-69)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.current_version = 0
+        self._refcounts: Dict[int, int] = {}
+
+    def pin(self) -> int:
+        with self._lock:
+            v = self.current_version
+            self._refcounts[v] = self._refcounts.get(v, 0) + 1
+            return v
+
+    def release(self, version: int) -> None:
+        with self._lock:
+            c = self._refcounts.get(version, 0) - 1
+            if c <= 0:
+                self._refcounts.pop(version, None)
+            else:
+                self._refcounts[version] = c
+
+    def refcount(self, version: int) -> int:
+        with self._lock:
+            return self._refcounts.get(version, 0)
+
+    def advance(self) -> int:
+        with self._lock:
+            self.current_version += 1
+            return self.current_version
+
+
+def write_toc(directory: str, version: int, toc: TableOfContent) -> None:
+    vio.write_version_atomic(directory, version, toc.to_json())
+
+
+def read_latest_toc(directory: str):
+    """Returns (version, TableOfContent) or (None, empty)."""
+    v, path = vio.get_latest_version(directory)
+    if v is None:
+        return None, TableOfContent()
+    return v, TableOfContent.from_json(vio.read_version(path))

@@ -145,6 +145,10 @@ class MultiSpannIndex:
         idx = self._get(user_id)
         return iter(()) if idx is None else idx.iter_valid()
 
+    def iter_for_user_with_pid(self, user_id: int):
+        idx = self._get(user_id)
+        return iter(()) if idx is None else idx.iter_valid_with_pid()
+
     # -- persistence -----------------------------------------------------
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)

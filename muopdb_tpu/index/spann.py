@@ -103,9 +103,11 @@ class SpannIndex:
     def invalidate_doc_ids(self, doc_ids_u128) -> int:
         return self.ivf.invalidate_doc_ids(doc_ids_u128)
 
-    def iter_valid(self):
-        """Yield (doc_id_u128, vector) for every live point — SpannIter
-        (spann/iter.rs:8-47), used by merge/vacuum optimizers.
+    def iter_valid_with_pid(self):
+        """Yield (point_id, doc_id_u128, vector) for every live point —
+        SpannIter (spann/iter.rs:8-47), used by merge/vacuum optimizers,
+        which need the old point id to remap term posting lists
+        (optimizers/merge.rs:38-95).
 
         Requires raw vectors; PQ-quantized indexes yield reconstructions.
         """
@@ -121,7 +123,12 @@ class SpannIndex:
             vec = data[slot]
             if hasattr(self.ivf.quantizer, "codebook") and self.ivf.quantizer.codebook is not None:
                 vec = self.ivf.quantizer.original_vectors(vec[None])[0]
-            yield ((int(hi) << 64) | int(lo)), np.asarray(vec, np.float32)
+            yield int(pt), ((int(hi) << 64) | int(lo)), np.asarray(vec, np.float32)
+
+    def iter_valid(self):
+        """Yield (doc_id_u128, vector) for every live point."""
+        for _, doc, vec in self.iter_valid_with_pid():
+            yield doc, vec
 
     # -- persistence -----------------------------------------------------
     def save(self, directory: str) -> None:

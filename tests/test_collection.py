@@ -1,0 +1,271 @@
+"""Collection runtime tests: flush/search lifecycle, WAL replay on reopen,
+deletion races during flush, optimizers, hybrid filters
+(reference patterns: core.rs:1618-3070 tests)."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.collection.collection import Collection
+from muopdb_tpu.collection.wal import WalOpType
+from muopdb_tpu.config import (
+    AttributeKind,
+    AttributeSchema,
+    AttributeType,
+    CollectionConfig,
+    QuantizerType,
+)
+from muopdb_tpu.terms.planner import Filter
+
+
+def _config(**kw):
+    base = dict(
+        num_features=8,
+        initial_num_centroids=4,
+        posting_list_block_rows=16,
+        centroids_ef_construction=32,
+        centroids_max_neighbors=8,
+        wal_file_size=0,
+        max_number_of_segments=10,
+    )
+    base.update(kw)
+    return CollectionConfig(**base)
+
+
+def _insert_n(col, n, user=1, offset=0, rng=None):
+    rng = rng or np.random.default_rng(0)
+    x = rng.standard_normal((n, col.config.num_features)).astype(np.float32)
+    col.insert_for_users([user], list(range(offset, offset + n)), x)
+    return x
+
+
+def test_insert_flush_search(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    x = _insert_n(col, 100, rng=rng)
+    assert col.flush() is not None
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], x[:3], k=1, num_explored_centroids=4)
+    assert [r[0][0] for r in res] == [0, 1, 2]
+
+
+def test_mutable_not_searchable_until_flush(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    _insert_n(col, 10, rng=rng)
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([1], np.zeros((1, 8), np.float32), k=3) == [[]]
+
+
+def test_multi_segment_search_merges(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    xa = _insert_n(col, 50, offset=0, rng=rng)
+    col.flush()
+    xb = _insert_n(col, 50, offset=100, rng=rng)
+    col.flush()
+    assert col.num_segments == 2
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], np.stack([xa[7], xb[3]]), k=1, num_explored_centroids=4)
+    assert res[0][0][0] == 7
+    assert res[1][0][0] == 103
+
+
+def test_remove_before_flush(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    x = _insert_n(col, 20, rng=rng)
+    col.remove(1, [5])
+    col.flush()
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], x[5:6], k=1, num_explored_centroids=4)
+    assert res[0][0][0] != 5
+
+
+def test_remove_after_flush_persists(tmp_path, rng):
+    path = str(tmp_path / "c")
+    col = Collection("c", path, _config())
+    x = _insert_n(col, 20, rng=rng)
+    col.flush()
+    assert col.remove(1, [5]) == 1
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([1], x[5:6], k=1, num_explored_centroids=4)[0][0][0] != 5
+    col.close()
+    # invalidation must survive reopen (durable invalidated.log)
+    col2 = Collection.open("c", path)
+    with col2.get_snapshot() as snap:
+        assert snap.search_for_users([1], x[5:6], k=1, num_explored_centroids=4)[0][0][0] != 5
+    col2.close()
+
+
+def test_upsert_replaces(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    v1 = np.ones((1, 8), np.float32)
+    v2 = -np.ones((1, 8), np.float32)
+    col.insert_for_users([1], [42], v1)
+    col.insert_for_users([1], [42], v2)
+    col.flush()
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], v2, k=1, num_explored_centroids=4)
+    assert res[0][0][0] == 42 and res[0][0][1] < 1e-3
+
+
+def test_remove_during_slow_flush_replayed(tmp_path, rng, monkeypatch):
+    """The TEST_SLOW_FLUSH race (core.rs:906-910, test_collection_inval
+    core.rs:2575): a delete issued while flush is building must land on the
+    new segment."""
+    monkeypatch.setenv("MUOPDB_TEST_SLOW_FLUSH", "1")
+    col = Collection("c", str(tmp_path / "c"), _config())
+    x = _insert_n(col, 30, rng=rng)
+    result = {}
+
+    def do_flush():
+        result["seg"] = col.flush()
+
+    t = threading.Thread(target=do_flush)
+    t.start()
+    import time
+
+    time.sleep(0.3)  # flush is inside its slow window; mutable already swapped
+    col.remove(1, [3])
+    t.join()
+    assert result["seg"] is not None
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([1], x[3:4], k=1, num_explored_centroids=4)[0][0][0] != 3
+
+
+def test_wal_write_and_worker_apply(tmp_path, rng):
+    cfg = _config(wal_file_size=1 << 20, wal_write_group_size=8)
+    col = Collection("c", str(tmp_path / "c"), cfg)
+    x = rng.standard_normal((10, 8)).astype(np.float32)
+    seqs = [col.write_to_wal([i], [1], x[i]) for i in range(10)]
+    assert seqs == list(range(10))
+    # ops land in channel in WAL order; drain like an ingestion worker
+    while col.process_one_op():
+        pass
+    assert col.mutable.num_docs == 10
+    col.flush()
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([1], x[:1], k=1, num_explored_centroids=4)[0][0][0] == 0
+    col.close()
+
+
+def test_wal_replay_on_reopen(tmp_path, rng):
+    """Kill before the worker applies ops; reopen must replay WAL
+    (test_collection_with_wal_reopen, core.rs:2355)."""
+    cfg = _config(wal_file_size=1 << 20)
+    path = str(tmp_path / "c")
+    col = Collection("c", path, cfg)
+    x = rng.standard_normal((5, 8)).astype(np.float32)
+    for i in range(5):
+        col.write_to_wal([i], [1], x[i])
+    col.close()  # ops never drained — crash
+    col2 = Collection.open("c", path)
+    assert col2.mutable.num_docs == 5
+    col2.flush()
+    with col2.get_snapshot() as snap:
+        assert snap.search_for_users([1], x[2:3], k=1, num_explored_centroids=4)[0][0][0] == 2
+    col2.close()
+
+
+def test_wal_trim_after_flush(tmp_path, rng):
+    cfg = _config(wal_file_size=256)  # small files -> several
+    path = str(tmp_path / "c")
+    col = Collection("c", path, cfg)
+    x = rng.standard_normal((20, 8)).astype(np.float32)
+    for i in range(20):
+        col.write_to_wal([i], [1], x[i])
+    while col.process_one_op():
+        pass
+    col.flush()
+    # reopen: nothing to replay (sequence_number checkpointed)
+    col.close()
+    col2 = Collection.open("c", path)
+    assert col2.mutable.num_docs == 0
+    col2.close()
+
+
+def test_vacuum_removes_deleted_rows(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    x = _insert_n(col, 40, rng=rng)
+    col.flush()
+    col.remove(1, list(range(10)))
+    [old_name] = [s["name"] for s in col.segment_infos()]
+    new_name = col.run_optimizer([old_name], "vacuum")
+    assert col.num_segments == 1
+    seg = col.all_segments[new_name]
+    assert seg.num_docs == 30  # deleted rows physically gone
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([1], x[15:16], k=1, num_explored_centroids=4)[0][0][0] == 15
+
+
+def test_merge_combines_segments(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    xa = _insert_n(col, 30, offset=0, rng=rng)
+    col.flush()
+    xb = _insert_n(col, 30, offset=100, rng=rng)
+    col.flush()
+    names = [s["name"] for s in col.segment_infos()]
+    col.run_optimizer(names, "merge")
+    assert col.num_segments == 1
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([1], xa[1:2], k=1, num_explored_centroids=4)[0][0][0] == 1
+        assert snap.search_for_users([1], xb[1:2], k=1, num_explored_centroids=4)[0][0][0] == 101
+
+
+def test_auto_optimize_merges_down(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config(max_number_of_segments=2))
+    for s in range(4):
+        _insert_n(col, 10, offset=s * 100, rng=rng)
+        col.flush()
+    assert col.num_segments == 4
+    col.auto_optimize()
+    assert col.num_segments <= 2 + 1  # merged smallest down
+
+
+def test_hybrid_filter_search(tmp_path, rng):
+    schema = AttributeSchema({"body": AttributeType(AttributeKind.TEXT, "english")})
+    col = Collection("c", str(tmp_path / "c"), _config(attribute_schema=schema))
+    x = rng.standard_normal((20, 8)).astype(np.float32)
+    texts = ["red apple" if i % 2 == 0 else "green pear" for i in range(20)]
+    col.insert_for_users([1], list(range(20)), x, [{"body": t} for t in texts])
+    col.flush()
+    with col.get_snapshot() as snap:
+        # nearest to x[1] without filter is doc 1; with filter "apple" it
+        # must be an even doc
+        res = snap.search_for_users([1], x[1:2], k=3, num_explored_centroids=4,
+                                    where=Filter.contains("body", "apple"))
+        assert all(doc % 2 == 0 for doc, _ in res[0])
+        # term-only search
+        docs = snap.term_search_for_users([1], Filter.contains("body", "pear"), limit=50)
+        assert sorted(docs) == [i for i in range(20) if i % 2 == 1]
+
+
+def test_snapshot_pins_version(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    _insert_n(col, 10, rng=rng)
+    col.flush()
+    snap = col.get_snapshot()
+    v = snap.version
+    assert col.versions_info.refcount(v) == 1
+    _insert_n(col, 10, offset=50, rng=rng)
+    col.flush()
+    assert col.versions_info.current_version > v
+    assert len(snap.segments) == 1  # old view unchanged
+    snap.release()
+    assert col.versions_info.refcount(v) == 0
+
+
+def test_pq_collection_end_to_end(tmp_path, rng):
+    cfg = _config(
+        num_features=16,
+        quantization_type=QuantizerType.PRODUCT_QUANTIZER,
+        product_quantization_subvector_dimension=4,
+        product_quantization_num_bits=4,
+    )
+    col = Collection("c", str(tmp_path / "c"), cfg)
+    x = rng.standard_normal((60, 16)).astype(np.float32)
+    col.insert_for_users([1], list(range(60)), x)
+    col.flush()
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], x[:4], k=3, num_explored_centroids=4)
+    hits = sum(int(i in [d for d, _ in res[i]]) for i in range(4))
+    assert hits >= 3
