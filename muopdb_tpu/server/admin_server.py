@@ -1,0 +1,47 @@
+"""Admin gRPC service: GetSegments / MergeSegments.
+
+Reference: index_server/src/admin_server.rs (PQ collections refuse merge at
+admin_server.rs:55-60 because the reference's merge is specialized to
+NoQuantizer; our merge handles PQ by retraining, so that restriction is
+lifted).
+"""
+
+from __future__ import annotations
+
+import grpc
+
+from . import metrics
+from .collection_manager import CollectionManager
+from .proto import admin_pb2 as pb
+
+
+class AdminServerImpl:
+    def __init__(self, manager: CollectionManager):
+        self.manager = manager
+
+    def _collection(self, name: str, context):
+        col = self.manager.get_collection(name)
+        if col is None:
+            context.abort(grpc.StatusCode.NOT_FOUND, f"collection {name} not found")
+        return col
+
+    def GetSegments(self, req, context):
+        with metrics.TimedRpc("get_segments", req.collection_name):
+            col = self._collection(req.collection_name, context)
+            infos = col.segment_infos()
+            return pb.GetSegmentsResponse(
+                segment_infos=[
+                    pb.SegmentInfo(segment_name=i["name"], size_in_bytes=i["size_in_bytes"])
+                    for i in infos
+                ],
+                version=infos[0]["version"] if infos else col.versions_info.current_version,
+            )
+
+    def MergeSegments(self, req, context):
+        with metrics.TimedRpc("merge_segments", req.collection_name):
+            col = self._collection(req.collection_name, context)
+            try:
+                new_name = col.run_optimizer(list(req.segment_names), "merge")
+            except (KeyError, AssertionError) as e:
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            return pb.MergeSegmentsResponse(segment_name=new_name)

@@ -1,0 +1,133 @@
+"""Aggregator: doc-sharded scatter-gather query router.
+
+Reference: rs/aggregator/ — ShardManager maps index -> [(shard_id, node_id)]
+from a versioned JSON config dir (shard_manager.rs:11-66), NodeManager maps
+node_id -> ip:port (node_manager.rs), Get connects per shard, rewrites the
+collection name to "{index}--{shard_id}" (aggregator.rs:97), issues Search,
+and merges results by score (aggregator.rs:134). The reference's shard loop
+is serial with a `// TODO: parallelize` (aggregator.rs:79); here the fan-out
+runs shards concurrently.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Tuple
+
+import grpc
+
+from ..utils import io as vio
+from . import metrics
+from .grpc_defs import index_server_stub
+from .proto import aggregator_pb2 as agg_pb
+from .proto import muopdb_pb2 as pb
+
+
+class ShardManager:
+    """index -> [(shard_id, node_id)] from versioned JSON (shard_manager.rs:11-66).
+
+    Config file format: {"shards": {"<index>": [[shard_id, node_id], ...]}}
+    """
+
+    def __init__(self, config_dir: str):
+        self.config_dir = config_dir
+        self._map: Dict[str, List[Tuple[int, int]]] = {}
+        self._version = -1
+        self.refresh()
+
+    def refresh(self) -> None:
+        v, path = vio.get_latest_version(self.config_dir)
+        if v is None or v <= self._version:
+            return
+        data = vio.read_version(path)
+        self._map = {
+            idx: [(int(s), int(n)) for s, n in shards]
+            for idx, shards in data.get("shards", {}).items()
+        }
+        self._version = v
+
+    def shards_for(self, index: str) -> List[Tuple[int, int]]:
+        return self._map.get(index, [])
+
+
+class NodeManager:
+    """node_id -> "ip:port" from versioned JSON (node_manager.rs).
+
+    Config file format: {"nodes": {"<node_id>": "host:port"}}
+    """
+
+    def __init__(self, config_dir: str):
+        self.config_dir = config_dir
+        self._map: Dict[int, str] = {}
+        self._version = -1
+        self.refresh()
+
+    def refresh(self) -> None:
+        v, path = vio.get_latest_version(self.config_dir)
+        if v is None or v <= self._version:
+            return
+        data = vio.read_version(path)
+        self._map = {int(k): v for k, v in data.get("nodes", {}).items()}
+        self._version = v
+
+    def address_for(self, node_id: int) -> Optional[str]:
+        return self._map.get(node_id)
+
+
+class AggregatorImpl:
+    def __init__(self, shard_manager: ShardManager, node_manager: NodeManager,
+                 max_parallelism: int = 16):
+        self.shards = shard_manager
+        self.nodes = node_manager
+        self._channels: Dict[str, grpc.Channel] = {}
+        self._lock = threading.Lock()
+        self._pool = ThreadPoolExecutor(max_workers=max_parallelism)
+
+    def _stub(self, addr: str):
+        with self._lock:
+            ch = self._channels.get(addr)
+            if ch is None:
+                ch = self._channels[addr] = grpc.insecure_channel(addr)
+        return index_server_stub(ch)
+
+    def Get(self, req: "agg_pb.GetRequest", context) -> "agg_pb.GetResponse":
+        with metrics.TimedRpc("aggregator_get", req.index):
+            self.shards.refresh()
+            self.nodes.refresh()
+            shards = self.shards.shards_for(req.index)
+            if not shards:
+                context.abort(grpc.StatusCode.NOT_FOUND, f"index {req.index} has no shards")
+
+            def query_shard(shard_node):
+                shard_id, node_id = shard_node
+                addr = self.nodes.address_for(node_id)
+                if addr is None:
+                    raise RuntimeError(f"node {node_id} unknown")
+                sreq = pb.SearchRequest(
+                    collection_name=f"{req.index}--{shard_id}",  # aggregator.rs:97
+                    vector=list(req.vector),
+                    params=req.params,
+                    user_ids=req.user_ids,
+                )
+                if req.HasField("where_document"):
+                    sreq.where_document.CopyFrom(req.where_document)
+                return self._stub(addr).Search(sreq)
+
+            # parallel fan-out (the reference's TODO at aggregator.rs:79)
+            responses = list(self._pool.map(query_shard, shards))
+            # merge by score across shards (aggregator.rs:134)
+            merged: List[Tuple[float, int, int]] = []
+            pages = 0
+            for r in responses:
+                pages += r.num_pages_accessed
+                for did, score in zip(r.doc_ids, r.scores):
+                    merged.append((score, did.low_id, did.high_id))
+            merged.sort(key=lambda t: t[0])
+            k = req.params.top_k or 10
+            merged = merged[:k]
+            return agg_pb.GetResponse(
+                low_ids=[m[1] for m in merged],
+                high_ids=[m[2] for m in merged],
+                num_pages_accessed=pages,
+            )

@@ -1,0 +1,180 @@
+"""Collection catalog + background maintenance.
+
+Reference: index_server/src/collection_manager.rs — creation writes the data
+dir and a versioned collection list (:110-131), a watch loop polls the
+config dir for new versions to hot-add collections (:163-213), ingestion
+work is sharded across workers by collection-name hash (:262-267),
+process_ops drains one op per collection per pass (:215-237), auto-flush
+(:239-260) and auto_optimize (:270-288) fan over collections;
+collection_catalog.rs (name -> collection map);
+collection_provider.rs (reads collection_config.json and opens).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+import time
+from typing import Dict, List, Optional
+
+from ..collection.collection import Collection
+from ..config import CollectionConfig
+from ..utils import io as vio
+from . import metrics
+
+
+def _name_hash(name: str) -> int:
+    return int.from_bytes(hashlib.blake2b(name.encode(), digest_size=8).digest(), "little")
+
+
+class CollectionManager:
+    def __init__(self, config_path: str, data_path: str, num_workers: int = 1):
+        self.config_path = config_path
+        self.data_path = data_path
+        self.num_workers = num_workers
+        os.makedirs(config_path, exist_ok=True)
+        os.makedirs(data_path, exist_ok=True)
+        self._collections: Dict[str, Collection] = {}
+        self._lock = threading.RLock()
+        self._known_version = -1
+
+    # -- catalog ---------------------------------------------------------
+    def get_collection(self, name: str) -> Optional[Collection]:
+        with self._lock:
+            return self._collections.get(name)
+
+    def collection_names(self) -> List[str]:
+        with self._lock:
+            return list(self._collections)
+
+    def create_collection(self, name: str, config: CollectionConfig) -> Collection:
+        with self._lock:
+            if name in self._collections:
+                raise ValueError(f"collection {name} already exists")
+            col = Collection(name, os.path.join(self.data_path, name), config)
+            self._collections[name] = col
+            self._write_collection_list()
+            metrics.NUM_COLLECTIONS.set(len(self._collections))
+            return col
+
+    def _write_collection_list(self) -> None:
+        """Versioned collection list (collection_manager.rs:110-131)."""
+        v, _ = vio.get_latest_version(self.config_path)
+        vio.write_version_atomic(
+            self.config_path, (v or 0) + 1, {"collections": sorted(self._collections)}
+        )
+
+    def check_for_update(self) -> int:
+        """Poll the config dir; hot-add newly listed collections
+        (collection_manager.rs:163-213). Returns collections added."""
+        v, path = vio.get_latest_version(self.config_path)
+        if v is None or v <= self._known_version:
+            return 0
+        listed = vio.read_version(path).get("collections", [])
+        added = 0
+        for name in listed:
+            with self._lock:
+                if name in self._collections:
+                    continue
+            data_dir = os.path.join(self.data_path, name)
+            if os.path.exists(os.path.join(data_dir, "collection_config.json")):
+                col = Collection.open(name, data_dir)
+                with self._lock:
+                    self._collections[name] = col
+                added += 1
+        self._known_version = v
+        metrics.NUM_COLLECTIONS.set(len(self._collections))
+        return added
+
+    # -- background work --------------------------------------------------
+    def _worker_collections(self, worker_id: int) -> List[Collection]:
+        """Shard collections across workers by name hash
+        (collection_manager.rs:262-267)."""
+        with self._lock:
+            return [
+                c
+                for n, c in self._collections.items()
+                if _name_hash(n) % self.num_workers == worker_id
+            ]
+
+    def process_ops(self, worker_id: int) -> int:
+        """One op per collection per pass (collection_manager.rs:215-237)."""
+        processed = 0
+        for col in self._worker_collections(worker_id):
+            processed += col.process_one_op()
+        return processed
+
+    def auto_flush_check(self, worker_id: int) -> List[str]:
+        flushed = []
+        for col in self._worker_collections(worker_id):
+            if col.should_auto_flush():
+                seg = col.flush()
+                if seg:
+                    flushed.append(f"{col.name}/{seg}")
+            metrics.NUM_ACTIVE_SEGMENTS.labels(col.name).set(col.num_segments)
+        return flushed
+
+    def auto_optimize(self) -> List[str]:
+        """(collection_manager.rs:270-288)"""
+        out = []
+        with self._lock:
+            cols = list(self._collections.values())
+        for col in cols:
+            out.extend(col.auto_optimize())
+        return out
+
+    def close(self) -> None:
+        with self._lock:
+            for c in self._collections.values():
+                c.close()
+
+
+class BackgroundLoops:
+    """The index server's background task fan (main.rs:186-263): config-watch
+    loop, N ingestion workers, N flush workers, auto-optimize loop — as
+    daemon threads with a stop event."""
+
+    def __init__(
+        self,
+        manager: CollectionManager,
+        *,
+        config_poll_interval: float = 60.0,
+        auto_optimize_interval: float = 60.0,
+        op_poll_interval: float = 0.005,
+        flush_poll_interval: float = 0.5,
+    ):
+        self.manager = manager
+        self._stop = threading.Event()
+        self._threads: List[threading.Thread] = []
+        self.config_poll_interval = config_poll_interval
+        self.auto_optimize_interval = auto_optimize_interval
+        self.op_poll_interval = op_poll_interval
+        self.flush_poll_interval = flush_poll_interval
+
+    def start(self) -> None:
+        def loop(fn, interval):
+            def run():
+                while not self._stop.is_set():
+                    try:
+                        fn()
+                    except Exception:  # background loops must not die
+                        import logging
+
+                        logging.exception("background loop error")
+                    self._stop.wait(interval)
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+        loop(self.manager.check_for_update, self.config_poll_interval)
+        loop(self.manager.auto_optimize, self.auto_optimize_interval)
+        for w in range(self.manager.num_workers):
+            loop(lambda w=w: self.manager.process_ops(w), self.op_poll_interval)
+            loop(lambda w=w: self.manager.auto_flush_check(w), self.flush_poll_interval)
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2)

@@ -1,0 +1,82 @@
+"""gRPC service definitions built on generic handlers.
+
+The environment has no protoc gRPC plugin, so instead of generated
+``_pb2_grpc`` stubs the three services (IndexServer, IndexServerAdmin,
+Aggregator — proto parity with rs/proto/proto/*.proto) are described by
+method tables and registered via grpc.method_handlers_generic_handler; the
+client side gets equivalent stub classes. Method paths and message types are
+identical to the reference's, so any tonic/grpcio client interoperates.
+"""
+
+from __future__ import annotations
+
+import grpc
+
+from .proto import admin_pb2, aggregator_pb2, muopdb_pb2
+
+INDEX_SERVER_METHODS = {
+    "CreateCollection": (muopdb_pb2.CreateCollectionRequest, muopdb_pb2.CreateCollectionResponse),
+    "Search": (muopdb_pb2.SearchRequest, muopdb_pb2.SearchResponse),
+    "TermSearch": (muopdb_pb2.TermSearchRequest, muopdb_pb2.TermSearchResponse),
+    "Insert": (muopdb_pb2.InsertRequest, muopdb_pb2.InsertResponse),
+    "Remove": (muopdb_pb2.RemoveRequest, muopdb_pb2.RemoveResponse),
+    "InsertPacked": (muopdb_pb2.InsertPackedRequest, muopdb_pb2.InsertPackedResponse),
+    "Flush": (muopdb_pb2.FlushRequest, muopdb_pb2.FlushResponse),
+}
+
+ADMIN_METHODS = {
+    "GetSegments": (admin_pb2.GetSegmentsRequest, admin_pb2.GetSegmentsResponse),
+    "MergeSegments": (admin_pb2.MergeSegmentsRequest, admin_pb2.MergeSegmentsResponse),
+}
+
+AGGREGATOR_METHODS = {
+    "Get": (aggregator_pb2.GetRequest, aggregator_pb2.GetResponse),
+}
+
+SERVICES = {
+    "muopdb.IndexServer": INDEX_SERVER_METHODS,
+    "admin.IndexServerAdmin": ADMIN_METHODS,
+    "aggregator.Aggregator": AGGREGATOR_METHODS,
+}
+
+
+def add_service(server: grpc.Server, service_name: str, impl) -> None:
+    """Register `impl` (an object with a method per RPC) on a grpc server."""
+    methods = SERVICES[service_name]
+    handlers = {}
+    for name, (req_cls, resp_cls) in methods.items():
+        fn = getattr(impl, name)
+        handlers[name] = grpc.unary_unary_rpc_method_handler(
+            fn,
+            request_deserializer=req_cls.FromString,
+            response_serializer=resp_cls.SerializeToString,
+        )
+    server.add_generic_rpc_handlers(
+        (grpc.method_handlers_generic_handler(service_name, handlers),)
+    )
+
+
+class _Stub:
+    def __init__(self, channel: grpc.Channel, service_name: str):
+        for name, (req_cls, resp_cls) in SERVICES[service_name].items():
+            setattr(
+                self,
+                name,
+                channel.unary_unary(
+                    f"/{service_name}/{name}",
+                    request_serializer=req_cls.SerializeToString,
+                    response_deserializer=resp_cls.FromString,
+                ),
+            )
+
+
+def index_server_stub(channel: grpc.Channel) -> _Stub:
+    return _Stub(channel, "muopdb.IndexServer")
+
+
+def admin_stub(channel: grpc.Channel) -> _Stub:
+    return _Stub(channel, "admin.IndexServerAdmin")
+
+
+def aggregator_stub(channel: grpc.Channel) -> _Stub:
+    return _Stub(channel, "aggregator.Aggregator")

@@ -1,0 +1,71 @@
+"""HTTP sidecar: Prometheus /metrics + on-demand profiling.
+
+Reference: index_server/src/http_server.rs — GET /metrics (prometheus text,
+:87-107) and GET /debug/pprof/profile?seconds=N (:218-262). The pprof CPU
+profile becomes a JAX/XLA device trace: GET /debug/profile?seconds=N runs
+jax.profiler for N seconds and returns the trace directory path (viewable
+in TensorBoard/Perfetto — the TPU-native analog of a CPU pprof).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from . import metrics
+
+
+class _Handler(BaseHTTPRequestHandler):
+    profile_dir = "/tmp/muopdb_tpu_profiles"
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        if parsed.path == "/metrics":
+            body = metrics.render()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.end_headers()
+            self.wfile.write(body)
+        elif parsed.path in ("/debug/profile", "/debug/pprof/profile"):
+            seconds = int(parse_qs(parsed.query).get("seconds", ["5"])[0])
+            seconds = max(1, min(seconds, 300))  # same 1-300s clamp as :218-262
+            out = f"{self.profile_dir}/{int(time.time())}"
+            try:
+                import jax
+
+                jax.profiler.start_trace(out)
+                time.sleep(seconds)
+                jax.profiler.stop_trace()
+                body = f"trace written to {out}\n".encode()
+                code = 200
+            except Exception as e:  # profiling must not kill the server
+                body = f"profiling failed: {e}\n".encode()
+                code = 500
+            self.send_response(code)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+
+class HttpServer:
+    def __init__(self, port: int, host: str = "0.0.0.0"):
+        self._srv = ThreadingHTTPServer((host, port), _Handler)
+        self.port = self._srv.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        if self._thread:
+            self._thread.join(timeout=2)

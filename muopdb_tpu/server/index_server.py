@@ -1,0 +1,288 @@
+"""IndexServer gRPC implementation.
+
+Reference: index_server/src/index_server.rs — CreateCollection maps optional
+proto fields onto CollectionConfig (:55-137), Search goes snapshot ->
+search_for_users (:215-247), Insert writes the WAL and returns once durable
+(or applies synchronously without WAL) (:400-435), InsertPacked decodes raw
+byte buffers (:588-604), Remove (:487-508), Flush (:552-563).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import grpc
+import numpy as np
+
+from ..config import (
+    AttributeKind,
+    AttributeSchema,
+    AttributeType,
+    CollectionConfig,
+    IntSeqEncodingType,
+    QuantizerType,
+    parse_language,
+)
+from ..terms.planner import Filter
+from ..utils.ids import u128_from_parts, u128_from_uuid, u128_to_parts
+from . import metrics
+from .collection_manager import CollectionManager
+from .proto import muopdb_pb2 as pb
+
+log = logging.getLogger(__name__)
+
+
+# -- proto conversions ------------------------------------------------------
+
+
+def id_to_u128(pid: "pb.Id") -> int:
+    if pid.HasField("uuid"):
+        return u128_from_uuid(pid.uuid)
+    return u128_from_parts(pid.low_id, pid.high_id)
+
+
+def u128_to_id(v: int) -> "pb.Id":
+    lo, hi = u128_to_parts(v)
+    return pb.Id(low_id=lo, high_id=hi)
+
+
+def filter_from_proto(f: "pb.DocumentFilter") -> Filter:
+    which = f.WhichOneof("filter")
+    if which == "and":
+        return Filter.and_(*(filter_from_proto(c) for c in getattr(f, "and").filters))
+    if which == "or":
+        return Filter.or_(*(filter_from_proto(c) for c in getattr(f, "or").filters))
+    if which == "contains":
+        return Filter.contains(f.contains.path, f.contains.value)
+    if which == "not_contains":
+        return Filter.not_contains(f.not_contains.path, f.not_contains.value)
+    if which == "ids":
+        return Filter.ids_(list(f.ids.ids))
+    raise ValueError("empty DocumentFilter")
+
+
+def attributes_from_proto(attrs: Optional["pb.DocumentAttributeList"], n_docs: int) -> Optional[List[dict]]:
+    if attrs is None or not attrs.values:
+        return None
+    out = []
+    for da in attrs.values:
+        d = {}
+        for key, av in da.value.items():
+            which = av.WhichOneof("value")
+            if which == "int_value":
+                d[key] = av.int_value
+            elif which == "float_value":
+                d[key] = av.float_value
+            elif which == "bool_value":
+                d[key] = av.bool_value
+            elif which == "keyword_value":
+                d[key] = av.keyword_value
+            elif which == "text_value":
+                d[key] = av.text_value
+            elif which == "vector_int_value":
+                d[key] = list(av.vector_int_value.values)
+            elif which == "vector_keyword_value":
+                d[key] = list(av.vector_keyword_value.values)
+        out.append(d)
+    while len(out) < n_docs:
+        out.append(None)
+    return out
+
+
+_ATTR_KIND = {
+    pb.ATTRIBUTE_TYPE_INT: AttributeKind.INTEGER,
+    pb.ATTRIBUTE_TYPE_FLOAT: AttributeKind.FLOAT,
+    pb.ATTRIBUTE_TYPE_BOOL: AttributeKind.BOOLEAN,
+    pb.ATTRIBUTE_TYPE_KEYWORD: AttributeKind.KEYWORD,
+    pb.ATTRIBUTE_TYPE_TEXT: AttributeKind.TEXT,
+    pb.ATTRIBUTE_TYPE_VECTOR_INT: AttributeKind.VECTOR_INT,
+    pb.ATTRIBUTE_TYPE_VECTOR_KEYWORD: AttributeKind.VECTOR_KEYWORD,
+}
+
+
+def schema_from_proto(s: "pb.AttributeSchema") -> AttributeSchema:
+    fields = {}
+    for a in s.attributes:
+        kind = _ATTR_KIND[a.type]
+        lang = "english"
+        if a.HasField("language"):
+            try:
+                lang = parse_language(a.language)
+            except ValueError:
+                lang = "english"
+        fields[a.name] = AttributeType(kind, lang)
+    return AttributeSchema(fields)
+
+
+def config_from_create_request(req: "pb.CreateCollectionRequest") -> CollectionConfig:
+    """(index_server.rs:55-137: ~25 optional overrides onto defaults)"""
+    c = CollectionConfig()
+    simple = [
+        ("num_features", "num_features"),
+        ("centroids_max_neighbors", "centroids_max_neighbors"),
+        ("centroids_max_layers", "centroids_max_layers"),
+        ("centroids_ef_construction", "centroids_ef_construction"),
+        ("product_quantization_max_iteration", "product_quantization_max_iteration"),
+        ("product_quantization_batch_size", "product_quantization_batch_size"),
+        ("product_quantization_subvector_dimension", "product_quantization_subvector_dimension"),
+        ("product_quantization_num_bits", "product_quantization_num_bits"),
+        ("product_quantization_num_training_rows", "product_quantization_num_training_rows"),
+        ("initial_num_centroids", "initial_num_centroids"),
+        ("num_data_points_for_clustering", "num_data_points_for_clustering"),
+        ("max_clusters_per_vector", "max_clusters_per_vector"),
+        ("clustering_distance_threshold_pct", "clustering_distance_threshold_pct"),
+        ("max_posting_list_size", "max_posting_list_size"),
+        ("posting_list_kmeans_unbalanced_penalty", "posting_list_kmeans_unbalanced_penalty"),
+        ("reindex", "reindex"),
+        ("wal_file_size", "wal_file_size"),
+        ("max_pending_ops", "max_pending_ops"),
+        ("max_time_to_flush_ms", "max_time_to_flush_ms"),
+        ("max_number_of_segments", "max_number_of_segments"),
+    ]
+    for proto_name, cfg_name in simple:
+        if req.HasField(proto_name):
+            setattr(c, cfg_name, getattr(req, proto_name))
+    if req.HasField("quantization_type"):
+        c.quantization_type = QuantizerType.from_proto(req.quantization_type)
+    if req.HasField("posting_list_encoding_type"):
+        c.posting_list_encoding_type = IntSeqEncodingType.from_proto(
+            req.posting_list_encoding_type
+        )
+    if req.HasField("attribute_schema"):
+        c.attribute_schema = schema_from_proto(req.attribute_schema)
+    return c
+
+
+# -- service ---------------------------------------------------------------
+
+
+class IndexServerImpl:
+    def __init__(self, manager: CollectionManager):
+        self.manager = manager
+
+    def _collection(self, name: str, context):
+        col = self.manager.get_collection(name)
+        if col is None:
+            context.abort(grpc.StatusCode.NOT_FOUND, f"collection {name} not found")
+        return col
+
+    # -- RPCs ------------------------------------------------------------
+    def CreateCollection(self, req, context):
+        with metrics.TimedRpc("create_collection", req.collection_name):
+            try:
+                config = config_from_create_request(req)
+                self.manager.create_collection(req.collection_name, config)
+            except ValueError as e:
+                context.abort(grpc.StatusCode.ALREADY_EXISTS, str(e))
+            return pb.CreateCollectionResponse(
+                message=f"collection {req.collection_name} created"
+            )
+
+    def Search(self, req, context):
+        with metrics.TimedRpc("search", req.collection_name):
+            col = self._collection(req.collection_name, context)
+            dim = col.config.num_features
+            q = np.asarray(req.vector, np.float32)
+            if q.size == 0 or q.size % dim != 0:
+                context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    f"vector length {q.size} not a multiple of num_features {dim}",
+                )
+            q = q.reshape(-1, dim)
+            user_ids = [id_to_u128(u) for u in req.user_ids] or [0]
+            params = req.params
+            k = params.top_k or 10
+            ne = params.num_explored_centroids if params.HasField("num_explored_centroids") else k
+            ratio = params.centroid_distance_ratio if params.centroid_distance_ratio else 0.1
+            where = (
+                filter_from_proto(req.where_document)
+                if req.HasField("where_document")
+                else None
+            )
+            with col.get_snapshot() as snap:
+                res = snap.search_for_users(
+                    user_ids, q, k=k, num_explored_centroids=ne, where=where,
+                    centroid_distance_ratio=ratio,
+                )
+            resp = pb.SearchResponse()
+            for row in res:
+                for doc, score in row:
+                    resp.doc_ids.append(u128_to_id(doc))
+                    resp.scores.append(score)
+            return resp
+
+    def TermSearch(self, req, context):
+        with metrics.TimedRpc("term_search", req.collection_name):
+            col = self._collection(req.collection_name, context)
+            user_ids = [id_to_u128(u) for u in req.user_ids] or [0]
+            where = filter_from_proto(req.filter)
+            limit = req.limit or 100
+            with col.get_snapshot() as snap:
+                docs = snap.term_search_for_users(user_ids, where, limit)
+            return pb.TermSearchResponse(
+                doc_ids=[u128_to_id(d) for d in docs], num_docs=len(docs)
+            )
+
+    def _do_insert(self, col, doc_ids, user_ids, vectors, attributes, context):
+        n = len(doc_ids)
+        if vectors.size != n * col.config.num_features:
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                f"{vectors.size} floats for {n} docs of dim {col.config.num_features}",
+            )
+        # WAL path returns once durable; applied async (index_server.rs:400-435)
+        if col.wal_coordinator is not None:
+            col.write_to_wal(doc_ids, user_ids, vectors, attributes)
+        else:
+            col.insert_for_users(user_ids, doc_ids, vectors.reshape(n, -1), attributes)
+        return n
+
+    def Insert(self, req, context):
+        with metrics.TimedRpc("insert", req.collection_name):
+            col = self._collection(req.collection_name, context)
+            doc_ids = [id_to_u128(d) for d in req.doc_ids]
+            user_ids = [id_to_u128(u) for u in req.user_ids] or [0]
+            vectors = np.asarray(req.vectors, np.float32)
+            attrs = attributes_from_proto(
+                req.attributes if req.HasField("attributes") else None, len(doc_ids)
+            )
+            n = self._do_insert(col, doc_ids, user_ids, vectors, attrs, context)
+            return pb.InsertResponse(num_docs_inserted=n)
+
+    def InsertPacked(self, req, context):
+        with metrics.TimedRpc("insert_packed", req.collection_name):
+            col = self._collection(req.collection_name, context)
+            raw_ids = np.frombuffer(req.doc_ids, np.uint64).reshape(-1, 2)
+            doc_ids = [(int(hi) << 64) | int(lo) for lo, hi in raw_ids]
+            user_ids = [id_to_u128(u) for u in req.user_ids] or [0]
+            vectors = np.frombuffer(req.vectors, np.float32)
+            attrs = attributes_from_proto(
+                req.attributes if req.HasField("attributes") else None, len(doc_ids)
+            )
+            n = self._do_insert(col, doc_ids, user_ids, vectors, attrs, context)
+            return pb.InsertPackedResponse(num_docs_inserted=n)
+
+    def Remove(self, req, context):
+        with metrics.TimedRpc("remove", req.collection_name):
+            col = self._collection(req.collection_name, context)
+            doc_ids = [id_to_u128(d) for d in req.doc_ids]
+            user_ids = [id_to_u128(u) for u in req.user_ids] or [0]
+            if col.wal_coordinator is not None:
+                from ..collection.wal import WalOpType
+
+                col.write_to_wal(doc_ids, user_ids, op_type=WalOpType.DELETE)
+            else:
+                for u in user_ids:
+                    col.remove(u, doc_ids)
+            return pb.RemoveResponse(success=True)
+
+    def Flush(self, req, context):
+        with metrics.TimedRpc("flush", req.collection_name):
+            col = self._collection(req.collection_name, context)
+            # drain any queued WAL ops first so the flush covers them
+            while col.process_one_op():
+                pass
+            seg = col.flush()
+            metrics.NUM_ACTIVE_SEGMENTS.labels(col.name).set(col.num_segments)
+            return pb.FlushResponse(flushed_segments=[seg] if seg else [])

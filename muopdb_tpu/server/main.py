@@ -1,0 +1,110 @@
+"""Server entry points.
+
+Reference: index_server/src/main.rs (CLI flags :30-124; spawns config-watch,
+auto-optimize, ingestion workers, flush workers, HTTP server, tonic gRPC
+server :186-294) and aggregator/src/main.rs.
+
+Usage:
+  python -m muopdb_tpu.server.main index-server --port 9002 --http-port 9003 \\
+      --index-config-path /tmp/cfg --index-data-path /tmp/data
+  python -m muopdb_tpu.server.main aggregator --port 9001 \\
+      --shard-config-path /tmp/shards --node-config-path /tmp/nodes
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from concurrent.futures import ThreadPoolExecutor
+
+import grpc
+
+
+def serve_index_server(
+    port: int = 9002,
+    http_port: int = 9003,
+    index_config_path: str = "/tmp/muopdb_tpu/config",
+    index_data_path: str = "/tmp/muopdb_tpu/data",
+    num_workers: int = 4,
+    auto_optimize_interval: float = 60.0,
+    block: bool = True,
+):
+    from .admin_server import AdminServerImpl
+    from .collection_manager import BackgroundLoops, CollectionManager
+    from .grpc_defs import add_service
+    from .http_server import HttpServer
+    from .index_server import IndexServerImpl
+
+    manager = CollectionManager(index_config_path, index_data_path, num_workers)
+    manager.check_for_update()
+    loops = BackgroundLoops(manager, auto_optimize_interval=auto_optimize_interval)
+    loops.start()
+
+    server = grpc.server(ThreadPoolExecutor(max_workers=16))
+    add_service(server, "muopdb.IndexServer", IndexServerImpl(manager))
+    add_service(server, "admin.IndexServerAdmin", AdminServerImpl(manager))
+    bound_port = server.add_insecure_port(f"0.0.0.0:{port}")
+    server.start()
+
+    http = HttpServer(http_port)
+    http.start()
+    logging.info("index server on :%d, http on :%d", bound_port, http.port)
+    if block:
+        server.wait_for_termination()
+    return server, http, loops, manager, bound_port
+
+
+def serve_aggregator(
+    port: int = 9001,
+    shard_config_path: str = "/tmp/muopdb_tpu/shards",
+    node_config_path: str = "/tmp/muopdb_tpu/nodes",
+    block: bool = True,
+):
+    from .aggregator import AggregatorImpl, NodeManager, ShardManager
+    from .grpc_defs import add_service
+
+    impl = AggregatorImpl(ShardManager(shard_config_path), NodeManager(node_config_path))
+    server = grpc.server(ThreadPoolExecutor(max_workers=16))
+    add_service(server, "aggregator.Aggregator", impl)
+    bound_port = server.add_insecure_port(f"0.0.0.0:{port}")
+    server.start()
+    logging.info("aggregator on :%d", bound_port)
+    if block:
+        server.wait_for_termination()
+    return server, impl, bound_port
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(prog="muopdb_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("index-server")
+    s.add_argument("--port", type=int, default=9002)
+    s.add_argument("--http-port", type=int, default=9003)
+    s.add_argument("--index-config-path", default="/tmp/muopdb_tpu/config")
+    s.add_argument("--index-data-path", default="/tmp/muopdb_tpu/data")
+    s.add_argument("--num-workers", type=int, default=4)
+    s.add_argument("--auto-optimize-interval", type=float, default=60.0)
+
+    a = sub.add_parser("aggregator")
+    a.add_argument("--port", type=int, default=9001)
+    a.add_argument("--shard-config-path", default="/tmp/muopdb_tpu/shards")
+    a.add_argument("--node-config-path", default="/tmp/muopdb_tpu/nodes")
+
+    args = p.parse_args()
+    if args.cmd == "index-server":
+        serve_index_server(
+            args.port,
+            args.http_port,
+            args.index_config_path,
+            args.index_data_path,
+            args.num_workers,
+            args.auto_optimize_interval,
+        )
+    else:
+        serve_aggregator(args.port, args.shard_config_path, args.node_config_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Prometheus metrics.
+
+Reference: metrics/src/api.rs:18-63 (num_requests by (rpc, collection) +
+request_latency_ms exponential-bucket histogram) and internal.rs:12-43
+(gauges: prometheus requests, collections, active segments, searchable docs).
+"""
+
+from __future__ import annotations
+
+import time
+
+from prometheus_client import (
+    CollectorRegistry,
+    Counter,
+    Gauge,
+    Histogram,
+    generate_latest,
+)
+
+REGISTRY = CollectorRegistry()
+
+# API metrics (api.rs:18-63)
+NUM_REQUESTS = Counter(
+    "num_requests", "Number of API requests", ["rpc", "collection"], registry=REGISTRY
+)
+REQUEST_LATENCY_MS = Histogram(
+    "request_latency_ms",
+    "Request latency in ms",
+    ["rpc", "collection"],
+    buckets=[2**i for i in range(0, 14)],  # exponential buckets
+    registry=REGISTRY,
+)
+
+# internal metrics (internal.rs:12-18)
+NUM_PROMETHEUS_REQUESTS = Counter(
+    "num_prometheus_requests", "Scrapes of /metrics", registry=REGISTRY
+)
+NUM_COLLECTIONS = Gauge("num_collections", "Live collections", registry=REGISTRY)
+NUM_ACTIVE_SEGMENTS = Gauge(
+    "num_active_segments", "Active segments", ["collection"], registry=REGISTRY
+)
+NUM_SEARCHABLE_DOCS = Gauge(
+    "num_searchable_docs", "Searchable docs", ["collection"], registry=REGISTRY
+)
+
+
+class TimedRpc:
+    """Context manager recording count + latency for one RPC."""
+
+    def __init__(self, rpc: str, collection: str):
+        self.rpc = rpc
+        self.collection = collection
+
+    def __enter__(self):
+        self._t0 = time.monotonic()
+        NUM_REQUESTS.labels(self.rpc, self.collection).inc()
+        return self
+
+    def __exit__(self, *a):
+        REQUEST_LATENCY_MS.labels(self.rpc, self.collection).observe(
+            (time.monotonic() - self._t0) * 1000.0
+        )
+
+
+def render() -> bytes:
+    NUM_PROMETHEUS_REQUESTS.inc()
+    return generate_latest(REGISTRY)

@@ -1,0 +1,17 @@
+"""Generated protobuf modules (wire-compatible with the reference's protos).
+
+protoc emits absolute imports (``import muopdb_pb2``); alias the package-
+relative modules into sys.modules so the generated files import cleanly.
+Regenerate with:
+  cd muopdb_tpu/server/proto && protoc --python_out=. *.proto
+"""
+
+import importlib
+import sys
+
+muopdb_pb2 = importlib.import_module(".muopdb_pb2", __name__)
+sys.modules.setdefault("muopdb_pb2", muopdb_pb2)
+admin_pb2 = importlib.import_module(".admin_pb2", __name__)
+sys.modules.setdefault("admin_pb2", admin_pb2)
+aggregator_pb2 = importlib.import_module(".aggregator_pb2", __name__)
+sys.modules.setdefault("aggregator_pb2", aggregator_pb2)
