@@ -1,0 +1,132 @@
+"""Headline benchmark: SIFT-1M-class IVF-PQ search QPS/chip at recall@10.
+
+BASELINE.md target config #3: 1M x 128-d vectors, IVF nlist=1024, PQ m=16
+(8-bit codes), on-device ADC tables, batch=128 queries, top-10. Data is
+synthetic (zero-egress environment — no SIFT download); recall is measured
+against exact brute-force ground truth computed on device, so the
+recall/QPS tradeoff is real even if the distribution differs from SIFT.
+
+vs_baseline: the reference publishes no numbers (BASELINE.json published={})
+and its Rust toolchain is absent here, so the denominator is an estimated
+1,500 QPS for the reference's CPU engine at comparable recall (single node,
+multi-threaded scan of ~32 posting lists of 1k x 128-d f32 per query) — the
+north star asks for >= 10x that.
+
+Prints ONE json line. Env overrides: MUOPDB_BENCH_N, MUOPDB_BENCH_NPROBE.
+
+Reference harness analog: rs/demo/src/main.rs:26-79 (1M bulk insert + flush
++ timed search) and rs/benchmarks/.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+RUST_CPU_BASELINE_QPS = 1500.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    t_start = time.time()
+    n = int(os.environ.get("MUOPDB_BENCH_N", 1_000_000))
+    d = 128
+    nlist = max(16, int(os.environ.get("MUOPDB_BENCH_NLIST", 1024 * n // 1_000_000)))
+    nprobe = int(os.environ.get("MUOPDB_BENCH_NPROBE", 64))
+    m = 16
+    batch = 128
+    k = 10
+    block_rows = 1024
+
+    rng = np.random.default_rng(0)
+    # clustered synthetic data (SIFT-like local structure): mixture of
+    # gaussians so IVF has real cluster signal
+    n_modes = 256
+    modes = rng.standard_normal((n_modes, d)).astype(np.float32) * 4.0
+    assign = rng.integers(0, n_modes, n)
+    x = modes[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    queries = x[rng.choice(n, batch, replace=False)] + 0.1 * rng.standard_normal(
+        (batch, d)
+    ).astype(np.float32)
+
+    # ---- build (timed): k-means on device + assignment + packing + PQ train
+    from muopdb_tpu.index.ivf import IvfBuilder, IvfBuildConfig
+    from muopdb_tpu.quantization import ProductQuantizer
+
+    t0 = time.time()
+    pq = ProductQuantizer(dim=d, subvector_dim=d // m, num_bits=8).train(
+        x, max_iter=15, num_training_rows=100_000
+    )
+    builder = IvfBuilder(
+        IvfBuildConfig(
+            num_centroids=nlist,
+            num_data_points_for_clustering=100_000,
+            block_rows=block_rows,
+            kmeans_unbalanced_penalty=1.0,
+            max_iterations=15,
+        ),
+        dim=d,
+    )
+    builder.add_batch(np.arange(n), x)
+    index = builder.build(quantizer=pq)
+    build_s = time.time() - t0
+
+    # ---- exact ground truth on device (chunked)
+    from muopdb_tpu.ops.distance import l2_distance
+    from muopdb_tpu.ops.topk import top_k_smallest, merge_top_k
+
+    qj = jnp.asarray(queries)
+    gt_d = jnp.full((batch, k), jnp.inf)
+    gt_i = jnp.full((batch, k), -1, jnp.int32)
+    chunk = 250_000
+    for s in range(0, n, chunk):
+        xc = jnp.asarray(x[s : s + chunk])
+        dd = l2_distance(qj, xc)
+        cd, ci = top_k_smallest(dd, jnp.arange(s, s + xc.shape[0], dtype=jnp.int32), k)
+        gt_d, gt_i = merge_top_k(gt_d, gt_i, cd, ci, k)
+    gt = np.asarray(gt_i)
+
+    # ---- timed search
+    def run():
+        dd, ii = index.search(queries, k=k, nprobe=nprobe, chunk=batch)
+        jax.block_until_ready((dd, ii))
+        return ii
+
+    ii = run()  # warmup & compile
+    reps = 5 if n >= 500_000 else 20
+    t0 = time.time()
+    for _ in range(reps):
+        ii = run()
+    dt = time.time() - t0
+    qps = batch * reps / dt
+
+    got = np.asarray(ii)
+    recall = float(
+        np.mean(
+            [len(set(got[r].tolist()) & set(gt[r].tolist())) / k for r in range(batch)]
+        )
+    )
+
+    out = {
+        "metric": "ivf_pq_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "qps@recall10=%.3f" % recall,
+        "vs_baseline": round(qps / RUST_CPU_BASELINE_QPS, 2),
+        "recall_at_10": round(recall, 4),
+        "build_seconds": round(build_s, 1),
+        "n": n,
+        "nprobe": nprobe,
+        "batch": batch,
+        "latency_ms_per_batch": round(1000 * dt / reps, 2),
+        "total_bench_seconds": round(time.time() - t_start, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

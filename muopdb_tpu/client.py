@@ -1,0 +1,143 @@
+"""Python client for the muopdb_tpu gRPC servers.
+
+The analog of the reference's py/muopdb_client.py:12 wrapper — but since our
+protos are wire-compatible, this client also works against the reference's
+Rust server (and the reference's client works against ours).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import grpc
+import numpy as np
+
+from .server.grpc_defs import admin_stub, aggregator_stub, index_server_stub
+from .server.proto import admin_pb2, aggregator_pb2, muopdb_pb2 as pb
+from .utils.ids import u128_from_parts, u128_to_parts
+
+
+def _ids(vals: Sequence[int]) -> List["pb.Id"]:
+    out = []
+    for v in vals:
+        lo, hi = u128_to_parts(int(v))
+        out.append(pb.Id(low_id=lo, high_id=hi))
+    return out
+
+
+class MuopDBClient:
+    def __init__(self, addr: str = "localhost:9002"):
+        self._channel = grpc.insecure_channel(addr)
+        self._stub = index_server_stub(self._channel)
+        self._admin = admin_stub(self._channel)
+
+    def create_collection(self, name: str, num_features: int, **overrides) -> str:
+        req = pb.CreateCollectionRequest(collection_name=name, num_features=num_features)
+        for k, v in overrides.items():
+            setattr(req, k, v)
+        return self._stub.CreateCollection(req).message
+
+    def insert(self, collection: str, doc_ids: Sequence[int], vectors, user_ids=(0,),
+               attributes: Optional[List[dict]] = None) -> int:
+        v = np.asarray(vectors, np.float32).reshape(-1)
+        req = pb.InsertRequest(
+            collection_name=collection,
+            doc_ids=_ids(doc_ids),
+            vectors=v.tolist(),
+            user_ids=_ids(user_ids),
+        )
+        if attributes:
+            req.attributes.CopyFrom(_attrs_to_proto(attributes))
+        return self._stub.Insert(req).num_docs_inserted
+
+    def insert_packed(self, collection: str, doc_ids: Sequence[int], vectors,
+                      user_ids=(0,)) -> int:
+        packed = np.zeros((len(doc_ids), 2), np.uint64)
+        for i, d in enumerate(doc_ids):
+            lo, hi = u128_to_parts(int(d))
+            packed[i] = (lo, hi)
+        req = pb.InsertPackedRequest(
+            collection_name=collection,
+            doc_ids=packed.tobytes(),
+            vectors=np.asarray(vectors, np.float32).tobytes(),
+            user_ids=_ids(user_ids),
+        )
+        return self._stub.InsertPacked(req).num_docs_inserted
+
+    def search(self, collection: str, vector, top_k: int = 10, user_ids=(0,),
+               num_explored_centroids: Optional[int] = None,
+               where: Optional["pb.DocumentFilter"] = None) -> List[Tuple[int, float]]:
+        params = pb.SearchParams(top_k=top_k)
+        if num_explored_centroids is not None:
+            params.num_explored_centroids = num_explored_centroids
+        req = pb.SearchRequest(
+            collection_name=collection,
+            vector=np.asarray(vector, np.float32).reshape(-1).tolist(),
+            params=params,
+            user_ids=_ids(user_ids),
+        )
+        if where is not None:
+            req.where_document.CopyFrom(where)
+        r = self._stub.Search(req)
+        return [
+            (u128_from_parts(d.low_id, d.high_id), s) for d, s in zip(r.doc_ids, r.scores)
+        ]
+
+    def remove(self, collection: str, doc_ids: Sequence[int], user_ids=(0,)) -> bool:
+        return self._stub.Remove(
+            pb.RemoveRequest(collection_name=collection, doc_ids=_ids(doc_ids),
+                             user_ids=_ids(user_ids))
+        ).success
+
+    def flush(self, collection: str) -> List[str]:
+        return list(self._stub.Flush(pb.FlushRequest(collection_name=collection)).flushed_segments)
+
+    def get_segments(self, collection: str):
+        r = self._admin.GetSegments(admin_pb2.GetSegmentsRequest(collection_name=collection))
+        return [(s.segment_name, s.size_in_bytes) for s in r.segment_infos], r.version
+
+    def merge_segments(self, collection: str, segment_names: Sequence[str]) -> str:
+        return self._admin.MergeSegments(
+            admin_pb2.MergeSegmentsRequest(
+                collection_name=collection, segment_names=list(segment_names)
+            )
+        ).segment_name
+
+
+class AggregatorClient:
+    def __init__(self, addr: str = "localhost:9001"):
+        self._stub = aggregator_stub(grpc.insecure_channel(addr))
+
+    def get(self, index: str, vector, top_k: int = 10, user_ids=(0,)) -> List[int]:
+        r = self._stub.Get(
+            aggregator_pb2.GetRequest(
+                index=index,
+                vector=np.asarray(vector, np.float32).reshape(-1).tolist(),
+                params=pb.SearchParams(top_k=top_k),
+                user_ids=_ids(user_ids),
+            )
+        )
+        return [u128_from_parts(lo, hi) for lo, hi in zip(r.low_ids, r.high_ids)]
+
+
+def _attrs_to_proto(attributes: List[dict]) -> "pb.DocumentAttributeList":
+    values = []
+    for a in attributes:
+        da = pb.DocumentAttribute()
+        for k, v in (a or {}).items():
+            av = pb.AttributeValue()
+            if isinstance(v, bool):
+                av.bool_value = v
+            elif isinstance(v, int):
+                av.int_value = v
+            elif isinstance(v, float):
+                av.float_value = v
+            elif isinstance(v, str):
+                av.text_value = v
+            elif isinstance(v, (list, tuple)) and v and isinstance(v[0], int):
+                av.vector_int_value.values.extend(v)
+            elif isinstance(v, (list, tuple)):
+                av.vector_keyword_value.values.extend(str(s) for s in v)
+            da.value[k].CopyFrom(av)
+        values.append(da)
+    return pb.DocumentAttributeList(values=values)

@@ -1,0 +1,1 @@
+from .sharded import ShardedFlatIndex, ShardedIvfIndex, sharded_kmeans_step  # noqa: F401

@@ -1,0 +1,225 @@
+"""Device-mesh sharded search and clustering.
+
+The reference's only distribution mechanism is host-level doc-sharded
+scatter-gather over gRPC (aggregator.rs; SURVEY.md §2.7). On TPU the same
+doc-sharding maps onto a `jax.sharding.Mesh`: every device owns a slice of
+the documents (or posting-list blocks), queries are replicated, each device
+scans its slice, and the aggregator's score-merge (aggregator.rs:134)
+becomes an on-device `all_gather` + `lax.top_k` riding the ICI — no host in
+the loop. Multi-host pods keep the gRPC aggregator across hosts and the mesh
+within a host's slice.
+
+Also here: data-parallel balanced k-means (one `psum` per Lloyd step), which
+is the distributed form of the index *build* — the system's training loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.distance import l2_distance
+from ..ops.topk import top_k_smallest
+
+
+def default_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Sharded flat scan
+# ---------------------------------------------------------------------------
+
+
+def _local_topk_merge(queries, vectors, valid, ids, k, axis):
+    """Per-device scan + cross-device merge. Runs inside shard_map."""
+    d = l2_distance(queries, vectors)
+    d = jnp.where(valid[None, :], d, jnp.inf)
+    ld, li = top_k_smallest(d, ids, k)  # local top-k
+    # merge across the mesh: all_gather the per-shard candidates (k per shard,
+    # tiny) and re-select — the on-device form of aggregator.rs:134
+    gd = jax.lax.all_gather(ld, axis, axis=1, tiled=True)  # (B, k*S)
+    gi = jax.lax.all_gather(li, axis, axis=1, tiled=True)
+    return top_k_smallest(gd, gi, k)
+
+
+class ShardedFlatIndex:
+    """Exact search with documents sharded across a device mesh."""
+
+    def __init__(self, vectors: np.ndarray, mesh: Optional[Mesh] = None, axis: str = "shard"):
+        self.mesh = mesh or default_mesh()
+        self.axis = axis
+        n_shards = self.mesh.shape[axis]
+        n, dim = vectors.shape
+        pad = (-n) % n_shards
+        v = np.pad(np.asarray(vectors, np.float32), ((0, pad), (0, 0)))
+        valid = np.zeros(n + pad, bool)
+        valid[:n] = True
+        ids = np.arange(n + pad, dtype=np.int32)
+        sh = NamedSharding(self.mesh, P(axis))
+        self.vectors = jax.device_put(v, sh)
+        self.valid = jax.device_put(valid, sh)
+        self.ids = jax.device_put(ids, sh)
+        self.num_points = n
+
+    def invalidate(self, point_ids) -> None:
+        valid = np.array(self.valid)  # copy: device buffers are read-only views
+        valid[np.asarray(point_ids, np.int64)] = False
+        self.valid = jax.device_put(valid, NamedSharding(self.mesh, P(self.axis)))
+
+    def search(self, queries, k: int = 10):
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        axis = self.axis
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(qq, vv, valid, ids):
+            return _local_topk_merge(qq, vv, valid, ids, k, axis)
+
+        return run(q, self.vectors, self.valid, self.ids)
+
+
+# ---------------------------------------------------------------------------
+# Sharded IVF (doc-sharded: every device owns a slice of the blocks)
+# ---------------------------------------------------------------------------
+
+
+class ShardedIvfIndex:
+    """IVF with posting-list *blocks* sharded across the mesh.
+
+    Centroids are replicated (small); each device scans the probed blocks it
+    owns — a probe hits only the owning shard, others contribute masked-out
+    +inf rows — then one all_gather merges per-shard top-k. This is
+    block-level doc sharding: the TPU-native equivalent of splitting a
+    collection into `{index}--{shard}` leaves.
+    """
+
+    def __init__(self, ivf_index, mesh: Optional[Mesh] = None, axis: str = "shard"):
+        from ..index.ivf import IvfIndex  # noqa: F401 (type only)
+
+        self.mesh = mesh or default_mesh()
+        self.axis = axis
+        n_shards = self.mesh.shape[axis]
+        pl = np.asarray(ivf_index.pl_data)
+        pos = np.asarray(ivf_index.pos_to_point)
+        nb = pl.shape[0]
+        pad = (-nb) % n_shards
+        pl = np.pad(pl, ((0, pad),) + ((0, 0),) * (pl.ndim - 1))
+        pos = np.pad(pos, ((0, pad), (0, 0)), constant_values=-1)
+        sh = NamedSharding(self.mesh, P(axis))
+        self.pl_data = jax.device_put(pl, sh)
+        self.pos_to_point = jax.device_put(pos, sh)
+        self.centroids = jax.device_put(np.asarray(ivf_index.centroids), NamedSharding(self.mesh, P()))
+        self.list_block_start = jnp.asarray(ivf_index.list_block_start)
+        self.point_valid = jax.device_put(
+            np.asarray(ivf_index.point_valid), NamedSharding(self.mesh, P())
+        )
+        self.block_rows = ivf_index.block_rows
+        self.max_blocks = ivf_index.max_blocks
+        self.num_blocks_padded = nb + pad
+        self.n_shards = n_shards
+        self.doc_ids = ivf_index.doc_ids
+
+    def search(self, queries, k: int = 10, nprobe: int = 10):
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        nprobe = min(nprobe, self.centroids.shape[0])
+        axis = self.axis
+        blocks_per_shard = self.num_blocks_padded // self.n_shards
+        k_ = k
+        mb, br = self.max_blocks, self.block_rows
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(qq, pl_local, pos_local, starts, valid):
+            shard_id = jax.lax.axis_index(axis)
+            base = shard_id * blocks_per_shard
+            cdist = l2_distance(qq, self.centroids)
+            _, probe = jax.lax.top_k(-cdist, nprobe)
+            b = qq.shape[0]
+            # global block indices for each probe
+            offs = jnp.arange(mb, dtype=jnp.int32)
+            gstart = starts[probe]  # (B, nprobe)
+            gcount = starts[probe + 1] - gstart
+            blocks = gstart[:, :, None] + offs[None, None, :]  # (B, nprobe, mb)
+            in_range = offs[None, None, :] < gcount[:, :, None]
+            local = blocks - base  # to shard-local index
+            mine = (local >= 0) & (local < blocks_per_shard) & in_range
+            local = jnp.clip(local, 0, blocks_per_shard - 1)
+            flat = local.reshape(b, -1)
+            vecs = pl_local[flat]  # (B, P, rows, d)
+            pts = pos_local[flat]
+            ok = (
+                mine.reshape(b, -1)[:, :, None]
+                & (pts >= 0)
+                & valid[jnp.clip(pts, 0, valid.shape[0] - 1)]
+            )
+            vflat = vecs.reshape(b, flat.shape[1] * br, vecs.shape[-1])
+            dist = jax.vmap(lambda one_q, vv: l2_distance(one_q[None], vv)[0])(qq, vflat)
+            dist = jnp.where(ok.reshape(b, -1), dist, jnp.inf)
+            ld, li = top_k_smallest(dist, pts.reshape(b, -1), k_)
+            gd = jax.lax.all_gather(ld, axis, axis=1, tiled=True)
+            gi = jax.lax.all_gather(li, axis, axis=1, tiled=True)
+            return top_k_smallest(gd, gi, k_)
+
+        d, i = run(q, self.pl_data, self.pos_to_point, self.list_block_start, self.point_valid)
+        return d, jnp.where(jnp.isinf(d), -1, i)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel balanced k-means step (the distributed "training step")
+# ---------------------------------------------------------------------------
+
+
+def sharded_kmeans_step(mesh: Mesh, axis: str = "shard"):
+    """Returns a jitted one-Lloyd-step function over data sharded on `axis`.
+
+    step(x_sharded, centroids, counts) -> (new_centroids, new_counts)
+    Assignment is local; the centroid update is one psum over the mesh —
+    the canonical data-parallel formulation of kmeans_builder.rs's loop.
+    """
+
+    def step(x, centroids, counts):
+        k = centroids.shape[0]
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def inner(x_local, c, cnt):
+            dist = l2_distance(x_local, c)
+            scale = 0.0  # penalty handled upstream; keep the comms pattern pure
+            assign = jnp.argmin(dist + scale * cnt[None, :], axis=-1)
+            one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            local_counts = jnp.sum(one_hot, axis=0)
+            local_sums = jax.lax.dot_general(
+                one_hot, x_local, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            total_counts = jax.lax.psum(local_counts, axis)
+            total_sums = jax.lax.psum(local_sums, axis)
+            new_c = total_sums / jnp.maximum(total_counts[:, None], 1.0)
+            return new_c, total_counts
+
+        return inner(x, centroids, counts)
+
+    return jax.jit(step)

@@ -122,13 +122,17 @@ class ProductQuantizer(Quantizer):
         self.codebook = np.asarray(kmeans_multi(x_sub, self.ksub, key=key, max_iter=max_iter))
         return self
 
-    def quantize(self, vectors) -> np.ndarray:
+    def quantize(self, vectors, chunk: int = 131072) -> np.ndarray:
         assert self.is_trained, "train() first"
         x = np.asarray(vectors, np.float32)
         m, dsub = self.num_subvectors, self.subvector_dim
-        x_sub = jnp.asarray(x.reshape(-1, m, dsub).transpose(1, 0, 2))
-        codes = _encode(x_sub, jnp.asarray(self.codebook))
-        return np.asarray(codes, dtype=np.uint8)
+        cb = jnp.asarray(self.codebook)
+        out = np.empty((x.shape[0], m), np.uint8)
+        # chunk over rows: the (m, chunk, ksub) distance tensor must fit HBM
+        for s in range(0, x.shape[0], chunk):
+            xs = jnp.asarray(x[s : s + chunk].reshape(-1, m, dsub).transpose(1, 0, 2))
+            out[s : s + chunk] = np.asarray(_encode(xs, cb), dtype=np.uint8)
+        return out
 
     def original_vectors(self, codes) -> np.ndarray:
         return np.asarray(_decode(jnp.asarray(codes, jnp.int32), jnp.asarray(self.codebook)))

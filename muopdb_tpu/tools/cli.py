@@ -1,0 +1,84 @@
+"""Search CLI + index viewer.
+
+Reference: rs/cli/src/main.rs:33-99 (one search against aggregator
+(node_type 0) or index server (node_type 1)) and index_viewer.rs:28-68
+(prints HNSW header/graph stats).
+
+Usage:
+  python -m muopdb_tpu.tools.cli search --node-type 1 --addr localhost:9002 \\
+      --index col --vector 0.1,0.2,... --top-k 10 --user-id 0
+  python -m muopdb_tpu.tools.cli view-index --path /data/segment_x/centroids
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def cmd_search(args):
+    vector = [float(v) for v in args.vector.split(",")]
+    if args.node_type == 0:
+        from ..client import AggregatorClient
+
+        ids = AggregatorClient(args.addr).get(args.index, vector, args.top_k, [args.user_id])
+        for d in ids:
+            print(d)
+    else:
+        from ..client import MuopDBClient
+
+        res = MuopDBClient(args.addr).search(
+            args.index, vector, args.top_k, [args.user_id],
+            num_explored_centroids=args.num_explored_centroids,
+        )
+        for doc, score in res:
+            print(f"{doc}\t{score:.6f}")
+
+
+def cmd_view_index(args):
+    """Print HNSW structure (index_viewer.rs:28-68 analog)."""
+    from ..index.hnsw import HnswIndex
+
+    idx = HnswIndex.load(args.path)
+    print(f"num_points: {idx.num_points}")
+    print(f"num_layers: {idx.num_layers}")
+    print(f"entry_point: {idx.entry_point}")
+    for l, e in enumerate(idx.layer_edges):
+        e = np.asarray(e)
+        present = (e >= 0).any(1).sum()
+        deg = (e >= 0).sum(1)
+        print(
+            f"layer {l}: deg_cap={e.shape[1]} nodes_with_edges={present} "
+            f"avg_degree={deg[deg > 0].mean() if (deg > 0).any() else 0:.1f}"
+        )
+        if args.verbose:
+            for node in range(min(10, e.shape[0])):
+                print(f"  {node}: {e[node][e[node] >= 0].tolist()}")
+
+
+def main():
+    p = argparse.ArgumentParser(prog="muopdb-cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("search")
+    s.add_argument("--node-type", type=int, default=1, help="0=aggregator 1=index_server")
+    s.add_argument("--addr", default="localhost:9002")
+    s.add_argument("--index", required=True)
+    s.add_argument("--vector", required=True, help="comma-separated floats")
+    s.add_argument("--top-k", type=int, default=10)
+    s.add_argument("--user-id", type=int, default=0)
+    s.add_argument("--num-explored-centroids", type=int, default=None)
+    s.set_defaults(fn=cmd_search)
+
+    v = sub.add_parser("view-index")
+    v.add_argument("--path", required=True)
+    v.add_argument("--verbose", action="store_true")
+    v.set_defaults(fn=cmd_view_index)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Bulk-load + search demo.
+
+Reference: rs/demo/src/main.rs:26-79 — loads 1M x 768 embeddings from HDF5
+via InsertPacked in 100k batches, flushes, times both; search.rs times a
+top-5 query. Here synthetic data replaces the HDF5/ollama dependency
+(--input takes an HDF5 path when you have one).
+
+Usage: python -m muopdb_tpu.tools.demo --addr localhost:9002 [--n 100000]
+       [--dim 768] [--input file.h5 --dataset train]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--addr", default="localhost:9002")
+    p.add_argument("--collection", default="demo")
+    p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--input", default=None, help="optional HDF5 file")
+    p.add_argument("--dataset", default="train")
+    p.add_argument("--batch", type=int, default=100_000)
+    args = p.parse_args()
+
+    from ..client import MuopDBClient
+
+    client = MuopDBClient(args.addr)
+    if args.input:
+        import h5py
+
+        with h5py.File(args.input, "r") as f:
+            x = np.asarray(f[args.dataset], np.float32)
+    else:
+        x = np.random.default_rng(0).standard_normal((args.n, args.dim)).astype(np.float32)
+
+    client.create_collection(
+        args.collection, num_features=x.shape[1], initial_num_centroids=max(16, len(x) // 1000)
+    )
+
+    t0 = time.time()
+    for s in range(0, len(x), args.batch):
+        batch = x[s : s + args.batch]
+        client.insert_packed(args.collection, list(range(s, s + len(batch))), batch)
+        print(f"inserted {s + len(batch)}/{len(x)}")
+    t_insert = time.time() - t0
+
+    t0 = time.time()
+    client.flush(args.collection)
+    t_flush = time.time() - t0
+    print(f"insert: {t_insert:.1f}s  flush: {t_flush:.1f}s")
+
+    q = x[0]
+    t0 = time.time()
+    res = client.search(args.collection, q, top_k=5)
+    print(f"search: {(time.time() - t0) * 1000:.1f}ms -> {res}")
+
+
+if __name__ == "__main__":
+    main()

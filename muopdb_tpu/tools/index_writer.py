@@ -1,0 +1,151 @@
+"""Offline batch indexer: HDF5 in, on-disk index out.
+
+Reference: rs/index_writer/ — HDF5 batched input reader (input/hdf5.rs),
+YAML config selecting HNSW / IVF / SPANN with optional PQ
+(index_writer.rs:34-110, config.rs:4-90).
+
+YAML config shape (mirrors config.rs):
+  base_config:
+    output_path: /out
+    dimension: 128
+    index_type: Spann | Hnsw | Ivf
+    index_distance_type: L2 | DotProduct
+  quantizer_config:
+    quantizer_type: NoQuantizer | ProductQuantizer
+    subvector_dimension: 8
+    num_bits: 8
+    num_training_rows: 10000
+    max_iteration: 25
+  hnsw_config:
+    num_layers: 10
+    max_num_neighbors: 16
+    ef_construction: 100
+  ivf_config:
+    num_clusters: 1024
+    num_data_points: 100000
+    max_clusters_per_vector: 1
+    distance_threshold: 0.1
+    max_iteration: 20
+    tolerance: 0.1        # balanced-kmeans penalty
+    max_posting_list_size: 100000
+
+Usage: python -m muopdb_tpu.tools.index_writer --config cfg.yaml --input x.h5 \\
+          [--dataset train] [--doc-id-offset 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def read_hdf5(path: str, dataset: str = "train", batch: int = 100_000):
+    """Batched HDF5 reader (input/hdf5.rs analog)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        ds = f[dataset]
+        for s in range(0, ds.shape[0], batch):
+            yield np.asarray(ds[s : s + batch], np.float32)
+
+
+def build_from_config(cfg: dict, vectors: np.ndarray, doc_ids=None) -> str:
+    from ..config import CollectionConfig, DistanceType, QuantizerType
+    from ..index.hnsw import HnswBuildConfig, HnswBuilder
+    from ..index.ivf import IvfBuildConfig, IvfBuilder
+    from ..index.spann import SpannBuildConfig, SpannBuilder
+    from ..quantization import ProductQuantizer
+
+    base = cfg["base_config"]
+    out = base["output_path"]
+    dim = int(base["dimension"])
+    dist = base.get("index_distance_type", "L2")
+    index_type = base.get("index_type", "Spann").lower()
+    n = vectors.shape[0]
+    doc_ids = doc_ids if doc_ids is not None else np.arange(n)
+
+    qc = cfg.get("quantizer_config", {})
+    quantizer = None
+    if qc.get("quantizer_type") == "ProductQuantizer":
+        quantizer = ProductQuantizer(
+            dim=dim,
+            subvector_dim=int(qc.get("subvector_dimension", 8)),
+            num_bits=int(qc.get("num_bits", 8)),
+        ).train(
+            vectors,
+            max_iter=int(qc.get("max_iteration", 25)),
+            num_training_rows=int(qc.get("num_training_rows", 100_000)),
+        )
+
+    ic = cfg.get("ivf_config", {})
+    ivf_cfg = IvfBuildConfig(
+        num_centroids=int(ic.get("num_clusters", 1024)),
+        num_data_points_for_clustering=int(ic.get("num_data_points", 100_000)),
+        max_clusters_per_vector=int(ic.get("max_clusters_per_vector", 1)),
+        distance_threshold_pct=float(ic.get("distance_threshold", 0.1)),
+        max_posting_list_size=int(ic.get("max_posting_list_size", 2**31)),
+        kmeans_unbalanced_penalty=float(ic.get("tolerance", 0.0)),
+        max_iterations=int(ic.get("max_iteration", 20)),
+        distance_type=dist,
+    )
+    hc = cfg.get("hnsw_config", {})
+
+    t0 = time.time()
+    if index_type == "hnsw":
+        b = HnswBuilder(
+            HnswBuildConfig(
+                max_neighbors=int(hc.get("max_num_neighbors", 16)),
+                max_layers=int(hc.get("num_layers", 10)),
+                ef_construction=int(hc.get("ef_construction", 100)),
+                distance_type=dist,
+            ),
+            dim,
+        )
+        b.add_batch(doc_ids, vectors)
+        b.build().save(out)
+    elif index_type == "ivf":
+        b = IvfBuilder(ivf_cfg, dim)
+        b.add_batch(doc_ids, vectors)
+        b.build(quantizer=quantizer).save(out)
+    else:  # spann
+        b = SpannBuilder(
+            SpannBuildConfig(
+                ivf=ivf_cfg,
+                centroids_max_neighbors=int(hc.get("max_num_neighbors", 10)),
+                centroids_max_layers=int(hc.get("num_layers", 10)),
+                centroids_ef_construction=int(hc.get("ef_construction", 100)),
+            ),
+            dim,
+        )
+        b.add_batch(doc_ids, vectors)
+        b.build(quantizer=quantizer).save(out)
+    log.info("built %s index with %d vectors in %.1fs -> %s",
+             index_type, n, time.time() - t0, out)
+    return out
+
+
+def main():
+    import yaml
+
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--dataset", default="train")
+    p.add_argument("--doc-id-offset", type=int, default=0)
+    args = p.parse_args()
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    batches = list(read_hdf5(args.input, args.dataset))
+    x = np.concatenate(batches) if len(batches) > 1 else batches[0]
+    doc_ids = np.arange(len(x)) + args.doc_id_offset
+    build_from_config(cfg, x, doc_ids)
+
+
+if __name__ == "__main__":
+    main()

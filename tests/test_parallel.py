@@ -1,0 +1,66 @@
+"""Mesh-sharded search + distributed kmeans over the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from muopdb_tpu.index import FlatIndex, IvfBuilder
+from muopdb_tpu.index.ivf import IvfBuildConfig
+from muopdb_tpu.parallel import ShardedFlatIndex, ShardedIvfIndex, sharded_kmeans_step
+from muopdb_tpu.parallel.sharded import default_mesh
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_flat_matches_single_device(rng):
+    x = rng.standard_normal((1000, 16)).astype(np.float32)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    sharded = ShardedFlatIndex(x)
+    d_s, i_s = sharded.search(q, k=5)
+    d_f, i_f = FlatIndex(x).search(q, k=5)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_f), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.sort(np.asarray(i_s)), np.sort(np.asarray(i_f)))
+
+
+def test_sharded_flat_invalidate(rng):
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    sharded = ShardedFlatIndex(x)
+    _, i0 = sharded.search(x[:1], k=1)
+    assert np.asarray(i0)[0, 0] == 0
+    sharded.invalidate([0])
+    _, i1 = sharded.search(x[:1], k=1)
+    assert np.asarray(i1)[0, 0] != 0
+
+
+def test_sharded_ivf_matches_single_device(rng):
+    x = rng.standard_normal((800, 16)).astype(np.float32)
+    b = IvfBuilder(IvfBuildConfig(num_centroids=8, block_rows=16), dim=16)
+    b.add_batch(np.arange(800), x)
+    idx = b.build()
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    d1, i1 = idx.search(q, k=5, nprobe=8)
+    sharded = ShardedIvfIndex(idx)
+    d2, i2 = sharded.search(q, k=5, nprobe=8)
+    np.testing.assert_allclose(np.sort(np.asarray(d2)), np.sort(np.asarray(d1)), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.sort(np.asarray(i2)), np.sort(np.asarray(i1)))
+
+
+def test_sharded_kmeans_step_matches_global(rng):
+    mesh = default_mesh()
+    x = rng.standard_normal((256, 8)).astype(np.float32)
+    c0 = x[:4].copy()
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("shard")))
+    step = sharded_kmeans_step(mesh)
+    counts0 = jnp.full((4,), 64.0)
+    c1, counts1 = step(xs, jnp.asarray(c0), counts0)
+    # reference: plain numpy Lloyd step
+    d = ((x[:, None] - c0[None]) ** 2).sum(-1)
+    a = d.argmin(1)
+    want = np.stack([
+        x[a == j].mean(0) if (a == j).any() else c0[j] for j in range(4)
+    ])
+    np.testing.assert_allclose(np.asarray(c1), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(counts1), np.bincount(a, minlength=4))

@@ -1,0 +1,100 @@
+"""index_writer (HDF5 -> index) and CLI viewer tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.tools.index_writer import build_from_config, read_hdf5
+
+
+@pytest.fixture
+def h5file(tmp_path, rng):
+    h5py = pytest.importorskip("h5py")
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    path = str(tmp_path / "vec.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("train", data=x)
+    return path, x
+
+
+def test_read_hdf5_batched(h5file):
+    path, x = h5file
+    batches = list(read_hdf5(path, "train", batch=100))
+    assert len(batches) == 3
+    np.testing.assert_allclose(np.concatenate(batches), x)
+
+
+@pytest.mark.parametrize("index_type", ["Ivf", "Hnsw", "Spann"])
+def test_build_from_config_roundtrip(tmp_path, h5file, index_type):
+    path, x = h5file
+    out = str(tmp_path / "out")
+    cfg = {
+        "base_config": {
+            "output_path": out,
+            "dimension": 16,
+            "index_type": index_type,
+            "index_distance_type": "L2",
+        },
+        "quantizer_config": {"quantizer_type": "NoQuantizer"},
+        "hnsw_config": {"num_layers": 3, "max_num_neighbors": 8, "ef_construction": 32},
+        "ivf_config": {"num_clusters": 4, "num_data_points": 300, "max_iteration": 10},
+    }
+    build_from_config(cfg, x)
+    if index_type == "Ivf":
+        from muopdb_tpu.index.ivf import IvfIndex
+
+        idx = IvfIndex.load(out)
+        _, ids = idx.search(x[:2], k=1, nprobe=4)
+    elif index_type == "Hnsw":
+        from muopdb_tpu.index.hnsw import HnswIndex
+
+        idx = HnswIndex.load(out)
+        _, ids = idx.search(x[:2], k=1, ef_search=16)
+    else:
+        from muopdb_tpu.index.spann import SpannIndex
+
+        idx = SpannIndex.load(out)
+        _, ids = idx.search(x[:2], k=1, num_explored_centroids=4)
+    assert np.asarray(ids)[0, 0] == 0
+    assert np.asarray(ids)[1, 0] == 1
+
+
+def test_build_with_pq(tmp_path, h5file):
+    path, x = h5file
+    out = str(tmp_path / "pq_out")
+    cfg = {
+        "base_config": {"output_path": out, "dimension": 16, "index_type": "Ivf"},
+        "quantizer_config": {
+            "quantizer_type": "ProductQuantizer",
+            "subvector_dimension": 4,
+            "num_bits": 4,
+            "num_training_rows": 300,
+            "max_iteration": 10,
+        },
+        "ivf_config": {"num_clusters": 4, "max_iteration": 5},
+    }
+    build_from_config(cfg, x)
+    from muopdb_tpu.index.ivf import IvfIndex
+    from muopdb_tpu.quantization import ProductQuantizer
+
+    idx = IvfIndex.load(out)
+    assert isinstance(idx.quantizer, ProductQuantizer)
+
+
+def test_index_viewer_output(tmp_path, rng, capsys):
+    from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
+    from muopdb_tpu.tools.cli import cmd_view_index
+
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    b = HnswBuilder(HnswBuildConfig(max_neighbors=4, ef_construction=16), dim=8)
+    b.add_batch(np.arange(200), x)
+    b.build().save(str(tmp_path))
+
+    class A:
+        path = str(tmp_path)
+        verbose = False
+
+    cmd_view_index(A)
+    out = capsys.readouterr().out
+    assert "num_points: 200" in out and "layer 0" in out
