@@ -1,0 +1,37 @@
+import time, numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+rng = np.random.default_rng(0)
+n, d = 50000, 128
+n_modes=256
+modes = rng.standard_normal((n_modes, d)).astype(np.float32) * 4.0
+x = modes[rng.integers(0,n_modes,n)] + rng.standard_normal((n, d)).astype(np.float32)
+queries = x[rng.choice(n, 32, replace=False)] + 0.1*rng.standard_normal((32,d)).astype(np.float32)
+
+from muopdb_tpu.quantization import ProductQuantizer
+t=time.time()
+pq = ProductQuantizer(dim=d, subvector_dim=8, num_bits=8).train(x, max_iter=10, num_training_rows=20000)
+print('pq train', time.time()-t)
+
+# direct ADC brute force over all codes: recall check of pq+adc at this scale
+codes = pq.quantize(x)
+adc = np.asarray(pq.distances(queries[:4], codes))
+from muopdb_tpu.ops.distance import l2_distance
+gt_full = np.asarray(jnp.argsort(l2_distance(jnp.asarray(queries), jnp.asarray(x)), axis=1)[:, :10])
+for r in range(4):
+    got = set(np.argsort(adc[r])[:10].tolist()); want=set(gt_full[r].tolist())
+    print('bruteforce adc recall q%d'%r, len(got&want)/10)
+
+from muopdb_tpu.index.ivf import IvfBuilder, IvfBuildConfig
+b = IvfBuilder(IvfBuildConfig(num_centroids=64, num_data_points_for_clustering=50000,
+    block_rows=1024, kmeans_unbalanced_penalty=1.0, max_iterations=15), dim=d)
+b.add_batch(np.arange(n), x)
+idx = b.build(quantizer=pq)
+print('built, max_blocks', idx.max_blocks)
+t=time.time()
+dd, ii = idx.search(queries, k=10, nprobe=64, chunk=32); jax.block_until_ready((dd,ii))
+print('pq scan first', time.time()-t)
+t=time.time(); dd, ii = idx.search(queries, k=10, nprobe=64, chunk=32); jax.block_until_ready((dd,ii)); print('steady', time.time()-t)
+got = np.asarray(ii)
+rec = np.mean([len(set(got[r].tolist()) & set(gt_full[r].tolist()))/10 for r in range(32)])
+print('ivf-pq recall', rec)
+print('sample got', got[0][:5], 'gt', gt_full[0][:5], 'dists', np.asarray(dd)[0][:5])

@@ -386,6 +386,7 @@ class IvfIndex:
         quantizer,
         distance_type: str = "L2",
         block_rows: int = 256,
+        raw_vectors=None,
     ):
         self.centroids = jnp.asarray(centroids)
         self.pl_data = jnp.asarray(pl_data)
@@ -401,6 +402,20 @@ class IvfIndex:
         self.max_blocks = int(counts.max()) if len(counts) else 1
         # multi-assignment duplicates points across lists -> scans must dedup
         self.needs_dedup = int(np.sum(np.asarray(self.pos_to_point) >= 0)) > num_points
+        # raw vectors in point-id order (the reference's ivf/raw_vectors file,
+        # multi_spann/writer.rs) — used by batched full scans and reranking
+        self.raw_vectors = None if raw_vectors is None else jnp.asarray(
+            np.asarray(raw_vectors, np.float32)
+        )
+        # point-order transposed codes for the fused whole-index ADC sweep
+        self._codes_t = None
+        if isinstance(self.quantizer, ProductQuantizer) and num_points > 0:
+            codes = np.zeros((num_points, self.quantizer.num_subvectors), np.int32)
+            pos = np.asarray(self.pos_to_point).reshape(-1)
+            data = np.asarray(self.pl_data).reshape(pos.shape[0], -1)
+            sel = pos >= 0
+            codes[pos[sel]] = data[sel].astype(np.int32)
+            self._codes_t = jnp.asarray(codes.T)  # (m, N)
 
     # -- construction ----------------------------------------------------
     @classmethod
@@ -455,6 +470,7 @@ class IvfIndex:
             quantizer=quantizer,
             distance_type=distance_type,
             block_rows=block_rows,
+            raw_vectors=vectors,
         )
 
     # -- mutation (deletions only; the index itself is immutable) --------
@@ -548,6 +564,57 @@ class IvfIndex:
             )
         return d, jnp.where(jnp.isinf(d), -1, i)
 
+    def search_batched(self, queries, k: int = 10, *, rerank: int = 0):
+        """Whole-index batched scan — the high-throughput plan.
+
+        For large query batches probing is counterproductive on TPU (a batch
+        touches nearly every posting list anyway), so this path streams the
+        entire index through the fused Pallas kernels: PQ codes go through
+        the one-hot-matmul ADC sweep (ops/pallas/adc.py), flat vectors
+        through the bf16 MXU scan (ops/pallas/scan.py). `rerank=R` re-scores
+        the top-R ADC candidates against raw vectors exactly (the standard
+        recall-restoring second stage; the reference has no analog because
+        its symmetric-PQ scan is the final ranking).
+        """
+        from ..ops.pallas.adc import adc_full_scan, adc_full_scan_xla
+        from ..ops.pallas.scan import flat_full_scan
+
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        n = self.num_points
+        use_pallas = jax.default_backend() not in ("cpu",)
+        if isinstance(self.quantizer, ProductQuantizer):
+            assert self._codes_t is not None
+            block_r = 512
+            pad = (-n) % block_r
+            codes_t = jnp.pad(self._codes_t, ((0, 0), (0, pad)))
+            lut = self.quantizer.compute_lut(q, self.distance_type)
+            if use_pallas:
+                scores = adc_full_scan(lut, codes_t, block_r=block_r)
+            else:
+                scores = adc_full_scan_xla(lut, codes_t, block_r=block_r)
+            scores = scores[:, :n]
+        else:
+            assert self.raw_vectors is not None
+            block_r = 1024
+            pad = (-n) % block_r
+            vecs = jnp.pad(self.raw_vectors, ((0, pad), (0, 0)))
+            if use_pallas:
+                scores = flat_full_scan(q, vecs, block_r=block_r)[:, :n]
+            else:
+                scores = pairwise_distance(q, self.raw_vectors, self.distance_type)
+        scores = jnp.where(self.point_valid[None, :n], scores, jnp.inf)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        if rerank and self.raw_vectors is not None and isinstance(self.quantizer, ProductQuantizer):
+            r = min(max(rerank, k), n)
+            cd, ci = top_k_smallest(scores, ids, r)  # ADC candidates
+            cand_vecs = self.raw_vectors[ci]  # (B, R, d)
+            exact = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(q, cand_vecs)
+            exact = jnp.where(jnp.isfinite(cd), exact, jnp.inf)
+            d, i = top_k_smallest(exact, ci, k)
+        else:
+            d, i = top_k_smallest(scores, ids, k)
+        return d, jnp.where(jnp.isinf(d), -1, i)
+
     def search_doc_ids(self, queries, k: int = 10, nprobe: int = 10, **kw):
         """Search and remap point ids -> u128 doc ids (host-side remap, the
         analog of ivf/block_based/index.rs:298-332)."""
@@ -575,6 +642,11 @@ class IvfIndex:
             list_block_start=np.asarray(self.list_block_start),
             doc_ids=self.doc_ids,
             point_valid=np.asarray(self.point_valid),
+            **(
+                {"raw_vectors": np.asarray(self.raw_vectors)}
+                if self.raw_vectors is not None
+                else {}
+            ),
         )
         self.quantizer.save(directory)
         with open(os.path.join(directory, "ivf_config.json"), "w") as f:
@@ -604,6 +676,7 @@ class IvfIndex:
             quantizer=load_dir(directory),
             distance_type=cfg["distance_type"],
             block_rows=cfg["block_rows"],
+            raw_vectors=z["raw_vectors"] if "raw_vectors" in z.files else None,
         )
         idx.point_valid = jnp.asarray(z["point_valid"])
         return idx

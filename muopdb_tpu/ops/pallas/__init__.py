@@ -1,0 +1,2 @@
+from .adc import adc_full_scan  # noqa: F401
+from .scan import flat_full_scan  # noqa: F401

@@ -1,0 +1,66 @@
+"""Fused flat (unquantized) distance scan kernel.
+
+Whole-index squared-L2 scan: queries stay resident in VMEM, vector blocks
+stream from HBM, the cross term runs on the MXU in bf16 with f32
+accumulation and the norm terms fuse into the same step. Traffic = one read
+of the vector array per batch — the bandwidth-optimal plan for large query
+batches (SURVEY.md §7: "batched Q·Xᵀ on MXU").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scan_kernel(q_ref, qsq_ref, x_ref, xsq_ref, out_ref):
+    cross = jax.lax.dot_general(
+        q_ref[:],
+        x_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, R)
+    d = qsq_ref[:] + xsq_ref[:] - 2.0 * cross  # (B,1)+(1,R)-2QX
+    out_ref[:] = jnp.maximum(d, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def flat_full_scan(
+    queries: jax.Array,  # (B, d) f32
+    vectors: jax.Array,  # (N, d) f32|bf16, N multiple of block_r
+    *,
+    block_r: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Squared-L2 of every query against every vector: (B, N) f32."""
+    b, d = queries.shape
+    n = vectors.shape[0]
+    assert n % block_r == 0
+    qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)  # (B,1)
+    xf = vectors.astype(jnp.float32)
+    xsq = jnp.sum(xf * xf, axis=1)[None, :]  # (1,N)
+    qb = queries.astype(jnp.bfloat16)
+    xb = vectors.astype(jnp.bfloat16)
+    grid = (n // block_r,)
+    return pl.pallas_call(
+        _scan_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n,
+            bytes_accessed=2 * n * d + 4 * b * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qb, qsq, xb, xsq)

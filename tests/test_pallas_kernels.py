@@ -1,0 +1,30 @@
+"""Pallas kernels vs XLA/numpy oracles (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from muopdb_tpu.ops.pallas.adc import adc_full_scan, adc_full_scan_xla
+from muopdb_tpu.ops.pallas.scan import flat_full_scan
+from muopdb_tpu.quantization.pq import adc_scores
+
+
+def test_adc_full_scan_matches_gather(rng):
+    b, m, ksub, n = 4, 8, 16, 256
+    lut = rng.random((b, m, ksub)).astype(np.float32)
+    codes = rng.integers(0, ksub, (n, m)).astype(np.int32)
+    want = np.asarray(adc_scores(jnp.asarray(lut), jnp.asarray(codes)))
+    got = np.asarray(
+        adc_full_scan(jnp.asarray(lut), jnp.asarray(codes.T), block_r=128, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)  # bf16 LUT
+    got_xla = np.asarray(adc_full_scan_xla(jnp.asarray(lut), jnp.asarray(codes.T), block_r=128))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-5, atol=1e-5)
+
+
+def test_flat_full_scan_matches_numpy(rng):
+    b, d, n = 4, 32, 512
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    want = ((q[:, None] - x[None]) ** 2).sum(-1)
+    got = np.asarray(flat_full_scan(jnp.asarray(q), jnp.asarray(x), block_r=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)  # bf16 cross term

@@ -1,0 +1,50 @@
+"""Whole-index batched scan path: exactness (flat), rerank recall (PQ)."""
+
+import numpy as np
+
+from muopdb_tpu.index import FlatIndex, IvfBuilder
+from muopdb_tpu.index.ivf import IvfBuildConfig
+from muopdb_tpu.quantization import ProductQuantizer
+
+
+def _build(rng, n=2000, d=32, quantizer=None):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    b = IvfBuilder(IvfBuildConfig(num_centroids=8, block_rows=64), dim=d)
+    b.add_batch(np.arange(n), x)
+    return x, b.build(quantizer=quantizer)
+
+
+def test_batched_flat_is_exact(rng):
+    x, idx = _build(rng)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    d1, i1 = FlatIndex(x).search(q, k=10)
+    d2, i2 = idx.search_batched(q, k=10)
+    np.testing.assert_array_equal(np.sort(np.asarray(i1)), np.sort(np.asarray(i2)))
+
+
+def test_batched_flat_respects_invalidation(rng):
+    x, idx = _build(rng, n=500)
+    idx.invalidate([0])
+    _, i = idx.search_batched(x[:1], k=1)
+    assert np.asarray(i)[0, 0] != 0
+
+
+def test_batched_pq_rerank_restores_recall(rng):
+    d = 32
+    x = rng.standard_normal((3000, d)).astype(np.float32)
+    pq = ProductQuantizer(dim=d, subvector_dim=8, num_bits=8).train(x, max_iter=10)
+    b = IvfBuilder(IvfBuildConfig(num_centroids=8, block_rows=64), dim=d)
+    b.add_batch(np.arange(3000), x)
+    idx = b.build(quantizer=pq)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    _, want = FlatIndex(x).search(q, k=10)
+
+    def recall(got):
+        got = np.asarray(got)
+        w = np.asarray(want)
+        return np.mean([len(set(got[i]) & set(w[i])) / 10 for i in range(len(q))])
+
+    _, raw = idx.search_batched(q, k=10, rerank=0)
+    _, rr = idx.search_batched(q, k=10, rerank=300)
+    assert recall(rr) >= recall(raw)
+    assert recall(rr) >= 0.9, recall(rr)
