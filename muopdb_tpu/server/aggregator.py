@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Tuple
 import grpc
 
 from ..utils import io as vio
+from ..utils.tracing import TRACER
 from . import metrics
 from .grpc_defs import index_server_stub
 from .proto import aggregator_pb2 as agg_pb
@@ -92,7 +93,9 @@ class AggregatorImpl:
         return index_server_stub(ch)
 
     def Get(self, req: "agg_pb.GetRequest", context) -> "agg_pb.GetResponse":
-        with metrics.TimedRpc("aggregator_get", req.index):
+        with TRACER.extract(context.invocation_metadata()), \
+                TRACER.span("aggregator.get", index=req.index), \
+                metrics.TimedRpc("aggregator_get", req.index):
             self.shards.refresh()
             self.nodes.refresh()
             shards = self.shards.shards_for(req.index)

@@ -26,6 +26,7 @@ from ..config import (
 )
 from ..terms.planner import Filter
 from ..utils.ids import u128_from_parts, u128_from_uuid, u128_to_parts
+from ..utils.tracing import TRACER
 from . import metrics
 from .collection_manager import CollectionManager
 from .proto import muopdb_pb2 as pb
@@ -180,7 +181,10 @@ class IndexServerImpl:
             )
 
     def Search(self, req, context):
-        with metrics.TimedRpc("search", req.collection_name):
+        # adopt the caller's W3C trace context (index_server.rs:43-46)
+        with TRACER.extract(context.invocation_metadata()), \
+                TRACER.span("index_server.search", collection=req.collection_name), \
+                metrics.TimedRpc("search", req.collection_name):
             col = self._collection(req.collection_name, context)
             dim = col.config.num_features
             q = np.asarray(req.vector, np.float32)

@@ -1,0 +1,230 @@
+"""Storage engine: Env / FileIO abstraction + block cache.
+
+Reference (L9, SURVEY.md §2.5): Env trait {open, open_append, close}
+dispatching on FileType {MMap, CachedStandard, CachedIoUring, ObjectStore}
+(utils/src/file_io/env.rs:15-195); FileIO {read(offset, len), file_length}
+and AppendableFileIO {append, flush, sync_all} (file_io/mod.rs:32-93);
+two-level BlockCache with singleflight fills (block_cache/cache.rs:128-385).
+
+TPU-first role: this layer feeds *pinned host buffers* that become device
+transfers — the analog of the reference's page-level reads feeding SIMD
+scans. Lazy per-user index opens (multi_spann) route through it. io_uring
+has no portable analog here (and no tokio); CachedStandard covers its role
+with the block cache absorbing re-reads. ObjectStore (S3) is represented by
+a gated stub: zero-egress environments cannot reach object storage.
+"""
+
+from __future__ import annotations
+
+import collections
+import mmap as _mmap
+import os
+import threading
+from typing import Callable, Dict, Optional, Tuple
+
+
+class FileIO:
+    """Random-access reads (file_io/mod.rs:32-60)."""
+
+    def read(self, offset: int, length: int) -> bytes:
+        raise NotImplementedError
+
+    def file_length(self) -> int:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class MMapFileIO(FileIO):
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        self._len = os.path.getsize(path)
+        self._mm = _mmap.mmap(self._f.fileno(), 0, access=_mmap.ACCESS_READ) if self._len else None
+
+    def read(self, offset: int, length: int) -> bytes:
+        if self._mm is None:
+            return b""
+        return self._mm[offset : offset + length]
+
+    def file_length(self) -> int:
+        return self._len
+
+    def close(self) -> None:
+        if self._mm is not None:
+            self._mm.close()
+        self._f.close()
+
+
+class StandardFileIO(FileIO):
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        self._lock = threading.Lock()
+        self._len = os.path.getsize(path)
+
+    def read(self, offset: int, length: int) -> bytes:
+        with self._lock:
+            self._f.seek(offset)
+            return self._f.read(length)
+
+    def file_length(self) -> int:
+        return self._len
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class AppendableFileIO:
+    """Append + flush + fsync (file_io/mod.rs:62-93)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "ab")
+
+    def append(self, data: bytes) -> int:
+        off = self._f.tell()
+        self._f.write(data)
+        return off
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def sync_all(self) -> None:
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class BlockCache:
+    """Single-level block cache with byte-weighted LRU and singleflight fills
+    (block_cache/cache.rs:128-176,292-385: moka weigher=len + try_get_with
+    dedup — here an OrderedDict LRU + per-key fill locks)."""
+
+    def __init__(self, capacity_bytes: int = 256 << 20, block_size: int = 1 << 20):
+        self.capacity_bytes = capacity_bytes
+        self.block_size = block_size
+        self._lru: "collections.OrderedDict[Tuple[str, int], bytes]" = collections.OrderedDict()
+        self._size = 0
+        self._lock = threading.Lock()
+        self._fills: Dict[Tuple[str, int], threading.Event] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def _get_block(self, key: Tuple[str, int], fill: Callable[[], bytes]) -> bytes:
+        while True:
+            with self._lock:
+                if key in self._lru:
+                    self._lru.move_to_end(key)
+                    self.hits += 1
+                    return self._lru[key]
+                ev = self._fills.get(key)
+                if ev is None:
+                    self._fills[key] = threading.Event()
+                    break
+            ev.wait()  # another thread is filling this block
+        try:
+            data = fill()
+            with self._lock:
+                self.misses += 1
+                self._lru[key] = data
+                self._size += len(data)
+                while self._size > self.capacity_bytes and self._lru:
+                    _, evicted = self._lru.popitem(last=False)
+                    self._size -= len(evicted)
+            return data
+        finally:
+            with self._lock:
+                self._fills.pop(key).set()
+
+    def read(self, path: str, source: FileIO, offset: int, length: int) -> bytes:
+        """Read [offset, offset+length) through block-granular cache
+        (cache.rs:292-385 splits the range into blocks)."""
+        bs = self.block_size
+        first = offset // bs
+        last = (offset + length - 1) // bs if length else first
+        parts = []
+        for bi in range(first, last + 1):
+            blk = self._get_block(
+                (path, bi), lambda bi=bi: source.read(bi * bs, bs)
+            )
+            parts.append(blk)
+        data = b"".join(parts)
+        start = offset - first * bs
+        return data[start : start + length]
+
+
+class CachedFileIO(FileIO):
+    """Routes reads through a shared BlockCache (cached_file.rs analog)."""
+
+    def __init__(self, path: str, cache: BlockCache):
+        self._path = path
+        self._inner = StandardFileIO(path)
+        self._cache = cache
+
+    def read(self, offset: int, length: int) -> bytes:
+        return self._cache.read(self._path, self._inner, offset, length)
+
+    def file_length(self) -> int:
+        return self._inner.file_length()
+
+    def close(self) -> None:
+        self._inner.close()
+
+
+class ObjectStoreFileIO(FileIO):
+    """S3/object-store reads (object_store_file.rs:14-60). Gated: this
+    environment has zero egress; wire an actual client here when deployed."""
+
+    def __init__(self, url: str):
+        raise NotImplementedError(
+            "object-store IO requires network access; configure an S3 client "
+            "in deployment environments"
+        )
+
+
+class Env:
+    """File-type dispatch (env.rs:15-22,133-195)."""
+
+    MMAP = "mmap"
+    CACHED_STANDARD = "cached_standard"
+    OBJECT_STORE = "object_store"
+
+    def __init__(self, file_type: str = MMAP, cache: Optional[BlockCache] = None):
+        self.file_type = file_type
+        self.cache = cache or BlockCache()
+        self._open: Dict[str, FileIO] = {}
+        self._lock = threading.Lock()
+
+    def open(self, path: str) -> FileIO:
+        with self._lock:
+            f = self._open.get(path)
+            if f is not None:
+                return f
+            if path.startswith("s3://") or self.file_type == self.OBJECT_STORE:
+                f = ObjectStoreFileIO(path)
+            elif self.file_type == self.MMAP:
+                f = MMapFileIO(path)
+            else:
+                f = CachedFileIO(path, self.cache)
+            self._open[path] = f
+            return f
+
+    def open_append(self, path: str) -> AppendableFileIO:
+        return AppendableFileIO(path)
+
+    def close(self, path: str) -> None:
+        with self._lock:
+            f = self._open.pop(path, None)
+        if f is not None:
+            f.close()
+
+    def close_all(self) -> None:
+        with self._lock:
+            files = list(self._open.values())
+            self._open.clear()
+        for f in files:
+            f.close()
+
+
+DEFAULT_ENV = Env()

@@ -1,0 +1,141 @@
+"""Distributed tracing: spans + W3C traceparent propagation over gRPC.
+
+Reference: utils/src/tracing.rs:18-88 — OTLP pipeline with ratio sampling
+and W3C context injection/extraction on gRPC metadata (MetadataInjector/
+Extractor); #[tracing::instrument] on RPCs and collection ops.
+
+This environment has no OTLP endpoint (zero egress), so spans are recorded
+to an in-process ring buffer and optionally logged; the *wire* behavior —
+traceparent propagation aggregator -> leaf — matches, so an OTLP exporter
+can be dropped in at the `export` hook later.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+import logging
+import random
+import re
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Deque, List, Optional, Tuple
+
+log = logging.getLogger("muopdb_tpu.tracing")
+
+_TRACEPARENT_RE = re.compile(r"^00-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$")
+
+_current_span: "contextvars.ContextVar[Optional[SpanContext]]" = contextvars.ContextVar(
+    "muopdb_span", default=None
+)
+
+
+@dataclass(frozen=True)
+class SpanContext:
+    trace_id: str  # 32 hex chars
+    span_id: str  # 16 hex chars
+    sampled: bool = True
+
+    def to_traceparent(self) -> str:
+        return f"00-{self.trace_id}-{self.span_id}-{'01' if self.sampled else '00'}"
+
+    @classmethod
+    def from_traceparent(cls, header: str) -> Optional["SpanContext"]:
+        m = _TRACEPARENT_RE.match(header.strip())
+        if not m:
+            return None
+        return cls(m.group(1), m.group(2), m.group(3) == "01")
+
+
+@dataclass
+class Span:
+    name: str
+    context: SpanContext
+    parent_span_id: Optional[str]
+    start_ns: int
+    end_ns: int = 0
+    attributes: dict = field(default_factory=dict)
+
+    @property
+    def duration_ms(self) -> float:
+        return (self.end_ns - self.start_ns) / 1e6
+
+
+class Tracer:
+    """Ratio-sampled tracer with a bounded in-memory exporter
+    (the OTLP pipeline + ratio sampler of tracing.rs:18-58)."""
+
+    def __init__(self, service_name: str = "muopdb_tpu", sample_ratio: float = 1.0,
+                 max_spans: int = 4096, log_spans: bool = False):
+        self.service_name = service_name
+        self.sample_ratio = sample_ratio
+        self.log_spans = log_spans
+        self.finished: Deque[Span] = deque(maxlen=max_spans)
+        self._lock = threading.Lock()
+
+    def _new_id(self, nbytes: int) -> str:
+        return "".join(random.choices("0123456789abcdef", k=nbytes * 2))
+
+    @contextlib.contextmanager
+    def span(self, name: str, **attributes):
+        parent = _current_span.get()
+        if parent is None:
+            sampled = random.random() < self.sample_ratio
+            ctx = SpanContext(self._new_id(16), self._new_id(8), sampled)
+            parent_id = None
+        else:
+            ctx = SpanContext(parent.trace_id, self._new_id(8), parent.sampled)
+            parent_id = parent.span_id
+        sp = Span(name, ctx, parent_id, time.monotonic_ns(), attributes=dict(attributes))
+        token = _current_span.set(ctx)
+        try:
+            yield sp
+        finally:
+            _current_span.reset(token)
+            sp.end_ns = time.monotonic_ns()
+            if ctx.sampled:
+                self.export(sp)
+
+    def export(self, span: Span) -> None:
+        with self._lock:
+            self.finished.append(span)
+        if self.log_spans:
+            log.info(
+                "span %s trace=%s dur=%.2fms attrs=%s",
+                span.name, span.context.trace_id, span.duration_ms, span.attributes,
+            )
+
+    # -- gRPC metadata propagation (tracing.rs:60-88) --------------------
+    def inject(self, metadata: Optional[List[Tuple[str, str]]] = None):
+        md = list(metadata or [])
+        ctx = _current_span.get()
+        if ctx is not None:
+            md.append(("traceparent", ctx.to_traceparent()))
+        return md
+
+    @contextlib.contextmanager
+    def extract(self, invocation_metadata):
+        """Adopt an incoming traceparent as the current context."""
+        ctx = None
+        for key, value in invocation_metadata or []:
+            if key.lower() == "traceparent":
+                ctx = SpanContext.from_traceparent(value)
+                break
+        if ctx is None:
+            yield None
+            return
+        token = _current_span.set(ctx)
+        try:
+            yield ctx
+        finally:
+            _current_span.reset(token)
+
+
+TRACER = Tracer()
+
+
+def current_trace_id() -> Optional[str]:
+    ctx = _current_span.get()
+    return ctx.trace_id if ctx else None

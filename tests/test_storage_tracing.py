@@ -1,0 +1,151 @@
+"""Storage engine (Env/FileIO/BlockCache) + tracing tests."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.utils.bloom import BlockedBloomFilter
+from muopdb_tpu.utils.file_io import (
+    BlockCache,
+    CachedFileIO,
+    Env,
+    MMapFileIO,
+    ObjectStoreFileIO,
+    StandardFileIO,
+)
+from muopdb_tpu.utils.tracing import SpanContext, Tracer
+
+
+@pytest.fixture
+def datafile(tmp_path):
+    p = tmp_path / "blob.bin"
+    data = bytes(range(256)) * 100
+    p.write_bytes(data)
+    return str(p), data
+
+
+@pytest.mark.parametrize("cls", [MMapFileIO, StandardFileIO])
+def test_fileio_reads(cls, datafile):
+    path, data = datafile
+    f = cls(path)
+    assert f.file_length() == len(data)
+    assert f.read(100, 50) == data[100:150]
+    assert f.read(0, 10) == data[:10]
+    f.close()
+
+
+def test_block_cache_hits_and_eviction(datafile):
+    path, data = datafile
+    cache = BlockCache(capacity_bytes=2048, block_size=1024)
+    src = StandardFileIO(path)
+    assert cache.read(path, src, 10, 100) == data[10:110]
+    assert cache.misses == 1
+    assert cache.read(path, src, 50, 100) == data[50:150]  # same block -> hit
+    assert cache.hits == 1
+    # cross-block read
+    assert cache.read(path, src, 1000, 100) == data[1000:1100]
+    # fill beyond capacity -> eviction keeps size bounded
+    for i in range(10):
+        cache.read(path, src, i * 1024, 10)
+    assert cache._size <= 2048
+
+
+def test_block_cache_singleflight(datafile):
+    path, data = datafile
+    fills = []
+
+    class CountingIO(StandardFileIO):
+        def read(self, offset, length):
+            fills.append(offset)
+            import time
+
+            time.sleep(0.05)
+            return super().read(offset, length)
+
+    cache = BlockCache(capacity_bytes=1 << 20, block_size=1024)
+    src = CountingIO(path)
+    results = []
+
+    def reader():
+        results.append(cache.read(path, src, 0, 100))
+
+    threads = [threading.Thread(target=reader) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(fills) == 1  # only one fill despite 8 concurrent readers
+    assert all(r == data[:100] for r in results)
+
+
+def test_env_dispatch(datafile, tmp_path):
+    path, data = datafile
+    env = Env(Env.CACHED_STANDARD)
+    f = env.open(path)
+    assert isinstance(f, CachedFileIO)
+    assert f.read(5, 5) == data[5:10]
+    assert env.open(path) is f  # cached handle
+    env.close_all()
+    with pytest.raises(NotImplementedError):
+        Env().open("s3://bucket/key")
+    # append path
+    ap = env.open_append(str(tmp_path / "ap.bin"))
+    ap.append(b"xyz")
+    ap.sync_all()
+    ap.close()
+    assert (tmp_path / "ap.bin").read_bytes() == b"xyz"
+
+
+def test_bloom_filter_roundtrip(tmp_path):
+    f = BlockedBloomFilter(1000, fpr=0.01)
+    for i in range(100):
+        f.insert(7, i)
+    assert all(f.may_contain(7, i) for i in range(100))
+    fp = sum(f.may_contain(7, i) for i in range(10_000, 20_000)) / 10_000
+    assert fp < 0.05
+    f.save(str(tmp_path / "bloom"))
+    f2 = BlockedBloomFilter.load(str(tmp_path / "bloom"))
+    assert f2.may_contain(7, 5) and f2.k == f.k
+
+
+# -- tracing -------------------------------------------------------------
+
+
+def test_span_nesting_and_export():
+    tr = Tracer(sample_ratio=1.0)
+    with tr.span("outer") as outer:
+        with tr.span("inner", collection="c") as inner:
+            pass
+    assert len(tr.finished) == 2
+    inner_s, outer_s = tr.finished
+    assert inner_s.context.trace_id == outer_s.context.trace_id
+    assert inner_s.parent_span_id == outer_s.context.span_id
+    assert inner_s.attributes == {"collection": "c"}
+
+
+def test_traceparent_roundtrip():
+    ctx = SpanContext("ab" * 16, "cd" * 8, True)
+    hdr = ctx.to_traceparent()
+    back = SpanContext.from_traceparent(hdr)
+    assert back == ctx
+    assert SpanContext.from_traceparent("garbage") is None
+
+
+def test_inject_extract():
+    tr = Tracer()
+    with tr.span("client"):
+        md = tr.inject([("x", "y")])
+    tp = dict(md)["traceparent"]
+    with tr.extract([("traceparent", tp)]) as ctx:
+        assert ctx is not None
+        with tr.span("server") as sp:
+            pass
+    assert sp.context.trace_id == tp.split("-")[1]
+
+
+def test_sampling_zero_exports_nothing():
+    tr = Tracer(sample_ratio=0.0)
+    with tr.span("s"):
+        pass
+    assert len(tr.finished) == 0
