@@ -40,6 +40,7 @@ from ..ops.topk import top_k_smallest
 from ..quantization import NoQuantizer, ProductQuantizer
 from ..quantization.pq import adc_scores
 from ..utils.ids import pack_u128s
+from ..utils import search_stats
 
 
 def _dedup_rows(dist, ids):
@@ -525,6 +526,12 @@ class IvfIndex:
         centroid HNSW picks `probe` and this scans them (the analog of
         spann/index.rs:253-265 search_with_centroids_and_remap)."""
         q = jnp.asarray(np.asarray(queries, np.float32))
+        if search_stats.active():
+            # blocks actually scanned = the reference's pages-accessed metric
+            counts = self.list_block_start[jnp.asarray(probe) + 1] - self.list_block_start[
+                jnp.asarray(probe)
+            ]
+            search_stats.add_blocks(np.asarray(jnp.sum(jnp.where(probe_ok, counts, 0))))
         valid = self.point_valid
         if filter_mask is not None:
             fm = jnp.asarray(np.asarray(filter_mask, bool))

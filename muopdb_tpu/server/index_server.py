@@ -27,6 +27,7 @@ from ..config import (
 from ..terms.planner import Filter
 from ..utils.ids import u128_from_parts, u128_from_uuid, u128_to_parts
 from ..utils.tracing import TRACER
+from ..utils.search_stats import record_stats
 from . import metrics
 from .collection_manager import CollectionManager
 from .proto import muopdb_pb2 as pb
@@ -204,12 +205,21 @@ class IndexServerImpl:
                 if req.HasField("where_document")
                 else None
             )
-            with col.get_snapshot() as snap:
-                res = snap.search_for_users(
-                    user_ids, q, k=k, num_explored_centroids=ne, where=where,
-                    centroid_distance_ratio=ratio,
-                )
-            resp = pb.SearchResponse()
+            pages = 0
+            if params.record_metrics:
+                with record_stats() as stats, col.get_snapshot() as snap:
+                    res = snap.search_for_users(
+                        user_ids, q, k=k, num_explored_centroids=ne, where=where,
+                        centroid_distance_ratio=ratio,
+                    )
+                pages = stats.blocks_accessed
+            else:
+                with col.get_snapshot() as snap:
+                    res = snap.search_for_users(
+                        user_ids, q, k=k, num_explored_centroids=ne, where=where,
+                        centroid_distance_ratio=ratio,
+                    )
+            resp = pb.SearchResponse(num_pages_accessed=pages)
             for row in res:
                 for doc, score in row:
                     resp.doc_ids.append(u128_to_id(doc))

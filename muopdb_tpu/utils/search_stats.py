@@ -1,0 +1,49 @@
+"""Per-request search statistics.
+
+Reference: SearchContext tracks distinct pages touched during a search and
+surfaces it as `num_pages_accessed` when `record_metrics` is set
+(index/src/utils.rs:9-66, muopdb.proto:139). The TPU analog of a "page" is
+a posting-list *block* DMA'd from HBM: scans report how many blocks they
+actually scanned into an ambient context (a contextvar, so concurrent
+requests don't mix).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SearchStats:
+    blocks_accessed: int = 0
+
+    def add_blocks(self, n: int) -> None:
+        self.blocks_accessed += int(n)
+
+
+_current: "contextvars.ContextVar[SearchStats | None]" = contextvars.ContextVar(
+    "muopdb_search_stats", default=None
+)
+
+
+@contextlib.contextmanager
+def record_stats():
+    """Enable stats collection for the enclosed search calls."""
+    stats = SearchStats()
+    token = _current.set(stats)
+    try:
+        yield stats
+    finally:
+        _current.reset(token)
+
+
+def add_blocks(n) -> None:
+    stats = _current.get()
+    if stats is not None:
+        stats.add_blocks(n)
+
+
+def active() -> bool:
+    return _current.get() is not None

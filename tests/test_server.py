@@ -308,3 +308,27 @@ def test_aggregator_two_shard_cluster(tmp_path, index_server):
         assert r0.low_ids[0] == 2
     finally:
         server.stop(0)
+
+
+def test_record_metrics_reports_pages(index_server):
+    stub = index_server["stub"]
+    _create(stub, "c8")
+    x = np.random.default_rng(7).standard_normal((30, 8)).astype(np.float32)
+    stub.Insert(
+        pb.InsertRequest(
+            collection_name="c8",
+            doc_ids=_ids(range(30)),
+            vectors=x.reshape(-1).tolist(),
+            user_ids=_ids([1]),
+        )
+    )
+    stub.Flush(pb.FlushRequest(collection_name="c8"))
+    sr = stub.Search(
+        pb.SearchRequest(
+            collection_name="c8",
+            vector=x[0].tolist(),
+            params=pb.SearchParams(top_k=3, num_explored_centroids=4, record_metrics=True),
+            user_ids=_ids([1]),
+        )
+    )
+    assert sr.num_pages_accessed > 0
