@@ -28,6 +28,12 @@ class EliasFano:
             return np.asarray([0, 0, 0], np.uint64).tobytes()
         if np.any(np.diff(a.astype(np.int64)) < 0):
             raise ValueError("EliasFano requires a monotone non-decreasing sequence")
+        from .. import native
+
+        if native.available():
+            out = native.ef_encode(a, int(universe) if universe else int(a[-1]) + 1)
+            if out is not None:
+                return out
         u = int(universe if universe is not None else int(a[-1]) + 1)
         u = max(u, int(a[-1]) + 1)
         l = max(0, int(np.floor(np.log2(max(u, 1) / n)))) if n else 0
@@ -54,6 +60,12 @@ class EliasFano:
 
     @staticmethod
     def decode(data: bytes) -> np.ndarray:
+        from .. import native
+
+        if native.available():
+            out = native.ef_decode(data)
+            if out is not None:
+                return out
         n, u, lb_len = (int(x) for x in np.frombuffer(data[:24], np.uint64))
         if n == 0:
             return np.zeros(0, np.uint64)

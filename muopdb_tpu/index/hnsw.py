@@ -109,7 +109,15 @@ def _heuristic_prune(
 
 def _add_reverse_edges(edges: np.ndarray, x: np.ndarray, m_max: int) -> np.ndarray:
     """Make edges bidirectional, trimming overflow by distance
-    (hnsw/builder.rs:258-295's insert+trim, batched)."""
+    (hnsw/builder.rs:258-295's insert+trim, batched).
+
+    Uses the native C++ pass when available (muopdb_tpu/native); the Python
+    loop below is the fallback and the behavioral spec."""
+    from .. import native
+
+    out = native.hnsw_finalize_edges(edges, x, m_max)
+    if out is not None:
+        return out
     n = edges.shape[0]
     adj = [set(row[row >= 0].tolist()) for row in edges]
     for src in range(n):

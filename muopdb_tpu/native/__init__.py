@@ -1,0 +1,117 @@
+"""ctypes bindings for the native host library (builds on first import).
+
+Provides C++ implementations of host-side hot loops (Elias-Fano codec, HNSW
+edge finalization); every caller has a pure-Python fallback, so a missing
+compiler degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "libmuopdb_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO):
+            try:
+                subprocess.run(
+                    ["make", "-C", _DIR], check=True, capture_output=True, timeout=120
+                )
+            except Exception as e:  # no compiler / build failure -> fallback
+                log.warning("native build failed, using Python fallbacks: %s", e)
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            log.warning("native load failed: %s", e)
+            return None
+        lib.ef_encode.restype = ctypes.c_int64
+        lib.ef_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64,
+        ]
+        lib.ef_decode.restype = ctypes.c_int64
+        lib.ef_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+        ]
+        lib.hnsw_finalize_edges.restype = None
+        lib.hnsw_finalize_edges.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def ef_encode(values: np.ndarray, universe: int) -> bytes | None:
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(values, np.uint64)
+    n = len(vals)
+    # worst case: header + n*64 lower bits + (top + n) upper bits
+    cap = 24 + 8 * n + (int(vals[-1]) if n else 0) // 8 + n // 8 + 64
+    out = np.empty(cap, np.uint8)
+    size = lib.ef_encode(
+        vals.ctypes.data_as(ctypes.c_void_p), n, universe,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if size < 0:
+        return None
+    return out[:size].tobytes()
+
+
+def ef_decode(data: bytes) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    if len(data) < 24:
+        return None
+    n = int(np.frombuffer(data[:8], np.uint64)[0])
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(max(n, 1), np.uint64)
+    got = lib.ef_decode(
+        buf.ctypes.data_as(ctypes.c_void_p), len(data),
+        out.ctypes.data_as(ctypes.c_void_p), len(out),
+    )
+    if got < 0:
+        return None
+    return out[:got]
+
+
+def hnsw_finalize_edges(fw: np.ndarray, vectors: np.ndarray, m_max: int) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    fw = np.ascontiguousarray(fw, np.int32)
+    vectors = np.ascontiguousarray(vectors, np.float32)
+    n, m = fw.shape
+    out = np.empty((n, m_max), np.int32)
+    lib.hnsw_finalize_edges(
+        fw.ctypes.data_as(ctypes.c_void_p), n, m,
+        vectors.ctypes.data_as(ctypes.c_void_p), vectors.shape[1],
+        m_max, out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

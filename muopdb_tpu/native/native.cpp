@@ -1,0 +1,159 @@
+// Native host-side hot loops for muopdb_tpu.
+//
+// The reference implements its entire host runtime in Rust; the TPU build
+// keeps device compute in XLA/Pallas and provides C++ for the host paths
+// where Python is the bottleneck:
+//
+//   * Elias-Fano encode/decode (compression/src/elias_fano/ef.rs:10-70) —
+//     term-index posting lists; byte format identical to the Python codec
+//     (muopdb_tpu/compression/elias_fano.py):
+//       u64 n | u64 universe | u64 lower_len_bytes | lower bits | upper bits
+//     with little-endian bit order inside each byte.
+//
+//   * HNSW edge finalization (hnsw/builder.rs:258-295's bidirectional
+//     insert + distance trim): the per-node reverse-adjacency pass that is
+//     quadratic-ish in Python at 1M nodes.
+//
+// Built as a plain shared library, loaded with ctypes (no pybind11 in the
+// image). `make` in this directory, or let muopdb_tpu.native autobuild.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Elias-Fano
+// ---------------------------------------------------------------------------
+
+static inline void set_bit_le(uint8_t* buf, uint64_t idx) {
+  buf[idx >> 3] |= (uint8_t)(1u << (idx & 7));
+}
+static inline int get_bit_le(const uint8_t* buf, uint64_t idx) {
+  return (buf[idx >> 3] >> (idx & 7)) & 1;
+}
+
+// Returns encoded size, or -1 if out_cap too small / input not monotone.
+int64_t ef_encode(const uint64_t* vals, uint64_t n, uint64_t universe,
+                  uint8_t* out, uint64_t out_cap) {
+  if (out_cap < 24) return -1;
+  if (n == 0) {
+    std::memset(out, 0, 24);
+    return 24;
+  }
+  for (uint64_t i = 1; i < n; i++)
+    if (vals[i] < vals[i - 1]) return -1;
+  uint64_t u = universe > vals[n - 1] ? universe : vals[n - 1] + 1;
+  uint64_t l = 0;
+  if (u / n > 1) l = (uint64_t)std::floor(std::log2((double)u / (double)n));
+
+  uint64_t lower_bits = n * l;
+  uint64_t lower_len = (lower_bits + 7) / 8;
+  uint64_t top = (vals[n - 1] >> l) + n;  // highest upper-bit position + 1
+  uint64_t upper_len = (top + 7) / 8;
+  uint64_t total = 24 + lower_len + upper_len;
+  if (out_cap < total) return -1;
+  std::memcpy(out, &n, 8);
+  std::memcpy(out + 8, &u, 8);
+  std::memcpy(out + 16, &lower_len, 8);
+  uint8_t* lower = out + 24;
+  uint8_t* upper = out + 24 + lower_len;
+  std::memset(lower, 0, lower_len);
+  std::memset(upper, 0, upper_len);
+  uint64_t mask = l ? ((1ull << l) - 1) : 0;
+  for (uint64_t i = 0; i < n; i++) {
+    if (l) {
+      uint64_t lo = vals[i] & mask;
+      uint64_t base = i * l;
+      for (uint64_t b = 0; b < l; b++)
+        if ((lo >> b) & 1) set_bit_le(lower, base + b);
+    }
+    set_bit_le(upper, (vals[i] >> l) + i);
+  }
+  return (int64_t)total;
+}
+
+// Returns number of decoded values, or -1 on malformed input.
+int64_t ef_decode(const uint8_t* data, uint64_t len, uint64_t* out,
+                  uint64_t out_cap) {
+  if (len < 24) return -1;
+  uint64_t n, u, lower_len;
+  std::memcpy(&n, data, 8);
+  std::memcpy(&u, data + 8, 8);
+  std::memcpy(&lower_len, data + 16, 8);
+  if (n == 0) return 0;
+  if (n > out_cap) return -1;
+  uint64_t l = 0;
+  if (u / n > 1) l = (uint64_t)std::floor(std::log2((double)u / (double)n));
+  const uint8_t* lower = data + 24;
+  const uint8_t* upper = data + 24 + lower_len;
+  uint64_t upper_bits = (len - 24 - lower_len) * 8;
+  uint64_t found = 0;
+  for (uint64_t pos = 0; pos < upper_bits && found < n; pos++) {
+    if (get_bit_le(upper, pos)) {
+      uint64_t hi = pos - found;
+      uint64_t lo = 0;
+      if (l) {
+        uint64_t base = found * l;
+        for (uint64_t b = 0; b < l; b++)
+          lo |= ((uint64_t)get_bit_le(lower, base + b)) << b;
+      }
+      out[found] = (hi << l) | lo;
+      found++;
+    }
+  }
+  return found == n ? (int64_t)n : -1;
+}
+
+// ---------------------------------------------------------------------------
+// HNSW edge finalization: bidirectional edges + distance trim
+// ---------------------------------------------------------------------------
+
+// fw: (n, m) forward edges (-1 pad). vectors: (n, d) f32 row-major.
+// out: (n, m_max) int32, -1 padded. Overflowing reverse sets are trimmed to
+// the m_max nearest (hnsw/builder.rs:258-295 semantics).
+void hnsw_finalize_edges(const int32_t* fw, int64_t n, int64_t m,
+                         const float* vectors, int64_t d, int32_t m_max,
+                         int32_t* out) {
+  std::vector<std::vector<int32_t>> adj(n);
+  for (int64_t i = 0; i < n; i++) adj[i].reserve(m_max + m);
+  for (int64_t src = 0; src < n; src++) {
+    for (int64_t j = 0; j < m; j++) {
+      int32_t dst = fw[src * m + j];
+      if (dst < 0) continue;
+      adj[src].push_back(dst);
+      adj[dst].push_back((int32_t)src);
+    }
+  }
+  std::vector<std::pair<float, int32_t>> scored;
+  for (int64_t i = 0; i < n; i++) {
+    auto& nb = adj[i];
+    std::sort(nb.begin(), nb.end());
+    nb.erase(std::unique(nb.begin(), nb.end()), nb.end());
+    int32_t* row = out + i * m_max;
+    for (int32_t j = 0; j < m_max; j++) row[j] = -1;
+    if ((int64_t)nb.size() <= m_max) {
+      for (size_t j = 0; j < nb.size(); j++) row[j] = nb[j];
+      continue;
+    }
+    scored.clear();
+    scored.reserve(nb.size());
+    const float* vi = vectors + i * d;
+    for (int32_t c : nb) {
+      const float* vc = vectors + (int64_t)c * d;
+      float dist = 0.f;
+      for (int64_t k = 0; k < d; k++) {
+        float diff = vi[k] - vc[k];
+        dist += diff * diff;
+      }
+      scored.emplace_back(dist, c);
+    }
+    std::partial_sort(scored.begin(), scored.begin() + m_max, scored.end());
+    for (int32_t j = 0; j < m_max; j++) row[j] = scored[j].second;
+  }
+}
+
+}  // extern "C"

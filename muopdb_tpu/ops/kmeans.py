@@ -92,11 +92,10 @@ def kmeans(
         centroids, _, counts, it, _ = state
         dist = l2_distance(x, centroids)  # (N, k)
         assign, damped_counts = _penalized_assign(dist, counts)
-        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # (N, k)
-        new_counts = jnp.sum(one_hot, axis=0)  # (k,)
-        sums = jax.lax.dot_general(
-            one_hot, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (k, d)
+        # scatter-add update: avoids materializing an (N, k) one-hot in HBM
+        # (the update is bandwidth-bound, not FLOP-bound)
+        new_counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
+        sums = jnp.zeros((k, x.shape[1]), jnp.float32).at[assign].add(x)
         new_centroids = sums / jnp.maximum(new_counts[:, None], 1.0)
 
         # Rescue empty clusters by re-seeding from the *largest* cluster's

@@ -1,0 +1,51 @@
+"""Native C++ library: format-compatible with the Python codecs."""
+
+import numpy as np
+import pytest
+
+from muopdb_tpu import native
+from muopdb_tpu.compression import EliasFano
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+
+
+def test_native_ef_roundtrip(rng):
+    vals = np.unique(rng.integers(0, 100_000, 2000)).astype(np.uint64)
+    enc = native.ef_encode(vals, int(vals[-1]) + 1)
+    assert enc is not None
+    out = native.ef_decode(enc)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_native_ef_interops_with_python(rng):
+    vals = np.unique(rng.integers(0, 50_000, 500)).astype(np.uint64)
+    # python-encoded -> native-decoded
+    py = EliasFano.encode(vals)
+    np.testing.assert_array_equal(native.ef_decode(py), vals)
+    # native-encoded -> python-decoded
+    nat = native.ef_encode(vals, int(vals[-1]) + 1)
+    np.testing.assert_array_equal(EliasFano.decode(nat), vals)
+
+
+def test_native_ef_empty():
+    enc = native.ef_encode(np.zeros(0, np.uint64), 0)
+    assert len(native.ef_decode(enc)) == 0
+
+
+def test_native_hnsw_finalize(rng):
+    n, m, d, m_max = 50, 4, 8, 6
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    fw = rng.integers(0, n, (n, m)).astype(np.int32)
+    out = native.hnsw_finalize_edges(fw, x, m_max)
+    assert out.shape == (n, m_max)
+    # bidirectionality: every forward edge src->dst appears in dst's row
+    # unless dst's row overflowed (trimmed to m_max nearest)
+    for src in range(n):
+        for dst in fw[src]:
+            row = out[dst]
+            if (row >= 0).sum() < m_max:
+                assert src in row.tolist()
+    # no duplicate neighbors
+    for i in range(n):
+        row = out[i][out[i] >= 0]
+        assert len(set(row.tolist())) == len(row)
