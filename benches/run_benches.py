@@ -1,0 +1,199 @@
+"""Micro/meso benchmark suite (the rs/benchmarks + */benches analog).
+
+Harnesses mirroring the reference's criterion benches:
+  insertion          10k x 128-d insert + flush          (benchmarks/src/insertion.rs:11-80)
+  wal_insertion      1000 concurrent tasks, group commit (benchmarks/src/wal_insertion.rs:18-80)
+  deletion_vacuum    delete 20% then vacuum              (benchmarks/src/{deletion_and_vacuum,vacuum}.rs)
+  distance           batched L2/dot device microbench    (utils/benches/{l2,dot_product}.rs)
+  kmeans             penalized Lloyd on device           (utils/benches/kmeans.rs)
+  pq_distance        ADC scoring paths                   (quantization/benches/pq_dist.rs)
+  elias_fano         EF encode/decode (native vs python) (compression benches)
+
+Usage: python -m benches.run_benches [name ...]   (default: all)
+Prints one JSON line per bench: {"bench": ..., "value": ..., "unit": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def _report(name, value, unit, **extra):
+    print(json.dumps({"bench": name, "value": round(value, 3), "unit": unit, **extra}))
+
+
+def bench_insertion():
+    from muopdb_tpu.collection.collection import Collection
+    from muopdb_tpu.config import CollectionConfig
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((10_000, 128)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        col = Collection(
+            "bench",
+            d + "/c",
+            CollectionConfig(num_features=128, initial_num_centroids=32,
+                             posting_list_block_rows=256),
+        )
+        t0 = time.time()
+        col.insert_for_users([0], list(range(10_000)), x)
+        col.flush()
+        dt = time.time() - t0
+    _report("insertion_10k_flush", 10_000 / dt, "docs/s", seconds=round(dt, 2))
+
+
+def bench_wal_insertion():
+    import threading
+
+    from muopdb_tpu.collection.wal import Wal, WalEntry, WalWriteCoordinator
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((1000, 128)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        wal = Wal(d, max_file_size=1 << 20)
+        coord = WalWriteCoordinator(wal, group_size=940)
+        t0 = time.time()
+        threads = [
+            threading.Thread(
+                target=lambda i=i: coord.append(WalEntry.insert([i], [0], vecs[i]))
+            )
+            for i in range(1000)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.time() - t0
+        wal.close()
+    _report("wal_insertion_1000_concurrent", 1000 / dt, "appends/s", seconds=round(dt, 2))
+
+
+def bench_deletion_vacuum():
+    from muopdb_tpu.collection.collection import Collection
+    from muopdb_tpu.config import CollectionConfig
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5_000, 64)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        col = Collection(
+            "bench", d + "/c",
+            CollectionConfig(num_features=64, initial_num_centroids=16,
+                             posting_list_block_rows=256),
+        )
+        col.insert_for_users([0], list(range(5_000)), x)
+        col.flush()
+        t0 = time.time()
+        col.remove(0, list(range(1_000)))
+        [name] = [s["name"] for s in col.segment_infos()]
+        col.run_optimizer([name], "vacuum")
+        dt = time.time() - t0
+    _report("deletion_and_vacuum_5k", dt, "seconds")
+
+
+def bench_distance():
+    import jax
+    import jax.numpy as jnp
+
+    from muopdb_tpu.ops.distance import dot_distance, l2_distance
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((100_000, 128)).astype(np.float32))
+    for name, fn in [("l2", l2_distance), ("dot", dot_distance)]:
+        fn(q, x).block_until_ready()
+        t0 = time.time()
+        for _ in range(20):
+            fn(q, x).block_until_ready()
+        dt = (time.time() - t0) / 20
+        gflops = 2 * 128 * 100_000 * 128 / dt / 1e9
+        _report(f"distance_{name}_128x100k", gflops, "GFLOP/s", ms=round(dt * 1e3, 2))
+
+
+def bench_kmeans():
+    import jax
+    import jax.numpy as jnp
+
+    from muopdb_tpu.ops.kmeans import kmeans
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((100_000, 128)).astype(np.float32))
+    kmeans(x, 256, key=jax.random.key(0), max_iter=10).centroids.block_until_ready()
+    t0 = time.time()
+    kmeans(x, 256, key=jax.random.key(1), max_iter=10).centroids.block_until_ready()
+    dt = time.time() - t0
+    _report("kmeans_100k_k256_10iter", dt, "seconds")
+
+
+def bench_pq_distance():
+    import jax
+    import jax.numpy as jnp
+
+    from muopdb_tpu.ops.pallas.adc import adc_full_scan, adc_full_scan_xla
+    from muopdb_tpu.quantization.pq import adc_scores
+
+    rng = np.random.default_rng(0)
+    b, m, ksub, n = 128, 16, 256, 100_000
+    lut = jnp.asarray(rng.random((b, m, ksub)).astype(np.float32))
+    codes = rng.integers(0, ksub, (n, m)).astype(np.int32)
+    codes_t = jnp.asarray(np.ascontiguousarray(codes.T))
+    pad = (-n) % 512
+    codes_t = jnp.pad(codes_t, ((0, 0), (0, pad)))
+    on_tpu = jax.default_backend() not in ("cpu",)
+    impls = [("gather", lambda: adc_scores(lut, jnp.asarray(codes)))]
+    if on_tpu:
+        impls.append(("pallas_onehot_mxu", lambda: adc_full_scan(lut, codes_t)))
+    else:
+        impls.append(("xla_onehot", lambda: adc_full_scan_xla(lut, codes_t)))
+    for name, fn in impls:
+        fn().block_until_ready()
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            fn().block_until_ready()
+        dt = (time.time() - t0) / reps
+        _report(f"pq_adc_{name}_128x100k", 1e3 * dt, "ms")
+
+
+def bench_elias_fano():
+    from muopdb_tpu import native
+    from muopdb_tpu.compression import EliasFano
+
+    rng = np.random.default_rng(0)
+    vals = np.unique(rng.integers(0, 10_000_000, 1_000_000)).astype(np.uint64)
+    t0 = time.time()
+    enc = EliasFano.encode(vals)
+    t_enc = time.time() - t0
+    t0 = time.time()
+    out = EliasFano.decode(enc)
+    t_dec = time.time() - t0
+    assert len(out) == len(vals)
+    _report(
+        "elias_fano_1m",
+        len(vals) / t_dec / 1e6,
+        "Mints/s decode",
+        encode_s=round(t_enc, 3),
+        native=native.available(),
+        bytes_per_int=round(len(enc) / len(vals), 2),
+    )
+
+
+ALL = {
+    "insertion": bench_insertion,
+    "wal_insertion": bench_wal_insertion,
+    "deletion_vacuum": bench_deletion_vacuum,
+    "distance": bench_distance,
+    "kmeans": bench_kmeans,
+    "pq_distance": bench_pq_distance,
+    "elias_fano": bench_elias_fano,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    for n in names:
+        ALL[n]()

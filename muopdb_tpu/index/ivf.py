@@ -225,116 +225,120 @@ def _probe(queries, centroids, *, nprobe: int, centroid_distance_ratio: float = 
     return probe, probe_ok
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_blocks", "block_rows", "chunk", "dedup"))
+@functools.partial(jax.jit, static_argnames=("p_cap", "max_blocks"))
+def _expand_probes_to_blocks(probe, probe_ok, list_block_start, *, p_cap: int, max_blocks: int):
+    """Expand probed posting lists into a *bounded* per-query block set.
+
+    Lists are ragged in blocks; gathering (nprobe, max_blocks) rectangles
+    explodes memory under skew. Instead each query gets its first `p_cap`
+    real blocks in probe order — compact index arithmetic only, no data
+    movement. Overflow beyond p_cap is dropped (bounded-work probing; cap is
+    sized from nprobe * average blocks/list so balanced indexes lose
+    nothing). Returns (blocks (B, p_cap) int32, ok (B, p_cap) bool).
+    """
+    b, nprobe = probe.shape
+    starts = list_block_start[probe]  # (B, nprobe)
+    counts = list_block_start[probe + 1] - starts
+    offs = jnp.arange(max_blocks, dtype=jnp.int32)
+    blocks = (starts[:, :, None] + offs[None, None, :]).reshape(b, -1)
+    ok = ((offs[None, None, :] < counts[:, :, None]) & probe_ok[:, :, None]).reshape(b, -1)
+    # stable-select the first p_cap valid entries per row (probe-major order)
+    rank = jnp.arange(blocks.shape[1], dtype=jnp.int32)
+    key = jnp.where(ok, rank, jnp.int32(2**30))
+    order = jnp.argsort(key, axis=1)[:, :p_cap]
+    sel_blocks = jnp.take_along_axis(blocks, order, 1)
+    sel_ok = jnp.take_along_axis(ok, order, 1)
+    return sel_blocks, sel_ok
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "chunk", "dedup"))
 def _scan_flat(
     queries,  # (B, d) f32
-    probe,  # (B, nprobe) int32 posting-list ids
-    probe_ok,  # (B, nprobe) bool
+    blocks,  # (B, P) int32 block ids to scan (clamped in-range)
+    bok,  # (B, P) bool
     pl_vectors,  # (num_blocks, block_rows, d)
     pos_to_point,  # (num_blocks, block_rows) int32, -1 pad
-    list_block_start,  # (C+1,) int32
     point_valid,  # (N,) bool
     *,
     k: int,
-    max_blocks: int,
     block_rows: int,
     chunk: int,
     dedup: bool = False,
 ):
-    """Scan probed posting lists: static-shape gather + one distance matmul +
+    """Scan the given blocks: static-shape gather + one distance matmul +
     masked top-k per query chunk. Returns (dists (B,k), point_ids (B,k))."""
     b, d = queries.shape
-    nprobe = probe.shape[1]
+    P = blocks.shape[1]
     nb = pl_vectors.shape[0]
-    starts = list_block_start[probe]  # (B, nprobe)
-    counts = list_block_start[probe + 1] - starts  # (B, nprobe)
 
     def scan_chunk(args):
-        q_c, starts_c, counts_c, probe_ok_c = args
-        # block index grid: (chunk, nprobe, max_blocks)
-        offs = jnp.arange(max_blocks, dtype=jnp.int32)
-        blocks = starts_c[:, :, None] + offs[None, None, :]
-        bmask = (offs[None, None, :] < counts_c[:, :, None]) & probe_ok_c[:, :, None]
-        blocks = jnp.clip(blocks, 0, nb - 1)
-        flat_blocks = blocks.reshape(q_c.shape[0], -1)  # (chunk, P)
-        vecs = pl_vectors[flat_blocks]  # (chunk, P, rows, d)
-        pts = pos_to_point[flat_blocks]  # (chunk, P, rows)
+        q_c, blk_c, ok_c = args
+        cb = q_c.shape[0]
+        blk_c = jnp.clip(blk_c, 0, nb - 1)
+        vecs = pl_vectors[blk_c]  # (cb, P, rows, d)
+        pts = pos_to_point[blk_c]  # (cb, P, rows)
         cand_valid = (
-            bmask.reshape(q_c.shape[0], -1)[:, :, None]
+            ok_c[:, :, None]
             & (pts >= 0)
             & point_valid[jnp.clip(pts, 0, point_valid.shape[0] - 1)]
         )
-        # distances: one dot_general per query over all its candidates
-        P = flat_blocks.shape[1]
-        vflat = vecs.reshape(q_c.shape[0], P * block_rows, d)
+        vflat = vecs.reshape(cb, P * block_rows, d)
         dist = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(q_c, vflat)
-        dist = jnp.where(cand_valid.reshape(q_c.shape[0], -1), dist, jnp.inf)
-        ids = pts.reshape(q_c.shape[0], -1)
+        dist = jnp.where(cand_valid.reshape(cb, -1), dist, jnp.inf)
+        ids = pts.reshape(cb, -1)
         if dedup:
             dist, ids = _dedup_rows(dist, ids)
         return top_k_smallest(dist, ids, k)
 
-    # pad B to a multiple of chunk and lax.map over chunks to bound memory
     pad = (-b) % chunk
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
-    sp = jnp.pad(starts, ((0, pad), (0, 0)))
-    cp = jnp.pad(counts, ((0, pad), (0, 0)))
-    op = jnp.pad(probe_ok, ((0, pad), (0, 0)))
+    bp = jnp.pad(blocks, ((0, pad), (0, 0)))
+    op = jnp.pad(bok, ((0, pad), (0, 0)))
     nchunks = (b + pad) // chunk
     res_d, res_i = jax.lax.map(
         scan_chunk,
         (
             qp.reshape(nchunks, chunk, d),
-            sp.reshape(nchunks, chunk, nprobe),
-            cp.reshape(nchunks, chunk, nprobe),
-            op.reshape(nchunks, chunk, nprobe),
+            bp.reshape(nchunks, chunk, P),
+            op.reshape(nchunks, chunk, P),
         ),
     )
     return res_d.reshape(-1, k)[:b], res_i.reshape(-1, k)[:b]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_blocks", "block_rows", "chunk", "dedup"))
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "chunk", "dedup"))
 def _scan_pq(
     queries,
     lut,  # (B, m, ksub) precomputed ADC tables
-    probe,  # (B, nprobe) int32
-    probe_ok,  # (B, nprobe) bool
+    blocks,  # (B, P) int32
+    bok,  # (B, P) bool
     pl_codes,  # (num_blocks, block_rows, m) uint8|int8
     pos_to_point,
-    list_block_start,
     point_valid,
     *,
     k: int,
-    max_blocks: int,
     block_rows: int,
     chunk: int,
     dedup: bool = False,
 ):
-    """ADC scan over PQ code blocks (BASELINE.md north-star path)."""
+    """ADC scan over the given PQ code blocks (BASELINE.md north-star path)."""
     b = queries.shape[0]
-    nprobe = probe.shape[1]
+    P = blocks.shape[1]
     nb = pl_codes.shape[0]
     m = pl_codes.shape[-1]
     ksub = lut.shape[-1]
-    starts = list_block_start[probe]
-    counts = list_block_start[probe + 1] - starts
 
     def scan_chunk(args):
-        q_lut, starts_c, counts_c, probe_ok_c = args
+        q_lut, blk_c, ok_c = args
         cb = q_lut.shape[0]
-        offs = jnp.arange(max_blocks, dtype=jnp.int32)
-        blocks = starts_c[:, :, None] + offs[None, None, :]
-        bmask = (offs[None, None, :] < counts_c[:, :, None]) & probe_ok_c[:, :, None]
-        blocks = jnp.clip(blocks, 0, nb - 1)
-        flat_blocks = blocks.reshape(cb, -1)  # (cb, P)
-        codes = pl_codes[flat_blocks]  # (cb, P, rows, m)
-        pts = pos_to_point[flat_blocks]
+        blk_c = jnp.clip(blk_c, 0, nb - 1)
+        codes = pl_codes[blk_c]  # (cb, P, rows, m)
+        pts = pos_to_point[blk_c]
         cand_valid = (
-            bmask.reshape(cb, -1)[:, :, None]
+            ok_c[:, :, None]
             & (pts >= 0)
             & point_valid[jnp.clip(pts, 0, point_valid.shape[0] - 1)]
         )
-        P = flat_blocks.shape[1]
         codes_flat = codes.reshape(cb, P * block_rows, m)
         # per-query ADC: scores[c, n] = sum_m lut[c, m, codes[c, n, m]]
         dist = jax.vmap(lambda l, c: adc_scores(l[None], c)[0])(q_lut, codes_flat)
@@ -346,17 +350,15 @@ def _scan_pq(
 
     pad = (-b) % chunk
     lp = jnp.pad(lut, ((0, pad), (0, 0), (0, 0)))
-    sp = jnp.pad(starts, ((0, pad), (0, 0)))
-    cp = jnp.pad(counts, ((0, pad), (0, 0)))
-    op = jnp.pad(probe_ok, ((0, pad), (0, 0)))
+    bp = jnp.pad(blocks, ((0, pad), (0, 0)))
+    op = jnp.pad(bok, ((0, pad), (0, 0)))
     nchunks = (b + pad) // chunk
     res_d, res_i = jax.lax.map(
         scan_chunk,
         (
             lp.reshape(nchunks, chunk, m, ksub),
-            sp.reshape(nchunks, chunk, nprobe),
-            cp.reshape(nchunks, chunk, nprobe),
-            op.reshape(nchunks, chunk, nprobe),
+            bp.reshape(nchunks, chunk, P),
+            op.reshape(nchunks, chunk, P),
         ),
     )
     return res_d.reshape(-1, k)[:b], res_i.reshape(-1, k)[:b]
@@ -537,19 +539,29 @@ class IvfIndex:
             fm = jnp.asarray(np.asarray(filter_mask, bool))
             fm = jnp.pad(fm, (0, valid.shape[0] - fm.shape[0]))
             valid = valid & fm
+        # expand probed lists to a bounded block set: cap at
+        # nprobe * (avg blocks per list + 1) so skewed lists cannot explode
+        # the gather (bounded-work probing)
+        nprobe = probe.shape[1]
+        nb = int(self.pl_data.shape[0])
+        nlists = int(self.centroids.shape[0])
+        avg_blocks = max(1, -(-nb // max(nlists, 1)))
+        p_cap = min(nb, nprobe * (avg_blocks + 1))
+        blocks, bok = _expand_probes_to_blocks(
+            jnp.asarray(probe), jnp.asarray(probe_ok), self.list_block_start,
+            p_cap=p_cap, max_blocks=self.max_blocks,
+        )
         if isinstance(self.quantizer, ProductQuantizer):
             lut = self.quantizer.compute_lut(q, self.distance_type)
             d, i = _scan_pq(
                 q,
                 lut,
-                probe,
-                probe_ok,
+                blocks,
+                bok,
                 self.pl_data,
                 self.pos_to_point,
-                self.list_block_start,
                 valid,
                 k=k,
-                max_blocks=self.max_blocks,
                 block_rows=self.block_rows,
                 chunk=chunk,
                 dedup=self.needs_dedup,
@@ -557,14 +569,12 @@ class IvfIndex:
         else:
             d, i = _scan_flat(
                 q,
-                probe,
-                probe_ok,
+                blocks,
+                bok,
                 self.pl_data,
                 self.pos_to_point,
-                self.list_block_start,
                 valid,
                 k=k,
-                max_blocks=self.max_blocks,
                 block_rows=self.block_rows,
                 chunk=chunk,
                 dedup=self.needs_dedup,
