@@ -23,6 +23,13 @@ import os
 import sys
 import time
 
+
+def _log(msg):
+    print(f"[bench +{time.time()-_T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
 import numpy as np
 
 RUST_CPU_BASELINE_QPS = 1500.0
@@ -60,10 +67,12 @@ def main():
     from muopdb_tpu.index.ivf import IvfBuilder, IvfBuildConfig
     from muopdb_tpu.quantization import ProductQuantizer
 
+    _log("data generated; training PQ")
     t0 = time.time()
     pq = ProductQuantizer(dim=d, subvector_dim=d // m, num_bits=8).train(
         x, max_iter=15, num_training_rows=100_000
     )
+    _log("PQ trained; clustering IVF")
     builder = IvfBuilder(
         IvfBuildConfig(
             num_centroids=nlist,
@@ -77,6 +86,7 @@ def main():
     builder.add_batch(np.arange(n), x)
     index = builder.build(quantizer=pq)
     build_s = time.time() - t0
+    _log(f"index built in {build_s:.0f}s; computing ground truth")
 
     # ---- exact ground truth on device (chunked)
     from muopdb_tpu.ops.distance import l2_distance
@@ -92,6 +102,7 @@ def main():
         cd, ci = top_k_smallest(dd, jnp.arange(s, s + xc.shape[0], dtype=jnp.int32), k)
         gt_d, gt_i = merge_top_k(gt_d, gt_i, cd, ci, k)
     gt = np.asarray(gt_i)
+    _log("ground truth done; warming batched search")
 
     # ---- timed search: fused whole-index ADC sweep + exact rerank (the
     # high-throughput plan; see IvfIndex.search_batched)
@@ -103,6 +114,7 @@ def main():
         return ii
 
     ii = run()  # warmup & compile
+    _log("batched search compiled; timing")
     reps = 10
     t0 = time.time()
     for _ in range(reps):
@@ -123,6 +135,7 @@ def main():
         jax.block_until_ready((dd, ii))
         return ii
 
+    _log("timing probed path")
     ii_p = run_probed()
     t0 = time.time()
     for _ in range(3):

@@ -419,6 +419,19 @@ class IvfIndex:
             sel = pos >= 0
             codes[pos[sel]] = data[sel].astype(np.int32)
             self._codes_t = jnp.asarray(codes.T)  # (m, N)
+        # owning posting list per point (first assignment): lets the probed
+        # plan run as full-scan + probe mask at large batch sizes
+        if num_points > 0:
+            owner = np.zeros(num_points, np.int32)
+            starts_np = np.asarray(self.list_block_start)
+            pos_np = np.asarray(self.pos_to_point)
+            for li in range(len(starts_np) - 1):
+                pts = pos_np[starts_np[li] : starts_np[li + 1]].reshape(-1)
+                pts = pts[pts >= 0]
+                owner[pts] = li
+            self.point_owner = jnp.asarray(owner)
+        else:
+            self.point_owner = jnp.zeros((1,), jnp.int32)
 
     # -- construction ----------------------------------------------------
     @classmethod
@@ -510,6 +523,7 @@ class IvfIndex:
         centroid_distance_ratio: float = -1.0,
         chunk: int = 8,
         filter_mask=None,
+        rerank: int = 0,
     ):
         """Returns (dists (B, k), point_ids (B, k)); invalid slots have
         point_id -1 and +inf distance.
@@ -521,7 +535,36 @@ class IvfIndex:
         probe, probe_ok = _probe(
             q, self.centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
         )
+        # plan selection: when the batch collectively probes a large share
+        # of the index, a whole-index fused sweep + per-query probe mask is
+        # cheaper than per-query gathers (batch * nprobe >= #lists means the
+        # batch touches ~every list)
+        if (
+            isinstance(self.quantizer, ProductQuantizer)
+            and rerank >= 0
+            and q.shape[0] * nprobe >= self.centroids.shape[0]
+        ):
+            return self._search_probed_masked(
+                q, probe, probe_ok, k=k, rerank=rerank, filter_mask=filter_mask
+            )
         return self.search_with_probes(q, probe, probe_ok, k=k, chunk=chunk, filter_mask=filter_mask)
+
+    def _search_probed_masked(self, q, probe, probe_ok, *, k: int, rerank: int, filter_mask=None):
+        """Probed search as full-sweep + probe mask: identical semantics to
+        the gather plan (only probed lists contribute) at full-scan speed."""
+        n = self.num_points
+        c = self.centroids.shape[0]
+        scores = self._full_adc_scores(q)
+        probe_sel = jnp.zeros((q.shape[0], c), bool).at[
+            jnp.arange(q.shape[0])[:, None], probe
+        ].set(probe_ok)
+        point_probed = probe_sel[:, self.point_owner]  # (B, N)
+        valid = self.point_valid[:n]
+        if filter_mask is not None:
+            fm = jnp.asarray(np.asarray(filter_mask, bool))
+            valid = valid & jnp.pad(fm, (0, n - fm.shape[0]))
+        scores = jnp.where(point_probed & valid[None, :], scores, jnp.inf)
+        return self._finish_scored(q, scores, k, rerank)
 
     def search_with_probes(self, queries, probe, probe_ok, *, k: int = 10, chunk: int = 8, filter_mask=None):
         """Scan explicitly-probed posting lists. SPANN entry point: the
@@ -581,6 +624,36 @@ class IvfIndex:
             )
         return d, jnp.where(jnp.isinf(d), -1, i)
 
+    def _finish_scored(self, q, scores, k: int, rerank: int):
+        """Top-k (+ optional exact rerank) over a full (B, N) score matrix."""
+        n = self.num_points
+        ids = jnp.arange(n, dtype=jnp.int32)
+        if rerank and self.raw_vectors is not None and isinstance(self.quantizer, ProductQuantizer):
+            r = min(max(rerank, k), n)
+            neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
+            cd = -neg
+            cand_vecs = self.raw_vectors[ci]
+            exact = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(q, cand_vecs)
+            exact = jnp.where(jnp.isfinite(cd), exact, jnp.inf)
+            d, i = top_k_smallest(exact, ci.astype(jnp.int32), k)
+        else:
+            d, i = top_k_smallest(scores, ids, k)
+        return d, jnp.where(jnp.isinf(d), -1, i)
+
+    def _full_adc_scores(self, q):
+        from ..ops.pallas.adc import adc_full_scan, adc_full_scan_xla
+
+        n = self.num_points
+        block_r = 512
+        pad = (-n) % block_r
+        codes_t = jnp.pad(self._codes_t, ((0, 0), (0, pad)))
+        lut = self.quantizer.compute_lut(q, self.distance_type)
+        if jax.default_backend() not in ("cpu",):
+            scores = adc_full_scan(lut, codes_t, block_r=block_r)
+        else:
+            scores = adc_full_scan_xla(lut, codes_t, block_r=block_r)
+        return scores[:, :n]
+
     def search_batched(self, queries, k: int = 10, *, rerank: int = 0):
         """Whole-index batched scan — the high-throughput plan.
 
@@ -601,15 +674,7 @@ class IvfIndex:
         use_pallas = jax.default_backend() not in ("cpu",)
         if isinstance(self.quantizer, ProductQuantizer):
             assert self._codes_t is not None
-            block_r = 512
-            pad = (-n) % block_r
-            codes_t = jnp.pad(self._codes_t, ((0, 0), (0, pad)))
-            lut = self.quantizer.compute_lut(q, self.distance_type)
-            if use_pallas:
-                scores = adc_full_scan(lut, codes_t, block_r=block_r)
-            else:
-                scores = adc_full_scan_xla(lut, codes_t, block_r=block_r)
-            scores = scores[:, :n]
+            scores = self._full_adc_scores(q)
         else:
             assert self.raw_vectors is not None
             block_r = 1024
@@ -620,17 +685,7 @@ class IvfIndex:
             else:
                 scores = pairwise_distance(q, self.raw_vectors, self.distance_type)
         scores = jnp.where(self.point_valid[None, :n], scores, jnp.inf)
-        ids = jnp.arange(n, dtype=jnp.int32)
-        if rerank and self.raw_vectors is not None and isinstance(self.quantizer, ProductQuantizer):
-            r = min(max(rerank, k), n)
-            cd, ci = top_k_smallest(scores, ids, r)  # ADC candidates
-            cand_vecs = self.raw_vectors[ci]  # (B, R, d)
-            exact = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(q, cand_vecs)
-            exact = jnp.where(jnp.isfinite(cd), exact, jnp.inf)
-            d, i = top_k_smallest(exact, ci, k)
-        else:
-            d, i = top_k_smallest(scores, ids, k)
-        return d, jnp.where(jnp.isinf(d), -1, i)
+        return self._finish_scored(q, scores, k, rerank)
 
     def search_doc_ids(self, queries, k: int = 10, nprobe: int = 10, **kw):
         """Search and remap point ids -> u128 doc ids (host-side remap, the
