@@ -322,6 +322,55 @@ class HnswIndex:
             max_hops=max_hops,
         )
 
+    def reindex_bfs(self) -> "HnswIndex":
+        """Reorder point ids by BFS from the entry point so graph-adjacent
+        nodes get adjacent ids (hnsw/builder.rs:100-218's reindex pass).
+
+        On TPU this improves HBM gather locality during beam search the same
+        way it improves page locality on disk for the reference.
+        """
+        import collections
+
+        n = self.num_points
+        edges0 = np.asarray(self.layer_edges[0])
+        order = np.full(n, -1, np.int64)  # old -> new
+        nxt = 0
+        seen = np.zeros(n, bool)
+        queue = collections.deque([self.entry_point])
+        seen[self.entry_point] = True
+        while queue or nxt < n:
+            if not queue:  # disconnected component: seed next unseen
+                rest = np.nonzero(~seen)[0]
+                queue.append(int(rest[0]))
+                seen[rest[0]] = True
+            cur = queue.popleft()
+            order[cur] = nxt
+            nxt += 1
+            for nb in edges0[cur]:
+                if nb >= 0 and not seen[nb]:
+                    seen[nb] = True
+                    queue.append(int(nb))
+        inv = np.argsort(order)  # new -> old
+        remap = order  # old -> new
+
+        def remap_edges(e):
+            e = np.asarray(e)
+            out = np.full_like(e, -1)
+            out[remap] = np.where(e >= 0, remap[np.clip(e, 0, None)], -1)
+            return out
+
+        new_layers = [remap_edges(e) for e in self.layer_edges]
+        idx = HnswIndex(
+            np.asarray(self.vectors)[inv],
+            new_layers,
+            int(remap[self.entry_point]),
+            self.doc_ids[inv],
+            self.distance_type,
+            self.config,
+        )
+        idx.valid = jnp.asarray(np.asarray(self.valid)[inv])
+        return idx
+
     # -- persistence -----------------------------------------------------
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)

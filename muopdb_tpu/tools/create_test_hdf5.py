@@ -1,0 +1,53 @@
+"""Generate clustered synthetic HDF5 test datasets.
+
+Reference: py/create_test_hdf5.py:5-40 (clustered synthetic vectors for
+deterministic recall tests) and py/create_1m_hdf5.py (1M embedding file for
+the demo). Usage:
+
+  python -m muopdb_tpu.tools.create_test_hdf5 --out test.h5 --n 10000 \\
+      --dim 128 --clusters 64 [--queries 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def make_clustered(n: int, dim: int, clusters: int, seed: int = 0, spread: float = 2.0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((clusters, dim)).astype(np.float32) * spread
+    assign = rng.integers(0, clusters, n)
+    return centers[assign] + rng.standard_normal((n, dim)).astype(np.float32)
+
+
+def main():
+    import h5py
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=10_000)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--clusters", type=int, default=64)
+    p.add_argument("--queries", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    x = make_clustered(args.n, args.dim, args.clusters, args.seed)
+    rng = np.random.default_rng(args.seed + 1)
+    q = x[rng.choice(args.n, args.queries, replace=False)] + 0.1 * rng.standard_normal(
+        (args.queries, args.dim)
+    ).astype(np.float32)
+    # exact ground truth for recall checks
+    gt = np.argsort(((q[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, :100].astype(np.int64)
+
+    with h5py.File(args.out, "w") as f:
+        f.create_dataset("train", data=x)
+        f.create_dataset("test", data=q)
+        f.create_dataset("neighbors", data=gt)
+    print(f"wrote {args.out}: train={x.shape} test={q.shape} neighbors={gt.shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,3 +69,23 @@ def test_hnsw_single_point():
     d, ids = idx.search(np.asarray([[1, 2, 3, 4]], np.float32), k=1)
     assert np.asarray(ids)[0, 0] == 0
     assert np.asarray(d)[0, 0] < 1e-5
+
+
+def test_hnsw_bfs_reindex_preserves_results(rng):
+    x, idx = _build(rng, n=400, d=16)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    d1, i1 = idx.search(q, k=5, ef_search=64)
+    r = idx.reindex_bfs()
+    d2, i2 = r.search(q, k=5, ef_search=64)
+    # same neighbors modulo the id permutation: compare via doc ids
+    docs1 = [[r1 for r1 in idx.doc_ids[np.asarray(i1)[row]][:, 0]] for row in range(4)]
+    docs2 = [[r2 for r2 in r.doc_ids[np.asarray(i2)[row]][:, 0]] for row in range(4)]
+    for a, b in zip(docs1, docs2):
+        assert set(int(v) for v in a) == set(int(v) for v in b)
+    # BFS locality: neighbor id deltas shrink on average
+    e_old = np.asarray(idx.layer_edges[0])
+    e_new = np.asarray(r.layer_edges[0])
+    ids_old = np.arange(e_old.shape[0])[:, None]
+    gap_old = np.abs(np.where(e_old >= 0, e_old - ids_old, 0)).mean()
+    gap_new = np.abs(np.where(e_new >= 0, e_new - ids_old, 0)).mean()
+    assert gap_new <= gap_old
