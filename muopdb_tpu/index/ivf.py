@@ -364,6 +364,70 @@ def _scan_pq(
     return res_d.reshape(-1, k)[:b], res_i.reshape(-1, k)[:b]
 
 
+def _adc_scores_full(lut, codes_t_padded, n, use_pallas: bool):
+    from ..ops.pallas.adc import adc_full_scan, adc_full_scan_xla
+
+    if use_pallas:
+        return adc_full_scan(lut, codes_t_padded)[:, :n]
+    return adc_full_scan_xla(lut, codes_t_padded)[:, :n]
+
+
+def _finish(q, scores, raw_vectors, k: int, rerank: int):
+    n = scores.shape[1]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    if rerank:
+        r = min(max(rerank, k), n)
+        neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
+        cd = -neg
+        cand_vecs = raw_vectors[ci]
+        exact = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(q, cand_vecs)
+        exact = jnp.where(jnp.isfinite(cd), exact, jnp.inf)
+        d, i = top_k_smallest(exact, ci.astype(jnp.int32), k)
+    else:
+        d, i = top_k_smallest(scores, ids, k)
+    return d, jnp.where(jnp.isinf(d), -1, i)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rerank", "use_pallas", "distance_type"))
+def _fused_pq_batched(q, codes_t_padded, codebook, raw_vectors, valid, *,
+                      k: int, rerank: int, use_pallas: bool, distance_type: str = "L2"):
+    """Whole batched PQ search — LUT + ADC sweep + approx-topk + exact
+    rerank + final topk — as ONE compiled program (one host dispatch)."""
+    from ..quantization.pq import _compute_lut_dot, _compute_lut_l2
+
+    lut = (_compute_lut_l2 if distance_type == "L2" else _compute_lut_dot)(q, codebook)
+    n = valid.shape[0]
+    scores = _adc_scores_full(lut, codes_t_padded, n, use_pallas)
+    scores = jnp.where(valid[None, :], scores, jnp.inf)
+    return _finish(q, scores, raw_vectors, k, rerank)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "rerank", "nprobe", "centroid_distance_ratio",
+                              "use_pallas", "distance_type")
+)
+def _fused_pq_probed_masked(q, codes_t_padded, codebook, raw_vectors, valid,
+                            centroids, point_owner, *, k: int, rerank: int,
+                            nprobe: int, centroid_distance_ratio: float,
+                            use_pallas: bool, distance_type: str = "L2"):
+    """Probed search as full-sweep + probe mask, fused into one program."""
+    from ..quantization.pq import _compute_lut_dot, _compute_lut_l2
+
+    probe, probe_ok = _probe(
+        q, centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
+    )
+    lut = (_compute_lut_l2 if distance_type == "L2" else _compute_lut_dot)(q, codebook)
+    n = valid.shape[0]
+    scores = _adc_scores_full(lut, codes_t_padded, n, use_pallas)
+    c = centroids.shape[0]
+    probe_sel = jnp.zeros((q.shape[0], c), bool).at[
+        jnp.arange(q.shape[0])[:, None], probe
+    ].set(probe_ok)
+    point_probed = probe_sel[:, point_owner]
+    scores = jnp.where(point_probed & valid[None, :], scores, jnp.inf)
+    return _finish(q, scores, raw_vectors, k, rerank)
+
+
 class IvfIndex:
     """Immutable IVF index resident on device.
 
@@ -418,7 +482,10 @@ class IvfIndex:
             data = np.asarray(self.pl_data).reshape(pos.shape[0], -1)
             sel = pos >= 0
             codes[pos[sel]] = data[sel].astype(np.int32)
+            block_r = 512
+            padn = (-num_points) % block_r
             self._codes_t = jnp.asarray(codes.T)  # (m, N)
+            self._codes_t_padded = jnp.pad(self._codes_t, ((0, 0), (0, padn)))
         # owning posting list per point (first assignment): lets the probed
         # plan run as full-scan + probe mask at large batch sizes
         if num_points > 0:
@@ -532,39 +599,46 @@ class IvfIndex:
         (the TPU form of plan_with_ids intersection, planner.rs:45-61)."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         nprobe = min(nprobe, self.centroids.shape[0])
-        probe, probe_ok = _probe(
-            q, self.centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
-        )
         # plan selection: when the batch collectively probes a large share
         # of the index, a whole-index fused sweep + per-query probe mask is
         # cheaper than per-query gathers (batch * nprobe >= #lists means the
-        # batch touches ~every list)
+        # batch touches ~every list); the whole plan is ONE compiled program
         if (
             isinstance(self.quantizer, ProductQuantizer)
             and rerank >= 0
             and q.shape[0] * nprobe >= self.centroids.shape[0]
         ):
-            return self._search_probed_masked(
-                q, probe, probe_ok, k=k, rerank=rerank, filter_mask=filter_mask
+            return _fused_pq_probed_masked(
+                q,
+                self._codes_t_padded,
+                jnp.asarray(self.quantizer.codebook),
+                self._rerank_vectors(),
+                self._merged_valid(filter_mask),
+                self.centroids,
+                self.point_owner,
+                k=k,
+                rerank=rerank if self.raw_vectors is not None else 0,
+                nprobe=nprobe,
+                centroid_distance_ratio=centroid_distance_ratio,
+                use_pallas=jax.default_backend() not in ("cpu",),
+                distance_type="L2" if self.distance_type in ("L2", "l2") else "dot",
             )
+        probe, probe_ok = _probe(
+            q, self.centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
+        )
         return self.search_with_probes(q, probe, probe_ok, k=k, chunk=chunk, filter_mask=filter_mask)
 
-    def _search_probed_masked(self, q, probe, probe_ok, *, k: int, rerank: int, filter_mask=None):
-        """Probed search as full-sweep + probe mask: identical semantics to
-        the gather plan (only probed lists contribute) at full-scan speed."""
-        n = self.num_points
-        c = self.centroids.shape[0]
-        scores = self._full_adc_scores(q)
-        probe_sel = jnp.zeros((q.shape[0], c), bool).at[
-            jnp.arange(q.shape[0])[:, None], probe
-        ].set(probe_ok)
-        point_probed = probe_sel[:, self.point_owner]  # (B, N)
-        valid = self.point_valid[:n]
+    def _merged_valid(self, filter_mask):
+        valid = self.point_valid[: self.num_points]
         if filter_mask is not None:
             fm = jnp.asarray(np.asarray(filter_mask, bool))
-            valid = valid & jnp.pad(fm, (0, n - fm.shape[0]))
-        scores = jnp.where(point_probed & valid[None, :], scores, jnp.inf)
-        return self._finish_scored(q, scores, k, rerank)
+            valid = valid & jnp.pad(fm, (0, self.num_points - fm.shape[0]))
+        return valid
+
+    def _rerank_vectors(self):
+        if self.raw_vectors is None:  # legacy index without a raw store
+            return jnp.zeros((1, self.quantizer.dim), jnp.float32)
+        return self.raw_vectors
 
     def search_with_probes(self, queries, probe, probe_ok, *, k: int = 10, chunk: int = 8, filter_mask=None):
         """Scan explicitly-probed posting lists. SPANN entry point: the
@@ -674,8 +748,18 @@ class IvfIndex:
         use_pallas = jax.default_backend() not in ("cpu",)
         if isinstance(self.quantizer, ProductQuantizer):
             assert self._codes_t is not None
-            scores = self._full_adc_scores(q)
-        else:
+            return _fused_pq_batched(
+                q,
+                self._codes_t_padded,
+                jnp.asarray(self.quantizer.codebook),
+                self._rerank_vectors(),
+                self._merged_valid(None),
+                k=k,
+                rerank=rerank if self.raw_vectors is not None else 0,
+                use_pallas=use_pallas,
+                distance_type="L2" if self.distance_type in ("L2", "l2") else "dot",
+            )
+        if True:
             assert self.raw_vectors is not None
             block_r = 1024
             pad = (-n) % block_r
