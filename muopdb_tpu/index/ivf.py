@@ -180,12 +180,15 @@ class IvfBuilder:
         # multi-assign: within (1 + pct) of nearest (builder.rs:319-327)
         thresh = nearest_d[:, :1] * (1.0 + cfg.distance_threshold_pct)
         ok = nearest_d <= np.maximum(thresh, nearest_d[:, :1])  # col 0 always true
-        posting_lists = [[] for _ in range(k)]
-        for pt in range(len(x)):
-            for j in range(mc):
-                if ok[pt, j]:
-                    posting_lists[nearest_i[pt, j]].append(pt)
-        return posting_lists
+        # vectorized grouping: (point, list) pairs -> per-list arrays
+        pts = np.repeat(np.arange(len(x), dtype=np.int64), mc).reshape(-1, mc)[ok]
+        lists = nearest_i[ok]
+        order = np.argsort(lists, kind="stable")
+        lists_sorted = lists[order]
+        pts_sorted = pts[order]
+        counts = np.bincount(lists_sorted, minlength=k)
+        splits = np.cumsum(counts)[:-1]
+        return np.split(pts_sorted, splits)
 
     def build(self, quantizer=None, seed: int = 0) -> "IvfIndex":
         assert self._rows, "no vectors added"
@@ -524,29 +527,29 @@ class IvfIndex:
         payload = quantizer.quantize(vectors)  # (N, d) f32 or (N, m) u8
         payload_width = payload.shape[1]
 
-        blocks = []
-        pos_blocks = []
-        list_block_start = [0]
-        for pts in posting_lists:
-            pts = np.asarray(pts, np.int64)
-            nblk = max(1, int(np.ceil(len(pts) / block_rows))) if len(pts) else 0
-            for bi in range(nblk):
-                seg = pts[bi * block_rows : (bi + 1) * block_rows]
-                rows = np.full((block_rows, payload_width), 0, dtype=payload.dtype)
-                ptids = np.full((block_rows,), -1, dtype=np.int32)
-                rows[: len(seg)] = payload[seg]
-                ptids[: len(seg)] = seg
-                blocks.append(rows)
-                pos_blocks.append(ptids)
-            list_block_start.append(list_block_start[-1] + nblk)
-        if not blocks:  # fully empty index
-            blocks = [np.zeros((block_rows, payload_width), payload.dtype)]
-            pos_blocks = [np.full((block_rows,), -1, np.int32)]
+        # vectorized block packing: one fancy-index write for all lists
+        sizes = np.asarray([len(p) for p in posting_lists], np.int64)
+        nblks = np.ceil(sizes / block_rows).astype(np.int64)
+        list_block_start = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(nblks, out=list_block_start[1:])
+        total_blocks = max(1, int(list_block_start[-1]))
+        pl_data = np.zeros((total_blocks, block_rows, payload_width), payload.dtype)
+        pos_to_point = np.full((total_blocks, block_rows), -1, np.int32)
+        if sizes.sum() > 0:
+            all_pts = np.concatenate([np.asarray(p, np.int64) for p in posting_lists if len(p)])
+            # local index of each entry within its list
+            local = np.arange(len(all_pts)) - np.repeat(
+                np.concatenate([[0], np.cumsum(sizes)[:-1]]), sizes
+            )
+            blk = np.repeat(list_block_start[:-1], sizes) + local // block_rows
+            slot = local % block_rows
+            pl_data[blk, slot] = payload[all_pts]
+            pos_to_point[blk, slot] = all_pts
 
         return cls(
             centroids=np.asarray(centroids, np.float32),
-            pl_data=np.stack(blocks),
-            pos_to_point=np.stack(pos_blocks),
+            pl_data=pl_data,
+            pos_to_point=pos_to_point,
             list_block_start=np.asarray(list_block_start, np.int32),
             num_points=n,
             doc_ids=doc_ids,
