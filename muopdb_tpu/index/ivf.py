@@ -76,6 +76,10 @@ class IvfBuildConfig:
     kmeans_unbalanced_penalty: float = 0.0
     block_rows: int = 256
     distance_type: str = "L2"
+    # pad centroid count and block count to powers of two so differently
+    # sized indexes (e.g. per-user indexes in multi-user SPANN) share
+    # compiled search programs (shape bucketing)
+    pow2_pad: bool = False
 
     @classmethod
     def from_collection_config(cls, c: CollectionConfig) -> "IvfBuildConfig":
@@ -204,6 +208,7 @@ class IvfBuilder:
             block_rows=self.config.block_rows,
             quantizer=quantizer,
             distance_type=self.config.distance_type,
+            pow2_pad=self.config.pow2_pad,
         )
 
 
@@ -515,6 +520,7 @@ class IvfIndex:
         block_rows: int = 256,
         quantizer=None,
         distance_type: str = "L2",
+        pow2_pad: bool = False,
     ) -> "IvfIndex":
         n, d = vectors.shape
         quantizer = quantizer or NoQuantizer(dim=d)
@@ -535,6 +541,29 @@ class IvfIndex:
         total_blocks = max(1, int(list_block_start[-1]))
         pl_data = np.zeros((total_blocks, block_rows, payload_width), payload.dtype)
         pos_to_point = np.full((total_blocks, block_rows), -1, np.int32)
+        if pow2_pad:
+            # shape bucketing: pad list count and block count to powers of
+            # two with empty far-away lists so per-user indexes of similar
+            # scale share one compiled search program
+            c_real = len(sizes)
+            c_pad = 1 << max(3, (c_real - 1).bit_length())
+            if c_pad > c_real:
+                centroids = np.concatenate(
+                    [np.asarray(centroids, np.float32),
+                     np.full((c_pad - c_real, centroids.shape[1]), 1e15, np.float32)]
+                )
+                pad_starts = np.full(c_pad - c_real, list_block_start[-1], np.int64)
+                list_block_start = np.concatenate([list_block_start, pad_starts])
+                sizes = np.concatenate([sizes, np.zeros(c_pad - c_real, np.int64)])
+            nb_real = pl_data.shape[0]
+            nb_pad = 1 << max(0, (nb_real - 1).bit_length())
+            if nb_pad > nb_real:
+                pl_data = np.concatenate(
+                    [pl_data, np.zeros((nb_pad - nb_real,) + pl_data.shape[1:], pl_data.dtype)]
+                )
+                pos_to_point = np.concatenate(
+                    [pos_to_point, np.full((nb_pad - nb_real, block_rows), -1, np.int32)]
+                )
         if sizes.sum() > 0:
             all_pts = np.concatenate([np.asarray(p, np.int64) for p in posting_lists if len(p)])
             # local index of each entry within its list

@@ -33,6 +33,13 @@ class MultiSpannBuilder:
     """DashMap<user, SpannBuilder> analog (multi_spann/builder.rs:56-69)."""
 
     def __init__(self, config: SpannBuildConfig, dim: int, fpr: float = 0.01):
+        import dataclasses
+
+        # shape-bucket per-user indexes so users of similar size share
+        # compiled search programs (10k users must not mean 10k compiles)
+        config = dataclasses.replace(
+            config, ivf=dataclasses.replace(config.ivf, pow2_pad=True)
+        )
         self.config = config
         self.dim = dim
         self.fpr = fpr

@@ -98,3 +98,26 @@ def test_multi_spann_bloom_and_lazy_load(tmp_path, rng):
     res = lazy.search_for_user(7, x[3:4], k=1, num_explored_centroids=2)
     assert res[0][0][0] != 3
     assert lazy.num_valid_docs == 29
+
+
+def test_multi_spann_shape_bucketing(rng):
+    """Per-user device arrays land in pow2 shape buckets so compiled search
+    programs are shared across users (10k users != 10k compiles)."""
+    d = 8
+    b = MultiSpannBuilder(_cfg(num_centroids=3, block_rows=8), dim=d)
+    for i in range(40):
+        b.insert(1, i, rng.standard_normal(d).astype(np.float32))
+    for i in range(55):  # different size, same bucket
+        b.insert(2, 1000 + i, rng.standard_normal(d).astype(np.float32))
+    idx = b.build()
+    s1 = idx._get(1).ivf
+    s2 = idx._get(2).ivf
+    assert s1.centroids.shape == s2.centroids.shape
+    assert s1.pl_data.shape == s2.pl_data.shape
+    # centroid count is a power of two
+    c = s1.centroids.shape[0]
+    assert c & (c - 1) == 0
+    # searches still correct
+    q = np.asarray(idx._get(1).ivf.raw_vectors)[:1]
+    res = idx.search_for_user(1, q, k=1, num_explored_centroids=3)
+    assert res[0][0][0] == 0
