@@ -396,6 +396,48 @@ def _finish(q, scores, raw_vectors, k: int, rerank: int):
     return d, jnp.where(jnp.isinf(d), -1, i)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _fused_flat_batched(q, vectors_padded, valid, *, k: int, use_pallas: bool):
+    """Whole-index flat scan + topk as one program."""
+    from ..ops.pallas.scan import flat_full_scan
+
+    n = valid.shape[0]
+    if use_pallas:
+        scores = flat_full_scan(q, vectors_padded)[:, :n]
+    else:
+        scores = l2_distance(q, vectors_padded[:n])
+    scores = jnp.where(valid[None, :], scores, jnp.inf)
+    d, i = top_k_smallest(scores, jnp.arange(n, dtype=jnp.int32), k)
+    return d, jnp.where(jnp.isinf(d), -1, i)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "centroid_distance_ratio", "use_pallas")
+)
+def _fused_flat_probed_masked(q, vectors_padded, valid, centroids, point_owner, *,
+                              k: int, nprobe: int, centroid_distance_ratio: float,
+                              use_pallas: bool):
+    """Probed flat search as full-sweep + probe mask, one program."""
+    from ..ops.pallas.scan import flat_full_scan
+
+    n = valid.shape[0]
+    probe, probe_ok = _probe(
+        q, centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
+    )
+    if use_pallas:
+        scores = flat_full_scan(q, vectors_padded)[:, :n]
+    else:
+        scores = l2_distance(q, vectors_padded[:n])
+    c = centroids.shape[0]
+    probe_sel = jnp.zeros((q.shape[0], c), bool).at[
+        jnp.arange(q.shape[0])[:, None], probe
+    ].set(probe_ok)
+    point_probed = probe_sel[:, point_owner]
+    scores = jnp.where(point_probed & valid[None, :], scores, jnp.inf)
+    d, i = top_k_smallest(scores, jnp.arange(n, dtype=jnp.int32), k)
+    return d, jnp.where(jnp.isinf(d), -1, i)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "rerank", "use_pallas", "distance_type"))
 def _fused_pq_batched(q, codes_t_padded, codebook, raw_vectors, valid, *,
                       k: int, rerank: int, use_pallas: bool, distance_type: str = "L2"):
@@ -635,10 +677,28 @@ class IvfIndex:
         # of the index, a whole-index fused sweep + per-query probe mask is
         # cheaper than per-query gathers (batch * nprobe >= #lists means the
         # batch touches ~every list); the whole plan is ONE compiled program
+        large_batch = q.shape[0] * nprobe >= self.centroids.shape[0]
+        if (
+            not isinstance(self.quantizer, ProductQuantizer)
+            and large_batch
+            and self.raw_vectors is not None
+            and filter_mask is None
+        ):
+            return _fused_flat_probed_masked(
+                q,
+                self._vectors_padded(),
+                self._merged_valid(None),
+                self.centroids,
+                self.point_owner,
+                k=k,
+                nprobe=nprobe,
+                centroid_distance_ratio=centroid_distance_ratio,
+                use_pallas=jax.default_backend() not in ("cpu",),
+            )
         if (
             isinstance(self.quantizer, ProductQuantizer)
             and rerank >= 0
-            and q.shape[0] * nprobe >= self.centroids.shape[0]
+            and large_batch
         ):
             return _fused_pq_probed_masked(
                 q,
@@ -730,36 +790,6 @@ class IvfIndex:
             )
         return d, jnp.where(jnp.isinf(d), -1, i)
 
-    def _finish_scored(self, q, scores, k: int, rerank: int):
-        """Top-k (+ optional exact rerank) over a full (B, N) score matrix."""
-        n = self.num_points
-        ids = jnp.arange(n, dtype=jnp.int32)
-        if rerank and self.raw_vectors is not None and isinstance(self.quantizer, ProductQuantizer):
-            r = min(max(rerank, k), n)
-            neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
-            cd = -neg
-            cand_vecs = self.raw_vectors[ci]
-            exact = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(q, cand_vecs)
-            exact = jnp.where(jnp.isfinite(cd), exact, jnp.inf)
-            d, i = top_k_smallest(exact, ci.astype(jnp.int32), k)
-        else:
-            d, i = top_k_smallest(scores, ids, k)
-        return d, jnp.where(jnp.isinf(d), -1, i)
-
-    def _full_adc_scores(self, q):
-        from ..ops.pallas.adc import adc_full_scan, adc_full_scan_xla
-
-        n = self.num_points
-        block_r = 512
-        pad = (-n) % block_r
-        codes_t = jnp.pad(self._codes_t, ((0, 0), (0, pad)))
-        lut = self.quantizer.compute_lut(q, self.distance_type)
-        if jax.default_backend() not in ("cpu",):
-            scores = adc_full_scan(lut, codes_t, block_r=block_r)
-        else:
-            scores = adc_full_scan_xla(lut, codes_t, block_r=block_r)
-        return scores[:, :n]
-
     def search_batched(self, queries, k: int = 10, *, rerank: int = 0):
         """Whole-index batched scan — the high-throughput plan.
 
@@ -791,17 +821,17 @@ class IvfIndex:
                 use_pallas=use_pallas,
                 distance_type="L2" if self.distance_type in ("L2", "l2") else "dot",
             )
-        if True:
-            assert self.raw_vectors is not None
-            block_r = 1024
-            pad = (-n) % block_r
-            vecs = jnp.pad(self.raw_vectors, ((0, pad), (0, 0)))
-            if use_pallas:
-                scores = flat_full_scan(q, vecs, block_r=block_r)[:, :n]
-            else:
-                scores = pairwise_distance(q, self.raw_vectors, self.distance_type)
-        scores = jnp.where(self.point_valid[None, :n], scores, jnp.inf)
-        return self._finish_scored(q, scores, k, rerank)
+        assert self.raw_vectors is not None
+        return _fused_flat_batched(
+            q, self._vectors_padded(), self._merged_valid(None), k=k,
+            use_pallas=use_pallas,
+        )
+
+    def _vectors_padded(self):
+        if not hasattr(self, "_vec_pad_cache"):
+            pad = (-self.num_points) % 1024
+            self._vec_pad_cache = jnp.pad(self.raw_vectors, ((0, pad), (0, 0)))
+        return self._vec_pad_cache
 
     def search_doc_ids(self, queries, k: int = 10, nprobe: int = 10, **kw):
         """Search and remap point ids -> u128 doc ids (host-side remap, the
