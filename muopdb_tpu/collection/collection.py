@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import queue
-import shutil
 import threading
 import time
 from typing import Dict, Iterable, List, Optional, Tuple

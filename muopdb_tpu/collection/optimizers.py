@@ -23,7 +23,7 @@ from ..index.multi_spann import MultiSpannBuilder, _user_dir
 from ..index.spann import SpannBuildConfig
 from ..quantization import ProductQuantizer
 from ..terms.term_index import TermIndexBuilder
-from .segment import ImmutableSegment, PendingSegment
+from .segment import PendingSegment
 
 
 class NoopOptimizer:

@@ -17,10 +17,9 @@ Reference components re-provided:
 
 from __future__ import annotations
 
-import json
 import os
 import threading
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

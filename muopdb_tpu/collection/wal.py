@@ -25,7 +25,7 @@ import struct
 import threading
 from dataclasses import dataclass, field
 from enum import IntEnum
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distance import l2_distance, pairwise_distance
+from ..ops.distance import l2_distance
 from ..ops.topk import top_k_smallest
 from ..utils.ids import pack_u128s
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CollectionConfig
-from ..ops.distance import l2_distance, pairwise_distance
+from ..ops.distance import l2_distance
 from ..ops.kmeans import kmeans
 from ..ops.topk import top_k_smallest
 from ..quantization import NoQuantizer, ProductQuantizer

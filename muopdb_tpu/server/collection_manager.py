@@ -15,7 +15,6 @@ from __future__ import annotations
 import hashlib
 import os
 import threading
-import time
 from typing import Dict, List, Optional
 
 from ..collection.collection import Collection

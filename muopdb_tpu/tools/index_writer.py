@@ -55,7 +55,6 @@ def read_hdf5(path: str, dataset: str = "train", batch: int = 100_000):
 
 
 def build_from_config(cfg: dict, vectors: np.ndarray, doc_ids=None) -> str:
-    from ..config import CollectionConfig, DistanceType, QuantizerType
     from ..index.hnsw import HnswBuildConfig, HnswBuilder
     from ..index.ivf import IvfBuildConfig, IvfBuilder
     from ..index.spann import SpannBuildConfig, SpannBuilder
