@@ -1,0 +1,69 @@
+"""Mocked segment for runtime tests.
+
+Reference: the MockedSegment variant inside BoxedImmutableSegment
+(segment/mod.rs:49,276-334) lets collection-level versioning/refcount tests
+run without building real indexes (used by core.rs:1618-1688). This double
+implements the same surface as ImmutableSegment with canned results.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import List, Optional, Tuple
+
+
+class MockedSegment:
+    def __init__(self, name: str, results: Optional[List[Tuple[int, float]]] = None,
+                 num_docs: int = 0):
+        self.name = name
+        self.directory = f"<mock:{name}>"
+        self._results = results or []
+        self._num_docs = num_docs or len(self._results)
+        self._removed: List[Tuple[int, int]] = []
+        self._lock = threading.Lock()
+        self.search_calls = 0
+
+    # -- info ------------------------------------------------------------
+    @property
+    def num_docs(self) -> int:
+        return self._num_docs
+
+    @property
+    def num_valid_docs(self) -> int:
+        with self._lock:
+            return self._num_docs - len(self._removed)
+
+    def invalid_ratio(self) -> float:
+        n = self.num_docs
+        return 0.0 if n == 0 else 1.0 - self.num_valid_docs / n
+
+    def size_in_bytes(self) -> int:
+        return 1024
+
+    def user_ids(self) -> List[int]:
+        return [0]
+
+    def may_contain(self, user_id: int, doc_id: int) -> bool:
+        return True
+
+    # -- search ----------------------------------------------------------
+    def search_for_user(self, user_id, queries, k=10, num_explored_centroids=10,
+                        where=None, **kw):
+        import numpy as np
+
+        with self._lock:
+            self.search_calls += 1
+            removed = {d for _, d in self._removed}
+        rows = [r for r in self._results if r[0] not in removed][:k]
+        nq = len(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        return [list(rows) for _ in range(nq)]
+
+    def term_search_for_user(self, user_id, where, limit=100):
+        return [doc for doc, _ in self._results][:limit]
+
+    def remove(self, user_id: int, doc_id: int) -> bool:
+        with self._lock:
+            if any(d == doc_id for _, d in self._removed):
+                return False
+            self._removed.append((user_id, doc_id))
+            return True

@@ -9,6 +9,7 @@ so it is a first-class index here and the recall oracle for every test.
 from __future__ import annotations
 
 import os
+import threading
 
 import jax.numpy as jnp
 import numpy as np
@@ -28,9 +29,11 @@ class FlatIndex:
         )
         self.distance_type = distance_type
         self.valid = jnp.ones((n,), dtype=bool)
+        self._inval_lock = threading.Lock()
 
     def invalidate(self, point_ids) -> None:
-        self.valid = self.valid.at[jnp.asarray(point_ids)].set(False)
+        with self._inval_lock:  # serialize read-modify-write
+            self.valid = self.valid.at[jnp.asarray(point_ids)].set(False)
 
     def search(self, queries, k: int = 10):
         q = jnp.asarray(np.asarray(queries, np.float32))

@@ -28,6 +28,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -277,6 +278,7 @@ class HnswIndex:
         self.config = config or HnswBuildConfig()
         n = self.vectors.shape[0]
         self.valid = jnp.ones((n,), bool)
+        self._inval_lock = threading.Lock()
 
     @property
     def num_layers(self) -> int:
@@ -288,7 +290,10 @@ class HnswIndex:
 
     def invalidate(self, point_ids) -> None:
         if len(point_ids):
-            self.valid = self.valid.at[jnp.asarray(np.asarray(point_ids, np.int32))].set(False)
+            with self._inval_lock:  # serialize read-modify-write
+                self.valid = self.valid.at[
+                    jnp.asarray(np.asarray(point_ids, np.int32))
+                ].set(False)
 
     def search(self, queries, k: int = 10, ef_search: int = 100, max_hops: int | None = None):
         """Returns (dists (B, k), point_ids (B, k)), -1/-inf padded."""

@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -515,6 +516,7 @@ class IvfIndex:
         self.distance_type = distance_type
         self.block_rows = block_rows
         self.point_valid = jnp.ones((max(num_points, 1),), dtype=bool)
+        self._inval_lock = threading.Lock()  # guards point_valid updates
         counts = np.diff(np.asarray(self.list_block_start))
         self.max_blocks = int(counts.max()) if len(counts) else 1
         # multi-assignment duplicates points across lists -> scans must dedup
@@ -637,7 +639,10 @@ class IvfIndex:
         ivf/block_based/index.rs:30-31)."""
         if len(point_ids) == 0:
             return
-        self.point_valid = self.point_valid.at[jnp.asarray(np.asarray(point_ids, np.int32))].set(False)
+        with self._inval_lock:  # .at[].set is a copy: serialize read-modify-write
+            self.point_valid = self.point_valid.at[
+                jnp.asarray(np.asarray(point_ids, np.int32))
+            ].set(False)
 
     def invalidate_doc_ids(self, doc_ids_u128) -> int:
         """Invalidate by u128 doc ids; returns number found."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -81,20 +82,31 @@ class MultiSpannIndex:
         # invalidations recorded against users not opened yet
         # (multi_spann/index.rs:64-76 pending invalidations)
         self._pending_invalidations: Dict[int, List[int]] = {}
+        # guards lazy opens + pending-invalidation handoff: without it two
+        # threads can open the same user and deletions land on the loser
+        self._lock = threading.Lock()
 
     # -- lookup ----------------------------------------------------------
     def user_ids(self) -> List[int]:
         return sorted(set(self._users) | self._lazy)
 
     def _get(self, user_id: int) -> Optional[SpannIndex]:
-        idx = self._users.get(user_id)
-        if idx is None and user_id in self._lazy:
-            idx = SpannIndex.load(_user_dir(self._directory, user_id))
-            self._users[user_id] = idx
-            self._lazy.discard(user_id)
-            pend = self._pending_invalidations.pop(user_id, None)
-            if pend:
-                idx.invalidate_doc_ids(pend)
+        with self._lock:
+            idx = self._users.get(user_id)
+            if idx is not None or user_id not in self._lazy:
+                return idx
+        # load outside the lock (slow), publish under it (exactly once)
+        loaded = SpannIndex.load(_user_dir(self._directory, user_id))
+        with self._lock:
+            idx = self._users.get(user_id)
+            if idx is None:
+                self._users[user_id] = idx = loaded
+                self._lazy.discard(user_id)
+                pend = self._pending_invalidations.pop(user_id, None)
+            else:
+                pend = None
+        if pend:
+            idx.invalidate_doc_ids(pend)
         return idx
 
     @property
@@ -140,12 +152,14 @@ class MultiSpannIndex:
     # -- deletions -------------------------------------------------------
     def invalidate(self, user_id: int, doc_ids: Iterable[int]) -> int:
         doc_ids = list(doc_ids)
-        if user_id in self._lazy:
-            self._pending_invalidations.setdefault(user_id, []).extend(doc_ids)
-            return len(doc_ids)
-        idx = self._users.get(user_id)
-        if idx is None:
-            return 0
+        with self._lock:
+            idx = self._users.get(user_id)
+            if idx is None:
+                if user_id in self._lazy:
+                    # defer until the user is opened (index.rs:64-76)
+                    self._pending_invalidations.setdefault(user_id, []).extend(doc_ids)
+                    return len(doc_ids)
+                return 0
         return idx.invalidate_doc_ids(doc_ids)
 
     def iter_for_user(self, user_id: int):

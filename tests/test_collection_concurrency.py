@@ -1,0 +1,132 @@
+"""Concurrency + versioning tests on the collection runtime, using the
+MockedSegment double (reference pattern: core.rs:1618-1688, :1859, :2889+)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.collection.collection import Collection
+from muopdb_tpu.collection.mock import MockedSegment
+from muopdb_tpu.config import CollectionConfig
+
+
+def _config(**kw):
+    base = dict(num_features=8, initial_num_centroids=4, posting_list_block_rows=16,
+                centroids_ef_construction=32)
+    base.update(kw)
+    return CollectionConfig(**base)
+
+
+def test_mocked_segments_versioning(tmp_path):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    m1 = MockedSegment("m1", [(1, 0.1), (2, 0.2)])
+    m2 = MockedSegment("m2", [(3, 0.05)])
+    col.add_segments(["m1"], [m1])
+    snap1 = col.get_snapshot()
+    col.add_segments(["m2"], [m2])
+    snap2 = col.get_snapshot()
+    assert len(snap1.segments) == 1 and len(snap2.segments) == 2
+    res = snap2.search_for_users([0], np.zeros((1, 8), np.float32), k=2)
+    assert res[0][0][0] == 3  # best score across both mocked segments
+    assert m1.search_calls >= 1 and m2.search_calls >= 1
+    snap1.release()
+    snap2.release()
+    assert col.versions_info.refcount(snap1.version) == 0
+
+
+def test_replace_segment_drops_old(tmp_path):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    col.add_segments(["a"], [MockedSegment("a", [(1, 0.5)])])
+    col.add_segments(["b"], [MockedSegment("b", [(2, 0.6)])])
+    merged = MockedSegment("merged", [(1, 0.5), (2, 0.6)])
+    col.replace_segment("merged", merged, ["a", "b"])
+    assert col.num_segments == 1
+    with col.get_snapshot() as snap:
+        assert snap.segments[0] is merged
+
+
+def test_concurrent_snapshots_and_commits(tmp_path):
+    """Readers pin versions while writers commit — no torn views."""
+    col = Collection("c", str(tmp_path / "c"), _config())
+    col.add_segments(["s0"], [MockedSegment("s0", [(0, 0.1)])])
+    stop = threading.Event()
+    errors = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                with col.get_snapshot() as snap:
+                    # a snapshot's segment list must never change under us
+                    n1 = len(snap.segments)
+                    time.sleep(0.001)
+                    assert len(snap.segments) == n1
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for i in range(1, 20):
+        col.add_segments([f"s{i}"], [MockedSegment(f"s{i}", [(i, 0.1)])])
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert col.num_segments == 20
+    assert col.versions_info.current_version == 20
+
+
+def test_concurrent_removes_during_search(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    x = rng.standard_normal((60, 8)).astype(np.float32)
+    col.insert_for_users([1], list(range(60)), x)
+    col.flush()
+    errors = []
+
+    def searcher():
+        try:
+            for _ in range(10):
+                with col.get_snapshot() as snap:
+                    snap.search_for_users([1], x[:2], k=3, num_explored_centroids=4)
+        except Exception as e:
+            errors.append(e)
+
+    def remover():
+        try:
+            for d in range(0, 30):
+                col.remove(1, [d])
+        except Exception as e:
+            errors.append(e)
+
+    ts = [threading.Thread(target=searcher) for _ in range(2)] + [
+        threading.Thread(target=remover)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], x[0:1], k=1, num_explored_centroids=4)
+    assert res[0][0][0] >= 30  # removed docs gone
+
+
+def test_concurrent_flushes_one_wins(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    x = rng.standard_normal((30, 8)).astype(np.float32)
+    col.insert_for_users([1], list(range(30)), x)
+    results = []
+
+    def do_flush():
+        results.append(col.flush())
+
+    ts = [threading.Thread(target=do_flush) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # exactly one flush produced a segment (try-lock + empty-skip)
+    assert sum(1 for r in results if r) == 1
+    assert col.num_segments == 1
