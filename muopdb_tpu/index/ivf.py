@@ -142,8 +142,15 @@ class IvfBuilder:
         )
         centroids = np.asarray(res.centroids)
 
+        xj = jnp.asarray(x)
         for _ in range(8):  # bounded split rounds
-            assign = np.asarray(jnp.argmin(l2_distance(jnp.asarray(x), jnp.asarray(centroids)), axis=-1))
+            # chunked assignment: the (N, C) distance matrix must not be
+            # materialized whole (4 GB at 1M x 1024)
+            cj = jnp.asarray(centroids)
+            parts = []
+            for s0 in range(0, n, 65536):
+                parts.append(np.asarray(jnp.argmin(l2_distance(xj[s0 : s0 + 65536], cj), axis=-1)))
+            assign = np.concatenate(parts)
             counts = np.bincount(assign, minlength=len(centroids))
             oversized = np.nonzero(counts > cfg.max_posting_list_size)[0]
             if len(oversized) == 0:

@@ -130,3 +130,27 @@ def test_concurrent_flushes_one_wins(tmp_path, rng):
     # exactly one flush produced a segment (try-lock + empty-skip)
     assert sum(1 for r in results if r) == 1
     assert col.num_segments == 1
+
+
+def test_manager_hot_add_via_config_watch(tmp_path, rng):
+    """A second server instance discovers collections created by the first
+    through the versioned config dir (collection_manager.rs:163-213)."""
+    from muopdb_tpu.server.collection_manager import CollectionManager
+
+    cfg_dir, data_dir = str(tmp_path / "cfg"), str(tmp_path / "data")
+    m1 = CollectionManager(cfg_dir, data_dir)
+    col = m1.create_collection("hot", _config())
+    x = rng.standard_normal((20, 8)).astype(np.float32)
+    col.insert_for_users([1], list(range(20)), x)
+    col.flush()
+
+    m2 = CollectionManager(cfg_dir, data_dir)
+    assert m2.get_collection("hot") is None
+    assert m2.check_for_update() == 1
+    col2 = m2.get_collection("hot")
+    assert col2 is not None
+    with col2.get_snapshot() as snap:
+        assert snap.search_for_users([1], x[:1], k=1, num_explored_centroids=4)[0][0][0] == 0
+    assert m2.check_for_update() == 0  # idempotent
+    m1.close()
+    m2.close()
