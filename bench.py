@@ -50,18 +50,19 @@ def main():
     k = 10
     block_rows = 1024
 
-    rng = np.random.default_rng(0)
+    # SFC64 + float32: this host generates float64 gaussians at only ~1M/s
+    rng = np.random.Generator(np.random.SFC64(0))
     # clustered synthetic data (SIFT-like local structure): many weakly
     # separated modes, so IVF has cluster signal but points within a mode
     # stay distinguishable (strong separation makes whole modes share one PQ
     # code and collapses ADC ranking — not representative of SIFT)
     n_modes = 4096
-    modes = rng.standard_normal((n_modes, d)).astype(np.float32) * 1.5
+    modes = rng.standard_normal((n_modes, d), dtype=np.float32) * 1.5
     assign = rng.integers(0, n_modes, n)
-    x = modes[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    x = modes[assign] + rng.standard_normal((n, d), dtype=np.float32)
     queries = x[rng.choice(n, batch, replace=False)] + 0.1 * rng.standard_normal(
-        (batch, d)
-    ).astype(np.float32)
+        (batch, d), dtype=np.float32
+    )
 
     # ---- build (timed): k-means on device + assignment + packing + PQ train
     from muopdb_tpu.index.ivf import IvfBuilder, IvfBuildConfig

@@ -123,16 +123,17 @@ class IvfBuilder:
         return len(self._rows)
 
     # -- clustering ------------------------------------------------------
-    def _cluster(self, x: np.ndarray, seed: int = 0) -> np.ndarray:
+    def _cluster(self, x: np.ndarray, seed: int = 0, xj=None) -> np.ndarray:
         """k-means with recursive splitting of oversized clusters
         (ivf/builder.rs:460-542's heap-split, as a loop of device re-clusterings)."""
         cfg = self.config
         n = x.shape[0]
+        xj = jnp.asarray(x) if xj is None else xj
         k = min(cfg.num_centroids, max(1, n))
-        sample = x
+        sample = xj
         if n > cfg.num_data_points_for_clustering:
             sel = np.random.default_rng(seed).choice(n, cfg.num_data_points_for_clustering, replace=False)
-            sample = x[sel]
+            sample = xj[jnp.asarray(np.sort(sel))]
         res = kmeans(
             jnp.asarray(sample),
             k,
@@ -142,15 +143,16 @@ class IvfBuilder:
         )
         centroids = np.asarray(res.centroids)
 
-        xj = jnp.asarray(x)
         for _ in range(8):  # bounded split rounds
             # chunked assignment: the (N, C) distance matrix must not be
             # materialized whole (4 GB at 1M x 1024)
             cj = jnp.asarray(centroids)
-            parts = []
+            assign_parts = []
             for s0 in range(0, n, 65536):
-                parts.append(np.asarray(jnp.argmin(l2_distance(xj[s0 : s0 + 65536], cj), axis=-1)))
-            assign = np.concatenate(parts)
+                assign_parts.append(
+                    np.asarray(jnp.argmin(l2_distance(xj[s0 : s0 + 65536], cj), axis=-1))
+                )
+            assign = np.concatenate(assign_parts)
             counts = np.bincount(assign, minlength=len(centroids))
             oversized = np.nonzero(counts > cfg.max_posting_list_size)[0]
             if len(oversized) == 0:
@@ -158,11 +160,11 @@ class IvfBuilder:
             keep = [c for i, c in enumerate(centroids) if i not in set(oversized.tolist())]
             new = []
             for ci in oversized:
-                pts = x[assign == ci]
-                parts = int(np.ceil(len(pts) / cfg.max_posting_list_size)) + 1
+                pts = xj[jnp.asarray(np.nonzero(assign == ci)[0])]
+                n_parts = int(np.ceil(pts.shape[0] / cfg.max_posting_list_size)) + 1
                 sub = kmeans(
-                    jnp.asarray(pts),
-                    min(parts, len(pts)),
+                    pts,
+                    min(n_parts, int(pts.shape[0])),
                     key=jax.random.key(seed + 1 + int(ci)),
                     max_iter=cfg.max_iterations,
                     penalty=cfg.kmeans_unbalanced_penalty,
@@ -171,7 +173,7 @@ class IvfBuilder:
             centroids = np.asarray(keep + new, np.float32)
         return centroids
 
-    def _assign(self, x: np.ndarray, centroids: np.ndarray):
+    def _assign(self, x: np.ndarray, centroids: np.ndarray, xj=None):
         """Posting-list assignment with multi-assignment within the distance
         threshold (ivf/builder.rs:292-366)."""
         cfg = self.config
@@ -179,7 +181,7 @@ class IvfBuilder:
         k = len(centroids)
         mc = min(mc, k)
         # top-mc nearest centroids per point, on device, chunked to bound memory
-        xj = jnp.asarray(x)
+        xj = jnp.asarray(x) if xj is None else xj
         cj = jnp.asarray(centroids)
         dists_idx = []
         chunk = 65536
@@ -205,8 +207,11 @@ class IvfBuilder:
     def build(self, quantizer=None, seed: int = 0) -> "IvfIndex":
         assert self._rows, "no vectors added"
         x = np.stack(self._rows)
-        centroids = self._cluster(x, seed)
-        posting_lists = self._assign(x, centroids)
+        # one host->device transfer of the vectors, reused by every stage
+        # (device transfers through the serving tunnel are expensive)
+        xj = jnp.asarray(x)
+        centroids = self._cluster(x, seed, xj=xj)
+        posting_lists = self._assign(x, centroids, xj=xj)
         doc_ids = pack_u128s(self._doc_ids)  # (N, 2) uint64 (lo, hi)
         return IvfIndex.from_posting_lists(
             x,
@@ -217,6 +222,7 @@ class IvfBuilder:
             quantizer=quantizer,
             distance_type=self.config.distance_type,
             pow2_pad=self.config.pow2_pad,
+            vectors_device=xj,
         )
 
 
@@ -529,10 +535,14 @@ class IvfIndex:
         # multi-assignment duplicates points across lists -> scans must dedup
         self.needs_dedup = int(np.sum(np.asarray(self.pos_to_point) >= 0)) > num_points
         # raw vectors in point-id order (the reference's ivf/raw_vectors file,
-        # multi_spann/writer.rs) — used by batched full scans and reranking
-        self.raw_vectors = None if raw_vectors is None else jnp.asarray(
-            np.asarray(raw_vectors, np.float32)
-        )
+        # multi_spann/writer.rs) — used by batched full scans and reranking.
+        # Device arrays are kept as-is (no host round trip).
+        if raw_vectors is None:
+            self.raw_vectors = None
+        elif isinstance(raw_vectors, jax.Array):
+            self.raw_vectors = raw_vectors.astype(jnp.float32)
+        else:
+            self.raw_vectors = jnp.asarray(np.asarray(raw_vectors, np.float32))
         # point-order transposed codes for the fused whole-index ADC sweep
         self._codes_t = None
         if isinstance(self.quantizer, ProductQuantizer) and num_points > 0:
@@ -572,6 +582,7 @@ class IvfIndex:
         quantizer=None,
         distance_type: str = "L2",
         pow2_pad: bool = False,
+        vectors_device=None,
     ) -> "IvfIndex":
         n, d = vectors.shape
         quantizer = quantizer or NoQuantizer(dim=d)
@@ -581,7 +592,9 @@ class IvfIndex:
             doc_ids = np.stack([doc_ids.astype(np.uint64), np.zeros(n, np.uint64)], 1)
 
         is_pq = isinstance(quantizer, ProductQuantizer)
-        payload = quantizer.quantize(vectors)  # (N, d) f32 or (N, m) u8
+        # quantize from the device copy when available (avoids re-transfer)
+        payload_src = vectors_device if vectors_device is not None else vectors
+        payload = quantizer.quantize(payload_src)  # (N, d) f32 or (N, m) u8
         payload_width = payload.shape[1]
 
         # vectorized block packing: one fancy-index write for all lists
@@ -636,7 +649,7 @@ class IvfIndex:
             quantizer=quantizer,
             distance_type=distance_type,
             block_rows=block_rows,
-            raw_vectors=vectors,
+            raw_vectors=vectors_device if vectors_device is not None else vectors,
         )
 
     # -- mutation (deletions only; the index itself is immutable) --------

@@ -26,7 +26,7 @@ class NoQuantizer(Quantizer):
         return self._dim
 
     def quantize(self, vectors) -> np.ndarray:
-        return np.asarray(vectors, dtype=np.float32)
+        return np.asarray(vectors, dtype=np.float32)  # device arrays convert
 
     def original_vectors(self, codes) -> np.ndarray:
         return np.asarray(codes, dtype=np.float32)

@@ -124,13 +124,18 @@ class ProductQuantizer(Quantizer):
 
     def quantize(self, vectors, chunk: int = 131072) -> np.ndarray:
         assert self.is_trained, "train() first"
-        x = np.asarray(vectors, np.float32)
         m, dsub = self.num_subvectors, self.subvector_dim
         cb = jnp.asarray(self.codebook)
-        out = np.empty((x.shape[0], m), np.uint8)
+        # accepts numpy OR device arrays; device inputs avoid a host->device
+        # round trip (slicing + reshaping stays on device)
+        x = vectors if isinstance(vectors, jax.Array) else jnp.asarray(
+            np.asarray(vectors, np.float32)
+        )
+        n = x.shape[0]
+        out = np.empty((n, m), np.uint8)
         # chunk over rows: the (m, chunk, ksub) distance tensor must fit HBM
-        for s in range(0, x.shape[0], chunk):
-            xs = jnp.asarray(x[s : s + chunk].reshape(-1, m, dsub).transpose(1, 0, 2))
+        for s in range(0, n, chunk):
+            xs = x[s : s + chunk].reshape(-1, m, dsub).transpose(1, 0, 2)
             out[s : s + chunk] = np.asarray(_encode(xs, cb), dtype=np.uint8)
         return out
 
