@@ -36,6 +36,9 @@ RUST_CPU_BASELINE_QPS = 1500.0
 
 
 def main():
+    import logging
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     import jax
     import jax.numpy as jnp
 

@@ -205,15 +205,27 @@ class IvfBuilder:
         return np.split(pts_sorted, splits)
 
     def build(self, quantizer=None, seed: int = 0) -> "IvfIndex":
+        import logging
+        import time as _time
+
+        log = logging.getLogger(__name__)
         assert self._rows, "no vectors added"
+        t0 = _time.time()
         x = np.stack(self._rows)
         # one host->device transfer of the vectors, reused by every stage
         # (device transfers through the serving tunnel are expensive)
         xj = jnp.asarray(x)
+        jax.block_until_ready(xj)
+        log.info("ivf build: staged %d vectors in %.1fs", len(x), _time.time() - t0)
+        t0 = _time.time()
         centroids = self._cluster(x, seed, xj=xj)
+        log.info("ivf build: clustered k=%d in %.1fs", len(centroids), _time.time() - t0)
+        t0 = _time.time()
         posting_lists = self._assign(x, centroids, xj=xj)
+        log.info("ivf build: assigned in %.1fs", _time.time() - t0)
         doc_ids = pack_u128s(self._doc_ids)  # (N, 2) uint64 (lo, hi)
-        return IvfIndex.from_posting_lists(
+        t0 = _time.time()
+        idx = IvfIndex.from_posting_lists(
             x,
             centroids,
             posting_lists,
@@ -224,6 +236,8 @@ class IvfBuilder:
             pow2_pad=self.config.pow2_pad,
             vectors_device=xj,
         )
+        log.info("ivf build: packed layout in %.1fs", _time.time() - t0)
+        return idx
 
 
 # ---------------------------------------------------------------------------
