@@ -49,7 +49,7 @@ def main():
     nlist = max(16, int(os.environ.get("MUOPDB_BENCH_NLIST", 1024 * n // 1_000_000)))
     nprobe = int(os.environ.get("MUOPDB_BENCH_NPROBE", 64))
     m = 16
-    batch = 128
+    batch = int(os.environ.get("MUOPDB_BENCH_BATCH", 128))
     k = 10
     block_rows = 1024
 
@@ -135,7 +135,9 @@ def main():
 
     # secondary: probed (low-latency) path
     def run_probed():
-        dd, ii = index.search(queries, k=k, nprobe=nprobe, chunk=batch)
+        # rerank applies to the probed plan too (ADC ties would otherwise
+        # cap recall on clustered data)
+        dd, ii = index.search(queries, k=k, nprobe=nprobe, chunk=batch, rerank=rerank)
         jax.block_until_ready((dd, ii))
         return ii
 
