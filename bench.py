@@ -155,6 +155,31 @@ def main():
         )
     )
 
+    # secondary: exact bf16 whole-index sweep (recall ~1.0, no quantization)
+    # — the bandwidth-optimal plan when the index fits HBM uncompressed
+    import jax.numpy as jnp2
+    from muopdb_tpu.ops.pallas.scan import flat_full_scan
+    from muopdb_tpu.ops.topk import top_k_smallest as _tks
+
+    pad_flat = (-n) % 1024
+    xp = jnp2.pad(jnp.asarray(x), ((0, pad_flat), (0, 0)))
+
+    @jax.jit
+    def flat_exact(qq):
+        scores = flat_full_scan(qq, xp)[:, :n]
+        return _tks(scores, jnp2.arange(n, dtype=jnp2.int32), k)
+
+    qj2 = jnp.asarray(queries)
+    ii_f = flat_exact(qj2)
+    jax.block_until_ready(ii_f)
+    t0 = time.time()
+    for _ in range(5):
+        got_f = np.asarray(flat_exact(qj2)[1])  # host fetch forces completion
+    flat_dt = (time.time() - t0) / 5
+    flat_recall = float(np.mean([
+        len(set(got_f[r].tolist()) & set(gt[r].tolist())) / k for r in range(batch)
+    ]))
+
     out = {
         "metric": "ivf_pq_qps_per_chip",
         "value": round(qps, 1),
@@ -169,6 +194,8 @@ def main():
         "rerank": rerank,
         "probed_path_ms_per_batch": round(probed_ms, 2),
         "probed_path_recall_at_10": round(probed_recall, 4),
+        "flat_bf16_exact_qps": round(batch / flat_dt, 1),
+        "flat_bf16_recall_at_10": round(flat_recall, 4),
         "total_bench_seconds": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }
