@@ -54,6 +54,65 @@ class HnswBuildConfig:
 # ---------------------------------------------------------------------------
 
 
+def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-partitioned approximate kNN graph for large n.
+
+    Exact all-pairs kNN reads the whole vector array once per query tile —
+    HBM-bound beyond ~200k points. Instead: balanced k-means into ~sqrt(n)
+    partitions, each point multi-assigned to its 2 nearest partitions, and
+    kNN computed within each partition's member+visitor pool (one batched
+    MXU matmul per partition). Standard partitioned-graph recipe; recall of
+    the *final searched graph* stays high because the heuristic prune and
+    bidirectional pass run on top.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.kmeans import kmeans
+
+    n, d = x.shape
+    nc = num_clusters or max(16, int(np.sqrt(n)))
+    xj = jnp.asarray(x)
+    sample = xj
+    if n > 200_000:
+        sel = np.random.default_rng(seed).choice(n, 200_000, replace=False)
+        sample = xj[jnp.asarray(np.sort(sel))]
+    cents = kmeans(sample, nc, key=jax.random.key(seed), max_iter=10, penalty=1.0).centroids
+    # top-2 partitions per point (chunked)
+    top2 = np.empty((n, 2), np.int32)
+    for s0 in range(0, n, 65536):
+        dd = l2_distance(xj[s0 : s0 + 65536], cents)
+        _, ii = jax.lax.top_k(-dd, 2)
+        top2[s0 : s0 + 65536] = np.asarray(ii)
+    # pool of each partition = members (top1) + visitors (top2)
+    ids_out = np.full((n, k), -1, np.int32)
+    d_out = np.full((n, k), np.inf, np.float32)
+    order1 = np.argsort(top2[:, 0], kind="stable")
+    bounds1 = np.searchsorted(top2[:, 0][order1], np.arange(nc + 1))
+    order2 = np.argsort(top2[:, 1], kind="stable")
+    bounds2 = np.searchsorted(top2[:, 1][order2], np.arange(nc + 1))
+    for c in range(nc):
+        members = order1[bounds1[c] : bounds1[c + 1]]
+        visitors = order2[bounds2[c] : bounds2[c + 1]]
+        pool = np.concatenate([members, visitors])
+        if len(members) == 0 or len(pool) < 2:
+            continue
+        mv = xj[jnp.asarray(members)]
+        pv = xj[jnp.asarray(pool)]
+        dd = l2_distance(mv, pv)
+        # exclude self (member appears in pool at its member slot)
+        self_pos = np.arange(len(members))
+        dd = dd.at[self_pos, self_pos].set(jnp.inf)
+        kk = min(k, len(pool) - 1)
+        nd, ni = jax.lax.top_k(-dd, kk)
+        cand_ids = pool[np.asarray(ni)]
+        cand_d = -np.asarray(nd)
+        # merge with anything already recorded (visitors may improve later)
+        ids_out[members, :kk] = cand_ids
+        d_out[members, :kk] = cand_d
+    return ids_out, d_out
+
+
 def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024) -> tuple[np.ndarray, np.ndarray]:
     """Exact kNN graph (self excluded) via chunked device matmuls."""
     n = x.shape[0]
@@ -453,9 +512,13 @@ class HnswBuilder:
             levels[:] = 0
         entry_point = int(np.argmax(levels))
 
-        # layer 0: exact kNN graph + heuristic prune + reverse edges
+        # layer 0: kNN graph + heuristic prune + reverse edges; exact graph
+        # up to 200k points, IVF-partitioned approximate graph beyond
         k0 = min(max(cfg.ef_construction // 2, 2 * m), max(n - 1, 1))
-        knn_ids, knn_d = _exact_knn(x, k0)
+        if n <= 200_000:
+            knn_ids, knn_d = _exact_knn(x, k0)
+        else:
+            knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed)
         fw = _heuristic_prune(x, knn_ids, knn_d, m)
         edges0 = _add_reverse_edges(fw, x, 2 * m)
         layers = [edges0]

@@ -89,3 +89,21 @@ def test_hnsw_bfs_reindex_preserves_results(rng):
     gap_old = np.abs(np.where(e_old >= 0, e_old - ids_old, 0)).mean()
     gap_new = np.abs(np.where(e_new >= 0, e_new - ids_old, 0)).mean()
     assert gap_new <= gap_old
+
+
+def test_approx_knn_graph_quality(rng):
+    from muopdb_tpu.index.hnsw import _approx_knn, _exact_knn
+
+    x = rng.standard_normal((3000, 16)).astype(np.float32)
+    ids_a, _ = _approx_knn(x, 8, num_clusters=16)
+    ids_e, _ = _exact_knn(x, 8)
+    # approximate neighbor lists overlap the exact ones substantially
+    overlap = np.mean(
+        [
+            len(set(ids_a[i][ids_a[i] >= 0]) & set(ids_e[i])) / 8
+            for i in range(0, 3000, 37)
+        ]
+    )
+    assert overlap >= 0.6, overlap
+    # no self edges
+    assert not any(i in ids_a[i] for i in range(0, 3000, 101))
