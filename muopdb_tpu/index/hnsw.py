@@ -91,25 +91,32 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0) -> 
     bounds1 = np.searchsorted(top2[:, 0][order1], np.arange(nc + 1))
     order2 = np.argsort(top2[:, 1], kind="stable")
     bounds2 = np.searchsorted(top2[:, 1][order2], np.arange(nc + 1))
+    member_cap, pool_cap = 8192, 16384  # bound HBM per partition under skew
+    rng_local = np.random.default_rng(seed)
     for c in range(nc):
         members = order1[bounds1[c] : bounds1[c + 1]]
         visitors = order2[bounds2[c] : bounds2[c + 1]]
-        pool = np.concatenate([members, visitors])
-        if len(members) == 0 or len(pool) < 2:
-            continue
-        mv = xj[jnp.asarray(members)]
-        pv = xj[jnp.asarray(pool)]
-        dd = l2_distance(mv, pv)
-        # exclude self (member appears in pool at its member slot)
-        self_pos = np.arange(len(members))
-        dd = dd.at[self_pos, self_pos].set(jnp.inf)
-        kk = min(k, len(pool) - 1)
-        nd, ni = jax.lax.top_k(-dd, kk)
-        cand_ids = pool[np.asarray(ni)]
-        cand_d = -np.asarray(nd)
-        # merge with anything already recorded (visitors may improve later)
-        ids_out[members, :kk] = cand_ids
-        d_out[members, :kk] = cand_d
+        if len(visitors) > pool_cap - min(len(members), member_cap):
+            visitors = rng_local.choice(
+                visitors, pool_cap - min(len(members), member_cap), replace=False
+            )
+        for m0 in range(0, len(members), member_cap):
+            mem = members[m0 : m0 + member_cap]
+            pool = np.concatenate([mem, visitors])
+            if len(mem) == 0 or len(pool) < 2:
+                continue
+            mv = xj[jnp.asarray(mem)]
+            pv = xj[jnp.asarray(pool)]
+            dd = l2_distance(mv, pv)
+            # exclude self (member appears in pool at its member slot)
+            self_pos = np.arange(len(mem))
+            dd = dd.at[self_pos, self_pos].set(jnp.inf)
+            kk = min(k, len(pool) - 1)
+            nd, ni = jax.lax.top_k(-dd, kk)
+            cand_ids = pool[np.asarray(ni)]
+            cand_d = -np.asarray(nd)
+            ids_out[mem, :kk] = cand_ids
+            d_out[mem, :kk] = cand_d
     return ids_out, d_out
 
 
