@@ -93,9 +93,16 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0) -> 
     bounds2 = np.searchsorted(top2[:, 1][order2], np.arange(nc + 1))
     member_cap, pool_cap = 8192, 16384  # bound HBM per partition under skew
     rng_local = np.random.default_rng(seed)
+
+    # group partitions into padded shape buckets and process each group as
+    # ONE device program (per-partition dispatches through the serving
+    # tunnel cost ~10-50 ms each; sqrt(n) partitions would take minutes)
+    jobs = []  # (members, pool) index arrays
     for c in range(nc):
         members = order1[bounds1[c] : bounds1[c + 1]]
         visitors = order2[bounds2[c] : bounds2[c + 1]]
+        if len(members) == 0:
+            continue
         if len(visitors) > pool_cap - min(len(members), member_cap):
             visitors = rng_local.choice(
                 visitors, pool_cap - min(len(members), member_cap), replace=False
@@ -103,20 +110,67 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0) -> 
         for m0 in range(0, len(members), member_cap):
             mem = members[m0 : m0 + member_cap]
             pool = np.concatenate([mem, visitors])
-            if len(mem) == 0 or len(pool) < 2:
-                continue
-            mv = xj[jnp.asarray(mem)]
-            pv = xj[jnp.asarray(pool)]
-            dd = l2_distance(mv, pv)
-            # exclude self (member appears in pool at its member slot)
-            self_pos = np.arange(len(mem))
-            dd = dd.at[self_pos, self_pos].set(jnp.inf)
-            kk = min(k, len(pool) - 1)
-            nd, ni = jax.lax.top_k(-dd, kk)
-            cand_ids = pool[np.asarray(ni)]
-            cand_d = -np.asarray(nd)
-            ids_out[mem, :kk] = cand_ids
-            d_out[mem, :kk] = cand_d
+            if len(pool) >= 2:
+                jobs.append((mem, pool))
+
+    def bucket_shape(v, floor=256):
+        b = floor
+        while b < v:
+            b *= 2
+        return b
+
+    groups = {}
+    for mem, pool in jobs:
+        key_shape = (bucket_shape(len(mem)), bucket_shape(len(pool)))
+        groups.setdefault(key_shape, []).append((mem, pool))
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def group_knn(mv, pv, mem_ok, pool_ok, self_mask, kk):
+        dd = jax.vmap(l2_distance)(mv, pv)  # (G, Pm, Pp)
+        dd = jnp.where(pool_ok[:, None, :], dd, jnp.inf)
+        dd = jnp.where(self_mask, jnp.inf, dd)
+        nd, ni = jax.lax.top_k(-dd, kk)
+        return -nd, ni
+
+    for (pm, pp), items in groups.items():
+        # memory-bounded group size
+        g_cap = max(1, int(512e6 / (pm * pp * 4 + pp * d * 4)))
+        for g0 in range(0, len(items), g_cap):
+            chunk_items = items[g0 : g0 + g_cap]
+            g = len(chunk_items)
+            mem_idx = np.zeros((g, pm), np.int64)
+            pool_idx = np.zeros((g, pp), np.int64)
+            mem_ok = np.zeros((g, pm), bool)
+            pool_ok = np.zeros((g, pp), bool)
+            for gi, (mem, pool) in enumerate(chunk_items):
+                mem_idx[gi, : len(mem)] = mem
+                pool_idx[gi, : len(pool)] = pool
+                mem_ok[gi, : len(mem)] = True
+                pool_ok[gi, : len(pool)] = True
+            mv = xj[jnp.asarray(mem_idx)]  # (G, Pm, d)
+            pv = xj[jnp.asarray(pool_idx)]
+            # member i sits at pool slot i (pools start with members)
+            self_mask = np.zeros((g, pm, pp), bool)
+            rr = np.arange(pm)
+            self_mask[:, rr, rr] = True
+            kk = min(k, pp - 1)
+            cd, ci = group_knn(
+                mv, pv, jnp.asarray(mem_ok), jnp.asarray(pool_ok),
+                jnp.asarray(self_mask), kk,
+            )
+            cd = np.asarray(cd)
+            ci = np.asarray(ci)
+            for gi, (mem, pool) in enumerate(chunk_items):
+                nm = len(mem)
+                sel = ci[gi, :nm]
+                ids_out[mem, :kk] = pool_idx[gi][sel]
+                d_out[mem, :kk] = cd[gi, :nm]
+                # candidates pointing at pool padding are already inf-masked;
+                # mark them -1
+                bad = ~pool_ok[gi][sel]
+                ids_row = ids_out[mem, :kk]
+                ids_row[bad] = -1
+                ids_out[mem, :kk] = ids_row
     return ids_out, d_out
 
 
@@ -168,9 +222,13 @@ def _heuristic_prune(
             ok = ~dom.any(1) & (kept_count < m) & (cid[:, j] >= 0)
             keep[:, j] = ok
             kept_count += ok.astype(np.int32)
-        for row in range(c):
-            sel = cid[row, keep[row]][:m]
-            out[s + row, : len(sel)] = sel
+        # vectorized selection: stable-sort keep-flags so kept candidates
+        # (in nearest-first order) land in the first m columns
+        sel_order = np.argsort(~keep, axis=1, kind="stable")[:, :m]
+        rows = np.arange(c)[:, None]
+        vals = cid[rows, sel_order]
+        ok = keep[rows, sel_order]
+        out[s : s + c] = np.where(ok, vals, -1)
     return out
 
 
