@@ -228,7 +228,8 @@ def _heuristic_prune(
         rows = np.arange(c)[:, None]
         vals = cid[rows, sel_order]
         ok = keep[rows, sel_order]
-        out[s : s + c] = np.where(ok, vals, -1)
+        w = sel_order.shape[1]  # = min(m, k): fewer candidates than m slots
+        out[s : s + c, :w] = np.where(ok, vals, -1)
     return out
 
 
