@@ -54,7 +54,7 @@ class HnswBuildConfig:
 # ---------------------------------------------------------------------------
 
 
-def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=None) -> tuple[np.ndarray, np.ndarray]:
     """IVF-partitioned approximate kNN graph for large n.
 
     Exact all-pairs kNN reads the whole vector array once per query tile —
@@ -72,7 +72,7 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0) -> 
 
     n, d = x.shape
     nc = num_clusters or max(16, int(np.sqrt(n)))
-    xj = jnp.asarray(x)
+    xj = jnp.asarray(x) if xj is None else xj
     sample = xj
     if n > 200_000:
         sel = np.random.default_rng(seed).choice(n, 200_000, replace=False)
@@ -174,11 +174,11 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0) -> 
     return ids_out, d_out
 
 
-def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.ndarray, np.ndarray]:
     """Exact kNN graph (self excluded) via chunked device matmuls."""
     n = x.shape[0]
     k = min(k, n - 1)
-    xj = jnp.asarray(x)
+    xj = jnp.asarray(x) if xj is None else xj
     ids_out = np.empty((n, k), np.int32)
     d_out = np.empty((n, k), np.float32)
     ids = jnp.arange(n, dtype=jnp.int32)
@@ -193,42 +193,60 @@ def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024) -> tuple[np.ndarray, np
     return ids_out, d_out
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _prune_chunk_device(cv, cdist, valid, m: int):
+    """Greedy distance-dominance selection for one chunk, fully on device.
+
+    cv: (c, k, d) candidate vectors; cdist: (c, k) candidate->node distance;
+    valid: (c, k) real-candidate mask. Returns keep (c, k) bool.
+    """
+    cc = jax.vmap(l2_distance)(cv, cv)  # (c, k, k) candidate-candidate
+    c, kk = cdist.shape
+
+    def body(j, carry):
+        keep, count = carry
+        dom = (cc[:, j, :] < cdist[:, j, None]) & keep  # dominated by a kept
+        ok = (~dom.any(1)) & (count < m) & valid[:, j]
+        keep = keep.at[:, j].set(ok)
+        return keep, count + ok.astype(jnp.int32)
+
+    keep0 = jnp.zeros((c, kk), bool)
+    keep, _ = jax.lax.fori_loop(0, kk, body, (keep0, jnp.zeros((c,), jnp.int32)))
+    return keep
+
+
 def _heuristic_prune(
-    x: np.ndarray, cand_ids: np.ndarray, cand_d: np.ndarray, m: int, chunk: int = 4096
+    x: np.ndarray, cand_ids: np.ndarray, cand_d: np.ndarray, m: int,
+    chunk: int = 4096, xj=None,
 ) -> np.ndarray:
     """Vectorized distance-dominance neighbor selection.
 
     For each node: walk candidates nearest-first, keep c iff no already-kept
-    s has d(c, s) < d(c, node) (hnsw/builder.rs:339-375). All nodes process
-    in lock-step over candidate rank; the candidate-candidate distance
-    tensors come from device matmuls.
+    s has d(c, s) < d(c, node) (hnsw/builder.rs:339-375). The greedy walk
+    runs on device (only the boolean keep-mask returns to host); vectors are
+    gathered from the device-resident copy — no bulk host<->device traffic.
 
     Returns (n, m) int32 edges, -1 padded.
     """
     n, k = cand_ids.shape
+    xj = jnp.asarray(x) if xj is None else xj
     out = np.full((n, m), -1, np.int32)
+    if k == 0:  # single-point index: nothing to prune
+        return out
     for s in range(0, n, chunk):
         cid = cand_ids[s : s + chunk]  # (c, k)
-        cdist = cand_d[s : s + chunk]  # (c, k) distance cand->node
-        cv = jnp.asarray(x[cid])  # (c, k, d)
-        # pairwise distances among candidates: (c, k, k)
-        cc = np.asarray(jax.vmap(l2_distance)(cv, cv))
+        cdist = cand_d[s : s + chunk]
+        valid = cid >= 0
+        cv = xj[jnp.asarray(np.clip(cid, 0, None))]  # device gather
+        keep = np.asarray(
+            _prune_chunk_device(cv, jnp.asarray(cdist), jnp.asarray(valid), m)
+        )
         c = cid.shape[0]
-        keep = np.zeros((c, k), bool)
-        kept_count = np.zeros(c, np.int32)
-        for j in range(k):
-            # candidate j dominated if any kept s has cc[:, j, s] < cdist[:, j]
-            dom = (cc[:, j, :] < cdist[:, j, None]) & keep
-            ok = ~dom.any(1) & (kept_count < m) & (cid[:, j] >= 0)
-            keep[:, j] = ok
-            kept_count += ok.astype(np.int32)
-        # vectorized selection: stable-sort keep-flags so kept candidates
-        # (in nearest-first order) land in the first m columns
         sel_order = np.argsort(~keep, axis=1, kind="stable")[:, :m]
         rows = np.arange(c)[:, None]
         vals = cid[rows, sel_order]
         ok = keep[rows, sel_order]
-        w = sel_order.shape[1]  # = min(m, k): fewer candidates than m slots
+        w = sel_order.shape[1]
         out[s : s + c, :w] = np.where(ok, vals, -1)
     return out
 
@@ -579,13 +597,15 @@ class HnswBuilder:
         entry_point = int(np.argmax(levels))
 
         # layer 0: kNN graph + heuristic prune + reverse edges; exact graph
-        # up to 200k points, IVF-partitioned approximate graph beyond
+        # up to 200k points, IVF-partitioned approximate graph beyond.
+        # One device copy of the vectors serves every stage.
+        xj = jnp.asarray(x)
         k0 = min(max(cfg.ef_construction // 2, 2 * m), max(n - 1, 1))
         if n <= 200_000:
-            knn_ids, knn_d = _exact_knn(x, k0)
+            knn_ids, knn_d = _exact_knn(x, k0, xj=xj)
         else:
-            knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed)
-        fw = _heuristic_prune(x, knn_ids, knn_d, m)
+            knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj)
+        fw = _heuristic_prune(x, knn_ids, knn_d, m, xj=xj)
         edges0 = _add_reverse_edges(fw, x, 2 * m)
         layers = [edges0]
 
