@@ -91,86 +91,77 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     bounds1 = np.searchsorted(top2[:, 0][order1], np.arange(nc + 1))
     order2 = np.argsort(top2[:, 1], kind="stable")
     bounds2 = np.searchsorted(top2[:, 1][order2], np.arange(nc + 1))
-    member_cap, pool_cap = 8192, 16384  # bound HBM per partition under skew
+    # ONE fixed shape for every group: shape diversity means recompiles,
+    # and each remote compile costs tens of seconds. Balanced k-means keeps
+    # partition sizes near n/nc, so a single (pm, pp) bucket fits almost all
+    # partitions; oversized member lists re-chunk, oversized visitor sets
+    # subsample.
     rng_local = np.random.default_rng(seed)
+    avg = max(1, n // nc)
 
-    # group partitions into padded shape buckets and process each group as
-    # ONE device program (per-partition dispatches through the serving
-    # tunnel cost ~10-50 ms each; sqrt(n) partitions would take minutes)
-    jobs = []  # (members, pool) index arrays
+    def pow2_at_least(v):
+        b = 256
+        while b < v:
+            b *= 2
+        return b
+
+    pm = pow2_at_least(2 * avg)
+    pp = 2 * pm
+    jobs = []  # (members, pool) index arrays; pool starts with members
     for c in range(nc):
         members = order1[bounds1[c] : bounds1[c + 1]]
         visitors = order2[bounds2[c] : bounds2[c + 1]]
         if len(members) == 0:
             continue
-        if len(visitors) > pool_cap - min(len(members), member_cap):
-            visitors = rng_local.choice(
-                visitors, pool_cap - min(len(members), member_cap), replace=False
-            )
-        for m0 in range(0, len(members), member_cap):
-            mem = members[m0 : m0 + member_cap]
-            pool = np.concatenate([mem, visitors])
+        for m0 in range(0, len(members), pm):
+            mem = members[m0 : m0 + pm]
+            room = pp - len(mem)
+            vis = visitors
+            if len(vis) > room:
+                vis = rng_local.choice(vis, room, replace=False)
+            pool = np.concatenate([mem, vis])
             if len(pool) >= 2:
                 jobs.append((mem, pool))
 
-    def bucket_shape(v, floor=256):
-        b = floor
-        while b < v:
-            b *= 2
-        return b
-
-    groups = {}
-    for mem, pool in jobs:
-        key_shape = (bucket_shape(len(mem)), bucket_shape(len(pool)))
-        groups.setdefault(key_shape, []).append((mem, pool))
+    g_fixed = max(1, min(32, int(768e6 / (pm * pp * 4 + pp * d * 4))))
+    kk = min(k, pp - 1)
 
     @functools.partial(jax.jit, static_argnames=("kk",))
-    def group_knn(mv, pv, mem_ok, pool_ok, self_mask, kk):
+    def group_knn(mv, pv, pool_ok, self_mask, kk):
         dd = jax.vmap(l2_distance)(mv, pv)  # (G, Pm, Pp)
         dd = jnp.where(pool_ok[:, None, :], dd, jnp.inf)
         dd = jnp.where(self_mask, jnp.inf, dd)
         nd, ni = jax.lax.top_k(-dd, kk)
         return -nd, ni
 
-    for (pm, pp), items in groups.items():
-        # memory-bounded group size
-        g_cap = max(1, int(512e6 / (pm * pp * 4 + pp * d * 4)))
-        for g0 in range(0, len(items), g_cap):
-            chunk_items = items[g0 : g0 + g_cap]
-            g = len(chunk_items)
-            mem_idx = np.zeros((g, pm), np.int64)
-            pool_idx = np.zeros((g, pp), np.int64)
-            mem_ok = np.zeros((g, pm), bool)
-            pool_ok = np.zeros((g, pp), bool)
-            for gi, (mem, pool) in enumerate(chunk_items):
-                mem_idx[gi, : len(mem)] = mem
-                pool_idx[gi, : len(pool)] = pool
-                mem_ok[gi, : len(mem)] = True
-                pool_ok[gi, : len(pool)] = True
-            mv = xj[jnp.asarray(mem_idx)]  # (G, Pm, d)
-            pv = xj[jnp.asarray(pool_idx)]
-            # member i sits at pool slot i (pools start with members)
-            self_mask = np.zeros((g, pm, pp), bool)
-            rr = np.arange(pm)
-            self_mask[:, rr, rr] = True
-            kk = min(k, pp - 1)
-            cd, ci = group_knn(
-                mv, pv, jnp.asarray(mem_ok), jnp.asarray(pool_ok),
-                jnp.asarray(self_mask), kk,
-            )
-            cd = np.asarray(cd)
-            ci = np.asarray(ci)
-            for gi, (mem, pool) in enumerate(chunk_items):
-                nm = len(mem)
-                sel = ci[gi, :nm]
-                ids_out[mem, :kk] = pool_idx[gi][sel]
-                d_out[mem, :kk] = cd[gi, :nm]
-                # candidates pointing at pool padding are already inf-masked;
-                # mark them -1
-                bad = ~pool_ok[gi][sel]
-                ids_row = ids_out[mem, :kk]
-                ids_row[bad] = -1
-                ids_out[mem, :kk] = ids_row
+    self_mask = np.zeros((g_fixed, pm, pp), bool)
+    rr = np.arange(pm)
+    self_mask[:, rr, rr] = True
+    self_mask_j = jnp.asarray(self_mask)
+
+    for g0 in range(0, len(jobs), g_fixed):
+        chunk_items = jobs[g0 : g0 + g_fixed]
+        g = len(chunk_items)
+        mem_idx = np.zeros((g_fixed, pm), np.int64)
+        pool_idx = np.zeros((g_fixed, pp), np.int64)
+        pool_ok = np.zeros((g_fixed, pp), bool)
+        for gi, (mem, pool) in enumerate(chunk_items):
+            mem_idx[gi, : len(mem)] = mem
+            pool_idx[gi, : len(pool)] = pool
+            pool_ok[gi, : len(pool)] = True
+        mv = xj[jnp.asarray(mem_idx)]  # (G, Pm, d)
+        pv = xj[jnp.asarray(pool_idx)]
+        cd, ci = group_knn(mv, pv, jnp.asarray(pool_ok), self_mask_j, kk)
+        cd = np.asarray(cd)
+        ci = np.asarray(ci)
+        for gi, (mem, pool) in enumerate(chunk_items):
+            nm = len(mem)
+            sel = ci[gi, :nm]
+            row_ids = pool_idx[gi][sel].astype(np.int32)
+            row_ids[~pool_ok[gi][sel]] = -1
+            kw = min(kk, k)
+            ids_out[mem, :kw] = row_ids[:, :kw]
+            d_out[mem, :kw] = cd[gi, :nm, :kw]
     return ids_out, d_out
 
 
