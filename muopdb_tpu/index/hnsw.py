@@ -165,6 +165,72 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     return ids_out, d_out
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _refine_chunk(node_vecs, cand_ids, cand_vecs, node_ids, k: int):
+    """One NN-descent re-rank for a chunk: exact distances to the candidate
+    set (current neighbors + neighbors-of-neighbors), keep top-k."""
+    dd = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(node_vecs, cand_vecs)
+    dd = jnp.where(cand_ids == node_ids[:, None], jnp.inf, dd)  # self
+    dd = jnp.where(cand_ids < 0, jnp.inf, dd)
+    # mask duplicate candidate ids (keep first occurrence)
+    order = jnp.argsort(cand_ids, axis=1)
+    sorted_ids = jnp.take_along_axis(cand_ids, order, 1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((cand_ids.shape[0], 1), bool),
+         sorted_ids[:, 1:] == sorted_ids[:, :-1]], axis=1)
+    dup = jnp.zeros_like(dup_sorted).at[
+        jnp.arange(cand_ids.shape[0])[:, None], order
+    ].set(dup_sorted)
+    dd = jnp.where(dup, jnp.inf, dd)
+    nd, ni = jax.lax.top_k(-dd, k)
+    return -nd, jnp.take_along_axis(cand_ids, ni, 1)
+
+
+def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
+                      chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
+    """One NN-descent improvement round: candidates = current neighbors +
+    sampled neighbors-of-neighbors, exact re-rank on device. Recovers graph
+    quality where spatial partitioning has little signal (high-dim data)."""
+    n, k = ids.shape
+    rng = np.random.default_rng(seed)
+    # sample 3k neighbor-of-neighbor slots per node (out of k*k)
+    nn2_cols = rng.integers(0, k * k, size=(n, min(3 * k, k * k)))
+    # reverse neighbors: nodes that list me (classic NN-descent uses the
+    # forward+reverse union; without the reverse half convergence stalls)
+    flat_dst = ids.reshape(-1)
+    flat_src = np.repeat(np.arange(n, dtype=ids.dtype), k)
+    keep_rev = flat_dst >= 0
+    order_rev = np.argsort(flat_dst[keep_rev], kind="stable")
+    rev_dst = flat_dst[keep_rev][order_rev]
+    rev_src = flat_src[keep_rev][order_rev]
+    bounds_rev = np.searchsorted(rev_dst, np.arange(n + 1))
+    rev = np.full((n, k), -1, ids.dtype)
+    counts_rev = np.minimum(np.diff(bounds_rev), k)
+    take_rows = np.repeat(np.arange(n), counts_rev)
+    take_cols = (np.arange(len(take_rows))
+                 - np.repeat(np.cumsum(np.concatenate([[0], counts_rev[:-1]])), counts_rev))
+    take_src_pos = np.repeat(bounds_rev[:-1], counts_rev) + take_cols
+    rev[take_rows, take_cols] = rev_src[take_src_pos]
+    out_i = np.empty_like(ids)
+    out_d = np.empty_like(dists)
+    for s in range(0, n, chunk):
+        nid = ids[s : s + chunk]
+        c = nid.shape[0]
+        safe = np.clip(nid, 0, n - 1)
+        nb2 = ids[safe].reshape(c, k * k)  # neighbors of neighbors
+        nb2 = np.take_along_axis(nb2, nn2_cols[s : s + chunk], 1)
+        cand = np.concatenate([nid, rev[s : s + chunk], nb2], axis=1)
+        node_ids = np.arange(s, s + c, dtype=cand.dtype)
+        cand_j = jnp.asarray(np.clip(cand, 0, n - 1))
+        cd, ci = _refine_chunk(
+            xj[jnp.asarray(node_ids)], jnp.asarray(cand), xj[cand_j],
+            jnp.asarray(node_ids), k,
+        )
+        out_i[s : s + c] = np.asarray(ci)
+        out_d[s : s + c] = np.asarray(cd)
+    return out_i, out_d
+
+
 def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.ndarray, np.ndarray]:
     """Exact kNN graph (self excluded) via chunked device matmuls."""
     n = x.shape[0]
@@ -596,6 +662,10 @@ class HnswBuilder:
             knn_ids, knn_d = _exact_knn(x, k0, xj=xj)
         else:
             knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj)
+            # NN-descent rounds repair partitioning misses (essential when
+            # the data has weak cluster structure)
+            for r in range(3):
+                knn_ids, knn_d = _nn_descent_round(knn_ids, knn_d, xj, seed=cfg.seed + r)
         fw = _heuristic_prune(x, knn_ids, knn_d, m, xj=xj)
         edges0 = _add_reverse_edges(fw, x, 2 * m)
         layers = [edges0]

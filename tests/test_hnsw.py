@@ -107,3 +107,23 @@ def test_approx_knn_graph_quality(rng):
     assert overlap >= 0.5, overlap
     # no self edges
     assert not any(i in ids_a[i] for i in range(0, 3000, 101))
+
+
+def test_nn_descent_improves_graph(rng):
+    import jax.numpy as jnp
+
+    from muopdb_tpu.index.hnsw import _exact_knn, _nn_descent_round
+
+    x = rng.standard_normal((2000, 32)).astype(np.float32)
+    xj = jnp.asarray(x)
+    # start from a deliberately bad graph: random neighbors
+    k = 32
+    ids = rng.integers(0, 2000, (2000, k)).astype(np.int32)
+    d0 = np.full((2000, k), np.inf, np.float32)
+    for r in range(5):
+        ids, d0 = _nn_descent_round(ids, d0, xj, seed=r)
+    exact_ids, _ = _exact_knn(x, k)
+    overlap = np.mean(
+        [len(set(ids[i]) & set(exact_ids[i])) / k for i in range(0, 2000, 29)]
+    )
+    assert overlap >= 0.5, overlap
