@@ -165,38 +165,63 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     return ids_out, d_out
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _refine_chunk(node_vecs, cand_ids, cand_vecs, node_ids, k: int):
-    """One NN-descent re-rank for a chunk: exact distances to the candidate
-    set (current neighbors + neighbors-of-neighbors), keep top-k."""
-    dd = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(node_vecs, cand_vecs)
-    dd = jnp.where(cand_ids == node_ids[:, None], jnp.inf, dd)  # self
-    dd = jnp.where(cand_ids < 0, jnp.inf, dd)
-    # mask duplicate candidate ids (keep first occurrence)
-    order = jnp.argsort(cand_ids, axis=1)
-    sorted_ids = jnp.take_along_axis(cand_ids, order, 1)
-    dup_sorted = jnp.concatenate(
-        [jnp.zeros((cand_ids.shape[0], 1), bool),
-         sorted_ids[:, 1:] == sorted_ids[:, :-1]], axis=1)
-    dup = jnp.zeros_like(dup_sorted).at[
-        jnp.arange(cand_ids.shape[0])[:, None], order
-    ].set(dup_sorted)
-    dd = jnp.where(dup, jnp.inf, dd)
-    nd, ni = jax.lax.top_k(-dd, k)
-    return -nd, jnp.take_along_axis(cand_ids, ni, 1)
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _nn_descent_device(xj, ids, rev, nn2_cols, k: int, chunk: int):
+    """One NN-descent round as a single compiled program.
+
+    Candidates per node = current neighbors + reverse neighbors + sampled
+    neighbors-of-neighbors; exact re-rank keeps top-k. lax.map over node
+    chunks bounds the gather working set while keeping ONE host dispatch
+    (per-chunk dispatches through the serving tunnel would dominate).
+    """
+    n = ids.shape[0]
+    nchunks = n // chunk
+
+    def one_chunk(args):
+        node_ids, nid, rv, cols = args
+        c = nid.shape[0]
+        safe = jnp.clip(nid, 0, n - 1)
+        nb2 = ids[safe].reshape(c, -1)  # (c, k*k)
+        nb2 = jnp.take_along_axis(nb2, cols, 1)
+        cand = jnp.concatenate([nid, rv, nb2], axis=1)  # (c, R)
+        cand_safe = jnp.clip(cand, 0, n - 1)
+        cv = xj[cand_safe]  # (c, R, d)
+        qv = xj[node_ids]
+        dd = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(qv, cv)
+        dd = jnp.where(cand == node_ids[:, None], jnp.inf, dd)
+        dd = jnp.where(cand < 0, jnp.inf, dd)
+        order = jnp.argsort(cand, axis=1)
+        sorted_ids = jnp.take_along_axis(cand, order, 1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((c, 1), bool), sorted_ids[:, 1:] == sorted_ids[:, :-1]], axis=1
+        )
+        dup = jnp.zeros_like(dup_sorted).at[
+            jnp.arange(c)[:, None], order
+        ].set(dup_sorted)
+        dd = jnp.where(dup, jnp.inf, dd)
+        nd, ni = jax.lax.top_k(-dd, k)
+        return -nd, jnp.take_along_axis(cand, ni, 1)
+
+    node_ids = jnp.arange(n, dtype=ids.dtype)
+    out_d, out_i = jax.lax.map(
+        one_chunk,
+        (
+            node_ids.reshape(nchunks, chunk),
+            ids.reshape(nchunks, chunk, -1),
+            rev.reshape(nchunks, chunk, -1),
+            nn2_cols.reshape(nchunks, chunk, -1),
+        ),
+    )
+    return out_i.reshape(n, k), out_d.reshape(n, k)
 
 
 def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
                       chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
-    """One NN-descent improvement round: candidates = current neighbors +
-    sampled neighbors-of-neighbors, exact re-rank on device. Recovers graph
-    quality where spatial partitioning has little signal (high-dim data)."""
+    """One NN-descent improvement round (see _nn_descent_device)."""
     n, k = ids.shape
     rng = np.random.default_rng(seed)
-    # sample 3k neighbor-of-neighbor slots per node (out of k*k)
-    nn2_cols = rng.integers(0, k * k, size=(n, min(3 * k, k * k)))
-    # reverse neighbors: nodes that list me (classic NN-descent uses the
-    # forward+reverse union; without the reverse half convergence stalls)
+    nn2_cols = rng.integers(0, k * k, size=(n, min(3 * k, k * k))).astype(np.int32)
+    # reverse neighbors on host (grouped scatter)
     flat_dst = ids.reshape(-1)
     flat_src = np.repeat(np.arange(n, dtype=ids.dtype), k)
     keep_rev = flat_dst >= 0
@@ -211,24 +236,17 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
                  - np.repeat(np.cumsum(np.concatenate([[0], counts_rev[:-1]])), counts_rev))
     take_src_pos = np.repeat(bounds_rev[:-1], counts_rev) + take_cols
     rev[take_rows, take_cols] = rev_src[take_src_pos]
-    out_i = np.empty_like(ids)
-    out_d = np.empty_like(dists)
-    for s in range(0, n, chunk):
-        nid = ids[s : s + chunk]
-        c = nid.shape[0]
-        safe = np.clip(nid, 0, n - 1)
-        nb2 = ids[safe].reshape(c, k * k)  # neighbors of neighbors
-        nb2 = np.take_along_axis(nb2, nn2_cols[s : s + chunk], 1)
-        cand = np.concatenate([nid, rev[s : s + chunk], nb2], axis=1)
-        node_ids = np.arange(s, s + c, dtype=cand.dtype)
-        cand_j = jnp.asarray(np.clip(cand, 0, n - 1))
-        cd, ci = _refine_chunk(
-            xj[jnp.asarray(node_ids)], jnp.asarray(cand), xj[cand_j],
-            jnp.asarray(node_ids), k,
-        )
-        out_i[s : s + c] = np.asarray(ci)
-        out_d[s : s + c] = np.asarray(cd)
-    return out_i, out_d
+
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    ids_p = np.pad(ids, ((0, pad), (0, 0)), constant_values=-1)
+    rev_p = np.pad(rev, ((0, pad), (0, 0)), constant_values=-1)
+    cols_p = np.pad(nn2_cols, ((0, pad), (0, 0)))
+    out_i, out_d = _nn_descent_device(
+        xj, jnp.asarray(ids_p), jnp.asarray(rev_p), jnp.asarray(cols_p),
+        k=k, chunk=chunk,
+    )
+    return np.asarray(out_i)[:n], np.asarray(out_d)[:n]
 
 
 def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.ndarray, np.ndarray]:
