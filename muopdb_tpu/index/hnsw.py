@@ -220,7 +220,7 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
     """One NN-descent improvement round (see _nn_descent_device)."""
     n, k = ids.shape
     rng = np.random.default_rng(seed)
-    nn2_cols = rng.integers(0, k * k, size=(n, min(3 * k, k * k))).astype(np.int32)
+    nn2_cols = rng.integers(0, k * k, size=(n, min(2 * k, k * k))).astype(np.int32)
     # reverse neighbors on host (grouped scatter)
     flat_dst = ids.reshape(-1)
     flat_src = np.repeat(np.arange(n, dtype=ids.dtype), k)
@@ -682,7 +682,7 @@ class HnswBuilder:
             knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj)
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
-            for r in range(3):
+            for r in range(2):
                 knn_ids, knn_d = _nn_descent_round(knn_ids, knn_d, xj, seed=cfg.seed + r)
         fw = _heuristic_prune(x, knn_ids, knn_d, m, xj=xj)
         edges0 = _add_reverse_edges(fw, x, 2 * m)
