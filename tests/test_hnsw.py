@@ -120,7 +120,7 @@ def test_nn_descent_improves_graph(rng):
     k = 32
     ids = rng.integers(0, 2000, (2000, k)).astype(np.int32)
     d0 = np.full((2000, k), np.inf, np.float32)
-    for r in range(5):
+    for r in range(7):
         ids, d0 = _nn_descent_round(ids, d0, xj, seed=r)
     exact_ids, _ = _exact_knn(x, k)
     overlap = np.mean(
