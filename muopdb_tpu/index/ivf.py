@@ -400,10 +400,17 @@ def _scan_pq(
     return res_d.reshape(-1, k)[:b], res_i.reshape(-1, k)[:b]
 
 
+# int8 ADC (2x MXU rate, per-query LUT quantization; rerank restores exact
+# ranking). Opt-out with MUOPDB_ADC_INT8=0.
+ADC_INT8 = os.environ.get("MUOPDB_ADC_INT8", "1") != "0"
+
+
 def _adc_scores_full(lut, codes_t_padded, n, use_pallas: bool):
-    from ..ops.pallas.adc import adc_full_scan, adc_full_scan_xla
+    from ..ops.pallas.adc import adc_full_scan, adc_full_scan_int8, adc_full_scan_xla
 
     if use_pallas:
+        if ADC_INT8:
+            return adc_full_scan_int8(lut, codes_t_padded)[:, :n]
         return adc_full_scan(lut, codes_t_padded)[:, :n]
     return adc_full_scan_xla(lut, codes_t_padded)[:, :n]
 

@@ -88,6 +88,61 @@ def adc_full_scan(
     return out[:b]
 
 
+def _adc_kernel_i8(lut_ref, codes_ref, out_ref, *, m: int, ksub: int, r: int):
+    codes = codes_ref[:]  # (m, R) int32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, ksub, r), 1)
+    onehot = (codes[:, None, :] == iota).astype(jnp.int8).reshape(m * ksub, r)
+    out_ref[:] = jax.lax.dot_general(
+        lut_ref[:],
+        onehot,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "block_b", "interpret"))
+def adc_full_scan_int8(
+    lut: jax.Array,  # (B, m, ksub) f32 ADC tables
+    codes_t: jax.Array,  # (m, N) int32
+    *,
+    block_r: int = 512,
+    block_b: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 variant of adc_full_scan: per-query symmetric LUT quantization,
+    s8 x s8 -> s32 on the MXU (2x the bf16 rate). The ~0.4% relative
+    quantization error lands entirely in the candidate stage; exact
+    reranking restores final ranking. Returns (B, N) f32 (dequantized)."""
+    b, m, ksub = lut.shape
+    n = codes_t.shape[1]
+    assert n % block_r == 0
+    scale = jnp.max(jnp.abs(lut.reshape(b, -1)), axis=1, keepdims=True) / 127.0
+    lut_q = jnp.clip(jnp.round(lut.reshape(b, -1) / jnp.maximum(scale, 1e-30)), -127, 127).astype(jnp.int8)
+    bb = min(block_b, b)
+    pad_b = (-b) % bb
+    if pad_b:
+        lut_q = jnp.pad(lut_q, ((0, pad_b), (0, 0)))
+    grid = (lut_q.shape[0] // bb, n // block_r)
+    kernel = functools.partial(_adc_kernel_i8, m=m, ksub=ksub, r=block_r)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, m * ksub), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, block_r), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, block_r), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lut_q.shape[0], n), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * m * ksub * n,
+            bytes_accessed=4 * m * n + b * m * ksub + 4 * b * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lut_q, codes_t)
+    return out[:b].astype(jnp.float32) * scale
+
+
 def adc_full_scan_xla(lut: jax.Array, codes_t: jax.Array, *, block_r: int = 512) -> jax.Array:
     """XLA reference implementation (one-hot matmul via lax.map) — used on
     backends without Mosaic (CPU tests) and as the correctness oracle."""

@@ -28,3 +28,23 @@ def test_flat_full_scan_matches_numpy(rng):
     want = ((q[:, None] - x[None]) ** 2).sum(-1)
     got = np.asarray(flat_full_scan(jnp.asarray(q), jnp.asarray(x), block_r=128, interpret=True))
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)  # bf16 cross term
+
+
+def test_adc_int8_close_to_exact(rng):
+    from muopdb_tpu.ops.pallas.adc import adc_full_scan_int8
+
+    b, m, ksub, n = 4, 8, 16, 256
+    lut = rng.random((b, m, ksub)).astype(np.float32)
+    codes = rng.integers(0, ksub, (n, m)).astype(np.int32)
+    want = np.asarray(adc_scores(jnp.asarray(lut), jnp.asarray(codes)))
+    got = np.asarray(
+        adc_full_scan_int8(jnp.asarray(lut), jnp.asarray(codes.T), block_r=128, interpret=True)
+    )
+    # int8 LUT quantization: ~1% relative error on summed distances
+    rel = np.abs(got - want) / (np.abs(want) + 1e-6)
+    assert np.median(rel) < 0.02
+    # ranking is largely preserved
+    for r in range(b):
+        top_w = set(np.argsort(want[r])[:20].tolist())
+        top_g = set(np.argsort(got[r])[:20].tolist())
+        assert len(top_w & top_g) >= 15
