@@ -169,7 +169,9 @@ def main():
         scores = flat_full_scan(qq, xp)[:, :n]
         return _tks(scores, jnp2.arange(n, dtype=jnp2.int32), k)
 
-    qj2 = jnp.asarray(queries)
+    # cap the exact sweep batch: the (B, N) score matrix is B*N*4 bytes
+    fb = min(batch, 256)
+    qj2 = jnp.asarray(queries[:fb])
     ii_f = flat_exact(qj2)
     jax.block_until_ready(ii_f)
     t0 = time.time()
@@ -177,7 +179,7 @@ def main():
         got_f = np.asarray(flat_exact(qj2)[1])  # host fetch forces completion
     flat_dt = (time.time() - t0) / 5
     flat_recall = float(np.mean([
-        len(set(got_f[r].tolist()) & set(gt[r].tolist())) / k for r in range(batch)
+        len(set(got_f[r].tolist()) & set(gt[r].tolist())) / k for r in range(fb)
     ]))
 
     out = {
@@ -194,7 +196,7 @@ def main():
         "rerank": rerank,
         "probed_path_ms_per_batch": round(probed_ms, 2),
         "probed_path_recall_at_10": round(probed_recall, 4),
-        "flat_bf16_exact_qps": round(batch / flat_dt, 1),
+        "flat_bf16_exact_qps": round(fb / flat_dt, 1),
         "flat_bf16_recall_at_10": round(flat_recall, 4),
         "total_bench_seconds": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
