@@ -194,6 +194,7 @@ def main():
         "batch": batch,
         "latency_ms_per_batch": round(1000 * dt / reps, 2),
         "rerank": rerank,
+        "probed_path_batch": pbatch,
         "probed_path_ms_per_batch": round(probed_ms, 2),
         "probed_path_recall_at_10": round(probed_recall, 4),
         "flat_bf16_exact_qps": round(fb / flat_dt, 1),
