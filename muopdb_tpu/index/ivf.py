@@ -405,11 +405,11 @@ def _scan_pq(
 ADC_INT8 = os.environ.get("MUOPDB_ADC_INT8", "1") != "0"
 
 
-def _adc_scores_full(lut, codes_t_padded, n, use_pallas: bool):
+def _adc_scores_full(lut, codes_t_padded, n, use_pallas: bool, int8_adc: bool):
     from ..ops.pallas.adc import adc_full_scan, adc_full_scan_int8, adc_full_scan_xla
 
     if use_pallas:
-        if ADC_INT8:
+        if int8_adc:
             return adc_full_scan_int8(lut, codes_t_padded)[:, :n]
         return adc_full_scan(lut, codes_t_padded)[:, :n]
     return adc_full_scan_xla(lut, codes_t_padded)[:, :n]
@@ -473,28 +473,30 @@ def _fused_flat_probed_masked(q, vectors_padded, valid, centroids, point_owner, 
     return d, jnp.where(jnp.isinf(d), -1, i)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rerank", "use_pallas", "distance_type"))
+@functools.partial(jax.jit, static_argnames=("k", "rerank", "use_pallas", "distance_type", "int8_adc"))
 def _fused_pq_batched(q, codes_t_padded, codebook, raw_vectors, valid, *,
-                      k: int, rerank: int, use_pallas: bool, distance_type: str = "L2"):
+                      k: int, rerank: int, use_pallas: bool, distance_type: str = "L2",
+                      int8_adc: bool = False):
     """Whole batched PQ search — LUT + ADC sweep + approx-topk + exact
     rerank + final topk — as ONE compiled program (one host dispatch)."""
     from ..quantization.pq import _compute_lut_dot, _compute_lut_l2
 
     lut = (_compute_lut_l2 if distance_type == "L2" else _compute_lut_dot)(q, codebook)
     n = valid.shape[0]
-    scores = _adc_scores_full(lut, codes_t_padded, n, use_pallas)
+    scores = _adc_scores_full(lut, codes_t_padded, n, use_pallas, int8_adc)
     scores = jnp.where(valid[None, :], scores, jnp.inf)
     return _finish(q, scores, raw_vectors, k, rerank)
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "rerank", "nprobe", "centroid_distance_ratio",
-                              "use_pallas", "distance_type")
+                              "use_pallas", "distance_type", "int8_adc")
 )
 def _fused_pq_probed_masked(q, codes_t_padded, codebook, raw_vectors, valid,
                             centroids, point_owner, *, k: int, rerank: int,
                             nprobe: int, centroid_distance_ratio: float,
-                            use_pallas: bool, distance_type: str = "L2"):
+                            use_pallas: bool, distance_type: str = "L2",
+                            int8_adc: bool = False):
     """Probed search as full-sweep + probe mask, fused into one program."""
     from ..quantization.pq import _compute_lut_dot, _compute_lut_l2
 
@@ -503,7 +505,7 @@ def _fused_pq_probed_masked(q, codes_t_padded, codebook, raw_vectors, valid,
     )
     lut = (_compute_lut_l2 if distance_type == "L2" else _compute_lut_dot)(q, codebook)
     n = valid.shape[0]
-    scores = _adc_scores_full(lut, codes_t_padded, n, use_pallas)
+    scores = _adc_scores_full(lut, codes_t_padded, n, use_pallas, int8_adc)
     c = centroids.shape[0]
     probe_sel = jnp.zeros((q.shape[0], c), bool).at[
         jnp.arange(q.shape[0])[:, None], probe
@@ -760,6 +762,7 @@ class IvfIndex:
                 centroid_distance_ratio=centroid_distance_ratio,
                 use_pallas=jax.default_backend() not in ("cpu",),
                 distance_type="L2" if self.distance_type in ("L2", "l2") else "dot",
+                int8_adc=ADC_INT8 and jax.default_backend() not in ("cpu",),
             )
         probe, probe_ok = _probe(
             q, self.centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
@@ -866,6 +869,7 @@ class IvfIndex:
                 rerank=rerank if self.raw_vectors is not None else 0,
                 use_pallas=use_pallas,
                 distance_type="L2" if self.distance_type in ("L2", "l2") else "dot",
+                int8_adc=ADC_INT8 and use_pallas,
             )
         assert self.raw_vectors is not None
         return _fused_flat_batched(
