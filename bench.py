@@ -144,10 +144,12 @@ def main():
 
     _log("timing probed path")
     ii_p = run_probed()
+    _log("probed path warm done")
     t0 = time.time()
     for _ in range(3):
         ii_p = run_probed()
     probed_ms = 1000 * (time.time() - t0) / 3
+    _log("probed path timed")
     got_p = np.asarray(ii_p)
     probed_recall = float(
         np.mean(
@@ -161,8 +163,10 @@ def main():
     from muopdb_tpu.ops.pallas.scan import flat_full_scan
     from muopdb_tpu.ops.topk import top_k_smallest as _tks
 
+    _log("staging exact-sweep vectors")
     pad_flat = (-n) % 1024
     xp = jnp2.pad(jnp.asarray(x), ((0, pad_flat), (0, 0)))
+    _log("exact-sweep staged")
 
     @jax.jit
     def flat_exact(qq):
@@ -174,6 +178,7 @@ def main():
     qj2 = jnp.asarray(queries[:fb])
     ii_f = flat_exact(qj2)
     jax.block_until_ready(ii_f)
+    _log("exact sweep compiled")
     t0 = time.time()
     for _ in range(5):
         got_f = np.asarray(flat_exact(qj2)[1])  # host fetch forces completion
