@@ -158,34 +158,39 @@ def main():
     )
 
     # secondary: exact bf16 whole-index sweep (recall ~1.0, no quantization)
-    # — the bandwidth-optimal plan when the index fits HBM uncompressed
-    import jax.numpy as jnp2
-    from muopdb_tpu.ops.pallas.scan import flat_full_scan
-    from muopdb_tpu.ops.topk import top_k_smallest as _tks
+    # — the bandwidth-optimal plan when the index fits HBM uncompressed.
+    # Skipped when the run is already slow (compile/transfer times through
+    # the serving tunnel vary run to run) so the headline always lands.
+    flat_dt = None
+    flat_recall = None
+    if time.time() - t_start < float(os.environ.get("MUOPDB_BENCH_SOFT_BUDGET_S", 330)):
+        import jax.numpy as jnp2
+        from muopdb_tpu.ops.pallas.scan import flat_full_scan
+        from muopdb_tpu.ops.topk import top_k_smallest as _tks
 
-    _log("staging exact-sweep vectors")
-    pad_flat = (-n) % 1024
-    xp = jnp2.pad(jnp.asarray(x), ((0, pad_flat), (0, 0)))
-    _log("exact-sweep staged")
+        _log("staging exact-sweep vectors")
+        pad_flat = (-n) % 1024
+        xp = jnp2.pad(jnp.asarray(x), ((0, pad_flat), (0, 0)))
+        _log("exact-sweep staged")
 
-    @jax.jit
-    def flat_exact(qq):
-        scores = flat_full_scan(qq, xp)[:, :n]
-        return _tks(scores, jnp2.arange(n, dtype=jnp2.int32), k)
+        @jax.jit
+        def flat_exact(qq):
+            scores = flat_full_scan(qq, xp)[:, :n]
+            return _tks(scores, jnp2.arange(n, dtype=jnp2.int32), k)
 
-    # cap the exact sweep batch: the (B, N) score matrix is B*N*4 bytes
-    fb = min(batch, 256)
-    qj2 = jnp.asarray(queries[:fb])
-    ii_f = flat_exact(qj2)
-    jax.block_until_ready(ii_f)
-    _log("exact sweep compiled")
-    t0 = time.time()
-    for _ in range(5):
-        got_f = np.asarray(flat_exact(qj2)[1])  # host fetch forces completion
-    flat_dt = (time.time() - t0) / 5
-    flat_recall = float(np.mean([
-        len(set(got_f[r].tolist()) & set(gt[r].tolist())) / k for r in range(fb)
-    ]))
+        # cap the exact sweep batch: the (B, N) score matrix is B*N*4 bytes
+        fb = min(batch, 256)
+        qj2 = jnp.asarray(queries[:fb])
+        ii_f = flat_exact(qj2)
+        jax.block_until_ready(ii_f)
+        _log("exact sweep compiled")
+        t0 = time.time()
+        for _ in range(5):
+            got_f = np.asarray(flat_exact(qj2)[1])  # host fetch forces completion
+        flat_dt = (time.time() - t0) / 5
+        flat_recall = float(np.mean([
+            len(set(got_f[r].tolist()) & set(gt[r].tolist())) / k for r in range(fb)
+        ]))
 
     out = {
         "metric": "ivf_pq_qps_per_chip",
@@ -202,8 +207,8 @@ def main():
         "probed_path_batch": pbatch,
         "probed_path_ms_per_batch": round(probed_ms, 2),
         "probed_path_recall_at_10": round(probed_recall, 4),
-        "flat_bf16_exact_qps": round(fb / flat_dt, 1),
-        "flat_bf16_recall_at_10": round(flat_recall, 4),
+        "flat_bf16_exact_qps": round(fb / flat_dt, 1) if flat_dt else None,
+        "flat_bf16_recall_at_10": round(flat_recall, 4) if flat_recall else None,
         "total_bench_seconds": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }
