@@ -135,10 +135,13 @@ def main():
     )
 
     # secondary: probed (low-latency) path
+    pbatch = min(batch, 256)
+    pqueries = queries[:pbatch]
+
     def run_probed():
         # rerank applies to the probed plan too (ADC ties would otherwise
         # cap recall on clustered data)
-        dd, ii = index.search(queries, k=k, nprobe=nprobe, chunk=batch, rerank=rerank)
+        dd, ii = index.search(pqueries, k=k, nprobe=nprobe, chunk=pbatch, rerank=rerank)
         jax.block_until_ready((dd, ii))
         return ii
 
@@ -153,7 +156,7 @@ def main():
     got_p = np.asarray(ii_p)
     probed_recall = float(
         np.mean(
-            [len(set(got_p[r].tolist()) & set(gt[r].tolist())) / k for r in range(batch)]
+            [len(set(got_p[r].tolist()) & set(gt[r].tolist())) / k for r in range(pbatch)]
         )
     )
 
