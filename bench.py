@@ -195,6 +195,20 @@ def main():
             len(set(got_f[r].tolist()) & set(gt[r].tolist())) / k for r in range(fb)
         ]))
 
+    # optional: recall@10 vs nprobe sweep (BASELINE config #2)
+    sweep = {}
+    if os.environ.get("MUOPDB_BENCH_SWEEP"):
+        for np_i in (8, 16, 32, 64, 128):
+            if np_i > nlist:
+                continue
+            dd_s, ii_s = index.search(pqueries, k=k, nprobe=np_i, chunk=pbatch, rerank=rerank)
+            got_s = np.asarray(ii_s)
+            sweep[str(np_i)] = round(float(np.mean([
+                len(set(got_s[r].tolist()) & set(gt[r].tolist())) / k
+                for r in range(pbatch)
+            ])), 4)
+            _log(f"sweep nprobe={np_i} recall={sweep[str(np_i)]}")
+
     out = {
         "metric": "ivf_pq_qps_per_chip",
         "value": round(qps, 1),
@@ -212,6 +226,7 @@ def main():
         "probed_path_recall_at_10": round(probed_recall, 4),
         "flat_bf16_exact_qps": round(fb / flat_dt, 1) if flat_dt else None,
         "flat_bf16_recall_at_10": round(flat_recall, 4) if flat_recall else None,
+        **({"recall_vs_nprobe": sweep} if sweep else {}),
         "total_bench_seconds": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }

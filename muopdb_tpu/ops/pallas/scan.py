@@ -17,15 +17,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _scan_kernel(q_ref, qsq_ref, x_ref, xsq_ref, out_ref):
+def _scan_kernel(q_ref, x_ref, out_ref):
+    q = q_ref[:]
+    x = x_ref[:]
     cross = jax.lax.dot_general(
-        q_ref[:],
-        x_ref[:],
+        q.astype(jnp.bfloat16),
+        x.astype(jnp.bfloat16),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, R)
-    d = qsq_ref[:] + xsq_ref[:] - 2.0 * cross  # (B,1)+(1,R)-2QX
-    out_ref[:] = jnp.maximum(d, 0.0)
+    # norms computed in-kernel in f32 (passing (B,1)/(1,N)-shaped operands
+    # with sublane-1 layouts stalls Mosaic compilation at large grids)
+    qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)  # (B,1)
+    xsq = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)[None, :]  # (1,R)
+    out_ref[:] = jnp.maximum(qsq + xsq - 2.0 * cross, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
@@ -40,27 +45,20 @@ def flat_full_scan(
     b, d = queries.shape
     n = vectors.shape[0]
     assert n % block_r == 0
-    qsq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)  # (B,1)
-    xf = vectors.astype(jnp.float32)
-    xsq = jnp.sum(xf * xf, axis=1)[None, :]  # (1,N)
-    qb = queries.astype(jnp.bfloat16)
-    xb = vectors.astype(jnp.bfloat16)
     grid = (n // block_r,)
     return pl.pallas_call(
         _scan_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_r, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * n,
-            bytes_accessed=2 * n * d + 4 * b * n,
+            bytes_accessed=4 * n * d + 4 * b * n,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qb, qsq, xb, xsq)
+    )(queries, vectors)
