@@ -211,8 +211,9 @@ class Collection:
         attrs = attributes or [None] * len(doc_ids)
         with self._mutable_lock:
             for u in user_ids:
-                for d, v, a in zip(doc_ids, np.asarray(vectors, np.float32), attrs):
-                    self.mutable.insert_for_user(u, d, v, a, sequence_number)
+                self.mutable.insert_batch_for_user(
+                    u, list(doc_ids), vectors, attrs, sequence_number
+                )
 
     def remove(self, user_id: int, doc_ids, sequence_number: int = -1) -> int:
         """Invalidate everywhere: mutable, pending-mutable, all segments

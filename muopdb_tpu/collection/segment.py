@@ -94,6 +94,28 @@ class MutableSegment:
             rows.append([doc_id, v, terms, False])
             self.last_sequence_number = max(self.last_sequence_number, sequence_number)
 
+    def insert_batch_for_user(self, user_id: int, doc_ids, vectors,
+                              attributes=None, sequence_number: int = -1) -> None:
+        """Batched insert: one lock acquisition and one vectorized row append
+        for a whole batch (the InsertPacked fast path; per-row insert_for_user
+        is the general/upsert path)."""
+        v = np.asarray(vectors, np.float32).reshape(len(doc_ids), self.config.num_features)
+        attrs = attributes or [None] * len(doc_ids)
+        terms_list = [attribute_terms(self.config, a) if a else [] for a in attrs]
+        with self._lock:
+            rows = self._rows.setdefault(user_id, [])
+            base = len(rows)
+            rows.extend([d, v[i], terms_list[i], False] for i, d in enumerate(doc_ids))
+            # upsert marking after extension so in-batch duplicates resolve
+            # (each occurrence tombstones the previous one, last wins)
+            for i, d in enumerate(doc_ids):
+                key = (user_id, d)
+                prev = self._doc_pos.get(key)
+                if prev is not None and prev != base + i:
+                    rows[prev][3] = True
+                self._doc_pos[key] = base + i
+            self.last_sequence_number = max(self.last_sequence_number, sequence_number)
+
     def remove_for_user(self, user_id: int, doc_id: int, sequence_number: int = -1) -> bool:
         with self._lock:
             pos = self._doc_pos.get((user_id, doc_id))

@@ -269,3 +269,15 @@ def test_pq_collection_end_to_end(tmp_path, rng):
         res = snap.search_for_users([1], x[:4], k=3, num_explored_centroids=4)
     hits = sum(int(i in [d for d, _ in res[i]]) for i in range(4))
     assert hits >= 3
+
+
+def test_batch_insert_in_batch_duplicate(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    v1 = np.ones((1, 8), np.float32)
+    v2 = -np.ones((1, 8), np.float32)
+    # same doc id twice in one batch: the later vector wins
+    col.insert_for_users([1], [42, 42], np.concatenate([v1, v2]))
+    col.flush()
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], v2, k=1, num_explored_centroids=4)
+    assert res[0][0][0] == 42 and res[0][0][1] < 1e-3
