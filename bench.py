@@ -7,22 +7,29 @@ synthetic (zero-egress environment — no SIFT download); recall is measured
 against exact brute-force ground truth computed on device, so the
 recall/QPS tradeoff is real even if the distribution differs from SIFT.
 
-vs_baseline: the reference publishes no numbers (BASELINE.json published={})
-and its Rust toolchain is absent here, so the denominator is an estimated
-1,500 QPS for the reference's CPU engine at comparable recall (single node,
-multi-threaded scan of ~32 posting lists of 1k x 128-d f32 per query) — the
-north star asks for >= 10x that.
+vs_baseline: measured when possible — a CPU-backend subprocess runs the
+IDENTICAL search code (same fused plan, XLA:CPU instead of TPU kernels) on a
+smaller N and the QPS is extrapolated linearly to the headline N (the ADC
+sweep is O(N) per query); falls back to an estimated 1,500 QPS for the
+reference's Rust CPU engine at comparable recall when the subprocess fails
+(the Rust toolchain is absent in this image, BASELINE.json published={}).
 
-Prints ONE json line. Env overrides: MUOPDB_BENCH_N, MUOPDB_BENCH_NPROBE.
+Robustness contract (round-1 postmortem): the headline JSON line MUST print
+even when optional secondary metrics fail — every secondary is individually
+try/except'd, and a partial JSON is printed even if the headline itself
+dies. Reference harness analog: rs/demo/src/main.rs:26-79 (1M bulk insert +
+flush + timed search) and rs/benchmarks/.
 
-Reference harness analog: rs/demo/src/main.rs:26-79 (1M bulk insert + flush
-+ timed search) and rs/benchmarks/.
+Prints ONE json line. Env overrides: MUOPDB_BENCH_N, MUOPDB_BENCH_NPROBE,
+MUOPDB_BENCH_BATCH, MUOPDB_BENCH_CPU_DENOM=0, MUOPDB_BENCH_SWEEP=1.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
+import traceback
 
 
 def _log(msg):
@@ -33,10 +40,89 @@ _T0 = time.time()
 
 import numpy as np
 
-RUST_CPU_BASELINE_QPS = 1500.0
+RUST_CPU_BASELINE_QPS_ESTIMATE = 1500.0
+
+
+def _recall(got, gt, k):
+    return float(
+        np.mean(
+            [len(set(got[r].tolist()) & set(gt[r].tolist())) / k for r in range(len(got))]
+        )
+    )
+
+
+def _gen_data(n, d, batch, seed=0):
+    # SFC64 + float32: this host generates float64 gaussians at only ~1M/s.
+    # Clustered synthetic data (SIFT-like local structure): many weakly
+    # separated modes, so IVF has cluster signal but points within a mode
+    # stay distinguishable (strong separation makes whole modes share one PQ
+    # code and collapses ADC ranking — not representative of SIFT).
+    rng = np.random.Generator(np.random.SFC64(seed))
+    n_modes = 4096
+    modes = rng.standard_normal((n_modes, d), dtype=np.float32) * 1.5
+    assign = rng.integers(0, n_modes, n)
+    x = modes[assign] + rng.standard_normal((n, d), dtype=np.float32)
+    queries = x[rng.choice(n, batch, replace=False)] + 0.1 * rng.standard_normal(
+        (batch, d), dtype=np.float32
+    )
+    return x, queries
+
+
+def _build_index(x, nlist, m, block_rows, max_iter=15):
+    from muopdb_tpu.index.ivf import IvfBuilder, IvfBuildConfig
+    from muopdb_tpu.quantization import ProductQuantizer
+
+    n, d = x.shape
+    pq = ProductQuantizer(dim=d, subvector_dim=d // m, num_bits=8).train(
+        x, max_iter=max_iter, num_training_rows=min(100_000, n)
+    )
+    _log("PQ trained; clustering IVF")
+    builder = IvfBuilder(
+        IvfBuildConfig(
+            num_centroids=nlist,
+            num_data_points_for_clustering=min(100_000, n),
+            block_rows=block_rows,
+            kmeans_unbalanced_penalty=1.0,
+            max_iterations=max_iter,
+        ),
+        dim=d,
+    )
+    builder.add_batch(np.arange(n), x)
+    return builder.build(quantizer=pq)
+
+
+def _denominator_child():
+    """CPU-backend denominator: identical search code on XLA:CPU at a smaller
+    N; parent extrapolates linearly (the ADC sweep is O(N)/query). Prints one
+    JSON line {"cpu_qps": ..., "n": ..., "batch": ...}."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    n = int(os.environ.get("MUOPDB_BENCH_DENOM_N", 100_000))
+    batch = 256
+    d, m, k = 128, 16, 10
+    x, queries = _gen_data(n, d, batch, seed=0)
+    index = _build_index(x, nlist=max(16, 1024 * n // 1_000_000), m=m,
+                         block_rows=1024, max_iter=5)
+    rerank = int(os.environ.get("MUOPDB_BENCH_RERANK", 200))
+
+    def run():
+        dd, ii = index.search_batched(queries, k=k, rerank=rerank)
+        jax.block_until_ready((dd, ii))
+
+    run()  # warmup/compile
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        run()
+    qps = batch * reps / (time.time() - t0)
+    print(json.dumps({"cpu_qps": round(qps, 1), "n": n, "batch": batch}))
 
 
 def main():
+    if os.environ.get("MUOPDB_BENCH_DENOM_CHILD"):
+        return _denominator_child()
+
     import logging
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -52,185 +138,213 @@ def main():
     m = 16
     batch = int(os.environ.get("MUOPDB_BENCH_BATCH", 2048))
     k = 10
-    block_rows = 1024
-
-    # SFC64 + float32: this host generates float64 gaussians at only ~1M/s
-    rng = np.random.Generator(np.random.SFC64(0))
-    # clustered synthetic data (SIFT-like local structure): many weakly
-    # separated modes, so IVF has cluster signal but points within a mode
-    # stay distinguishable (strong separation makes whole modes share one PQ
-    # code and collapses ADC ranking — not representative of SIFT)
-    n_modes = 4096
-    modes = rng.standard_normal((n_modes, d), dtype=np.float32) * 1.5
-    assign = rng.integers(0, n_modes, n)
-    x = modes[assign] + rng.standard_normal((n, d), dtype=np.float32)
-    queries = x[rng.choice(n, batch, replace=False)] + 0.1 * rng.standard_normal(
-        (batch, d), dtype=np.float32
-    )
-
-    # ---- build (timed): k-means on device + assignment + packing + PQ train
-    from muopdb_tpu.index.ivf import IvfBuilder, IvfBuildConfig
-    from muopdb_tpu.quantization import ProductQuantizer
-
-    _log("data generated; training PQ")
-    t0 = time.time()
-    pq = ProductQuantizer(dim=d, subvector_dim=d // m, num_bits=8).train(
-        x, max_iter=15, num_training_rows=100_000
-    )
-    _log("PQ trained; clustering IVF")
-    builder = IvfBuilder(
-        IvfBuildConfig(
-            num_centroids=nlist,
-            num_data_points_for_clustering=100_000,
-            block_rows=block_rows,
-            kmeans_unbalanced_penalty=1.0,
-            max_iterations=15,
-        ),
-        dim=d,
-    )
-    builder.add_batch(np.arange(n), x)
-    index = builder.build(quantizer=pq)
-    build_s = time.time() - t0
-    _log(f"index built in {build_s:.0f}s; computing ground truth")
-
-    # ---- exact ground truth on device (chunked)
-    from muopdb_tpu.ops.distance import l2_distance
-    from muopdb_tpu.ops.topk import top_k_smallest, merge_top_k
-
-    qj = jnp.asarray(queries)
-    gt_d = jnp.full((batch, k), jnp.inf)
-    gt_i = jnp.full((batch, k), -1, jnp.int32)
-    chunk = 250_000
-    for s in range(0, n, chunk):
-        xc = jnp.asarray(x[s : s + chunk])
-        dd = l2_distance(qj, xc)
-        cd, ci = top_k_smallest(dd, jnp.arange(s, s + xc.shape[0], dtype=jnp.int32), k)
-        gt_d, gt_i = merge_top_k(gt_d, gt_i, cd, ci, k)
-    gt = np.asarray(gt_i)
-    _log("ground truth done; warming batched search")
-
-    # ---- timed search: fused whole-index ADC sweep + exact rerank (the
-    # high-throughput plan; see IvfIndex.search_batched)
     rerank = int(os.environ.get("MUOPDB_BENCH_RERANK", 200))
-
-    def run():
-        dd, ii = index.search_batched(queries, k=k, rerank=rerank)
-        jax.block_until_ready((dd, ii))
-        return ii
-
-    ii = run()  # warmup & compile
-    _log("batched search compiled; timing")
-    reps = 10
-    t0 = time.time()
-    for _ in range(reps):
-        ii = run()
-    dt = time.time() - t0
-    qps = batch * reps / dt
-
-    got = np.asarray(ii)
-    recall = float(
-        np.mean(
-            [len(set(got[r].tolist()) & set(gt[r].tolist())) / k for r in range(batch)]
-        )
-    )
-
-    # secondary: probed (low-latency) path
-    pbatch = min(batch, 256)
-    pqueries = queries[:pbatch]
-
-    def run_probed():
-        # rerank applies to the probed plan too (ADC ties would otherwise
-        # cap recall on clustered data)
-        dd, ii = index.search(pqueries, k=k, nprobe=nprobe, chunk=pbatch, rerank=rerank)
-        jax.block_until_ready((dd, ii))
-        return ii
-
-    _log("timing probed path")
-    ii_p = run_probed()
-    _log("probed path warm done")
-    t0 = time.time()
-    for _ in range(3):
-        ii_p = run_probed()
-    probed_ms = 1000 * (time.time() - t0) / 3
-    _log("probed path timed")
-    got_p = np.asarray(ii_p)
-    probed_recall = float(
-        np.mean(
-            [len(set(got_p[r].tolist()) & set(gt[r].tolist())) / k for r in range(pbatch)]
-        )
-    )
-
-    # secondary: exact bf16 whole-index sweep (recall ~1.0, no quantization)
-    # — the bandwidth-optimal plan when the index fits HBM uncompressed.
-    # Skipped when the run is already slow (compile/transfer times through
-    # the serving tunnel vary run to run) so the headline always lands.
-    flat_dt = None
-    flat_recall = None
-    if time.time() - t_start < float(os.environ.get("MUOPDB_BENCH_SOFT_BUDGET_S", 330)):
-        import jax.numpy as jnp2
-        from muopdb_tpu.ops.pallas.scan import flat_full_scan
-        from muopdb_tpu.ops.topk import top_k_smallest as _tks
-
-        _log("staging exact-sweep vectors")
-        pad_flat = (-n) % 1024
-        xp = jnp2.pad(jnp.asarray(x), ((0, pad_flat), (0, 0)))
-        _log("exact-sweep staged")
-
-        @jax.jit
-        def flat_exact(qq):
-            scores = flat_full_scan(qq, xp)[:, :n]
-            return _tks(scores, jnp2.arange(n, dtype=jnp2.int32), k)
-
-        # cap the exact sweep batch: the (B, N) score matrix is B*N*4 bytes
-        fb = min(batch, 256)
-        qj2 = jnp.asarray(queries[:fb])
-        ii_f = flat_exact(qj2)
-        jax.block_until_ready(ii_f)
-        _log("exact sweep compiled")
-        t0 = time.time()
-        for _ in range(5):
-            got_f = np.asarray(flat_exact(qj2)[1])  # host fetch forces completion
-        flat_dt = (time.time() - t0) / 5
-        flat_recall = float(np.mean([
-            len(set(got_f[r].tolist()) & set(gt[r].tolist())) / k for r in range(fb)
-        ]))
-
-    # optional: recall@10 vs nprobe sweep (BASELINE config #2)
-    sweep = {}
-    if os.environ.get("MUOPDB_BENCH_SWEEP"):
-        for np_i in (8, 16, 32, 64, 128):
-            if np_i > nlist:
-                continue
-            dd_s, ii_s = index.search(pqueries, k=k, nprobe=np_i, chunk=pbatch, rerank=rerank)
-            got_s = np.asarray(ii_s)
-            sweep[str(np_i)] = round(float(np.mean([
-                len(set(got_s[r].tolist()) & set(gt[r].tolist())) / k
-                for r in range(pbatch)
-            ])), 4)
-            _log(f"sweep nprobe={np_i} recall={sweep[str(np_i)]}")
+    soft_budget = float(os.environ.get("MUOPDB_BENCH_SOFT_BUDGET_S", 330))
 
     out = {
         "metric": "ivf_pq_qps_per_chip",
-        "value": round(qps, 1),
-        "unit": "qps@recall10=%.3f" % recall,
-        "vs_baseline": round(qps / RUST_CPU_BASELINE_QPS, 2),
-        "recall_at_10": round(recall, 4),
-        "build_seconds": round(build_s, 1),
+        "value": None,
+        "unit": "qps",
+        "vs_baseline": None,
         "n": n,
         "nprobe": nprobe,
         "batch": batch,
-        "latency_ms_per_batch": round(1000 * dt / reps, 2),
         "rerank": rerank,
-        "probed_path_batch": pbatch,
-        "probed_path_ms_per_batch": round(probed_ms, 2),
-        "probed_path_recall_at_10": round(probed_recall, 4),
-        "flat_bf16_exact_qps": round(fb / flat_dt, 1) if flat_dt else None,
-        "flat_bf16_recall_at_10": round(flat_recall, 4) if flat_recall else None,
-        **({"recall_vs_nprobe": sweep} if sweep else {}),
-        "total_bench_seconds": round(time.time() - t_start, 1),
-        "device": str(jax.devices()[0]),
     }
+    headline_ok = False
+    try:
+        x, queries = _gen_data(n, d, batch)
+        _log("data generated; training PQ")
+
+        # ---- build (timed): PQ train + k-means + assignment + packing
+        t0 = time.time()
+        index = _build_index(x, nlist, m, block_rows=1024)
+        build_s = time.time() - t0
+        out["build_seconds"] = round(build_s, 1)
+        _log(f"index built in {build_s:.0f}s; computing ground truth")
+
+        # ---- exact ground truth on device (chunked)
+        from muopdb_tpu.ops.distance import l2_distance
+        from muopdb_tpu.ops.topk import top_k_smallest, merge_top_k
+
+        gt = None
+        try:
+            qj = jnp.asarray(queries)
+            gt_d = jnp.full((batch, k), jnp.inf)
+            gt_i = jnp.full((batch, k), -1, jnp.int32)
+            chunk = 250_000
+            for s in range(0, n, chunk):
+                xc = jnp.asarray(x[s : s + chunk])
+                dd = l2_distance(qj, xc)
+                cd, ci = top_k_smallest(
+                    dd, jnp.arange(s, s + xc.shape[0], dtype=jnp.int32), k
+                )
+                gt_d, gt_i = merge_top_k(gt_d, gt_i, cd, ci, k)
+            gt = np.asarray(gt_i)
+            _log("ground truth done; warming batched search")
+        except Exception:
+            _log("ground truth FAILED (recall will be -1):\n" + traceback.format_exc())
+
+        # ---- headline: fused whole-index ADC sweep + exact rerank
+        def run():
+            dd, ii = index.search_batched(queries, k=k, rerank=rerank)
+            jax.block_until_ready((dd, ii))
+            return ii
+
+        ii = run()  # warmup & compile
+        _log("batched search compiled; timing")
+        reps = 10
+        t0 = time.time()
+        for _ in range(reps):
+            ii = run()
+        dt = time.time() - t0
+        qps = batch * reps / dt
+        recall = _recall(np.asarray(ii), gt, k) if gt is not None else -1.0
+
+        out["value"] = round(qps, 1)
+        out["unit"] = "qps@recall10=%.3f" % recall
+        out["recall_at_10"] = round(recall, 4)
+        out["latency_ms_per_batch"] = round(1000 * dt / reps, 2)
+        out["device"] = str(jax.devices()[0])
+        headline_ok = True
+        _log(f"HEADLINE {qps:.0f} qps @ recall {recall:.3f}")
+    except Exception:
+        _log("HEADLINE FAILED:\n" + traceback.format_exc())
+
+    # ---- CPU-backend denominator subprocess (measured vs_baseline).
+    # Started after the headline so it never competes with it; runs on the
+    # host CPU concurrently with the remaining device-bound secondaries.
+    denom_proc = None
+    denom_n = int(os.environ.get("MUOPDB_BENCH_DENOM_N", 100_000))
+    if headline_ok and os.environ.get("MUOPDB_BENCH_CPU_DENOM", "1") != "0":
+        try:
+            env = dict(os.environ, MUOPDB_BENCH_DENOM_CHILD="1", JAX_PLATFORMS="cpu")
+            denom_proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                env=env,
+            )
+            _log(f"CPU denominator subprocess started (N={denom_n})")
+        except Exception:
+            _log("denominator spawn failed:\n" + traceback.format_exc())
+
+    # ---- secondary: probed (low-latency) path
+    pbatch = min(batch, 256)
+    pqueries = queries[:pbatch] if headline_ok else None
+    if headline_ok:
+        try:
+            def run_probed():
+                dd, ii = index.search(
+                    pqueries, k=k, nprobe=nprobe, chunk=pbatch, rerank=rerank
+                )
+                jax.block_until_ready((dd, ii))
+                return ii
+
+            _log("timing probed path")
+            ii_p = run_probed()
+            t0 = time.time()
+            for _ in range(3):
+                ii_p = run_probed()
+            probed_ms = 1000 * (time.time() - t0) / 3
+            out["probed_path_batch"] = pbatch
+            out["probed_path_ms_per_batch"] = round(probed_ms, 2)
+            if gt is not None:
+                out["probed_path_recall_at_10"] = round(
+                    _recall(np.asarray(ii_p), gt[:pbatch], k), 4
+                )
+            _log(f"probed path {probed_ms:.1f} ms/batch")
+        except Exception:
+            _log("probed path FAILED (continuing):\n" + traceback.format_exc())
+
+    # ---- secondary: exact bf16 whole-index sweep (recall ~1.0) — the
+    # bandwidth-optimal plan when the index fits HBM uncompressed. The padded
+    # vector array is passed as a jit ARGUMENT (round 1 captured it as a
+    # constant, which embedded 512 MB into the remote-compile request and
+    # died with HTTP 413).
+    if headline_ok and time.time() - t_start < soft_budget:
+        try:
+            from muopdb_tpu.ops.pallas.scan import flat_full_scan
+            from muopdb_tpu.ops.topk import top_k_smallest as _tks
+
+            _log("staging exact-sweep vectors")
+            pad_flat = (-n) % 1024
+            xp = jnp.pad(jnp.asarray(x), ((0, pad_flat), (0, 0)))
+            jax.block_until_ready(xp)
+            _log("exact-sweep staged")
+
+            @jax.jit
+            def flat_exact(qq, vecs):
+                scores = flat_full_scan(qq, vecs)[:, :n]
+                return _tks(scores, jnp.arange(n, dtype=jnp.int32), k)
+
+            # cap the exact sweep batch: the (B, N) score matrix is B*N*4 bytes
+            fb = min(batch, 256)
+            qj2 = jnp.asarray(queries[:fb])
+            ii_f = flat_exact(qj2, xp)
+            jax.block_until_ready(ii_f)
+            _log("exact sweep compiled")
+            t0 = time.time()
+            for _ in range(5):
+                got_f = np.asarray(flat_exact(qj2, xp)[1])  # host fetch = completion
+            flat_dt = (time.time() - t0) / 5
+            out["flat_bf16_exact_qps"] = round(fb / flat_dt, 1)
+            if gt is not None:
+                out["flat_bf16_recall_at_10"] = round(_recall(got_f, gt[:fb], k), 4)
+            _log(f"exact sweep {fb/flat_dt:.0f} qps")
+        except Exception:
+            _log("exact sweep FAILED (continuing):\n" + traceback.format_exc())
+
+    # ---- optional: recall@10 vs nprobe sweep (BASELINE config #2)
+    if headline_ok and gt is not None and os.environ.get("MUOPDB_BENCH_SWEEP"):
+        try:
+            sweep = {}
+            for np_i in (8, 16, 32, 64, 128):
+                if np_i > nlist:
+                    continue
+                dd_s, ii_s = index.search(
+                    pqueries, k=k, nprobe=np_i, chunk=pbatch, rerank=rerank
+                )
+                sweep[str(np_i)] = round(_recall(np.asarray(ii_s), gt[:pbatch], k), 4)
+                _log(f"sweep nprobe={np_i} recall={sweep[str(np_i)]}")
+            out["recall_vs_nprobe"] = sweep
+        except Exception:
+            _log("nprobe sweep FAILED (continuing):\n" + traceback.format_exc())
+
+    # ---- join the denominator subprocess and compute vs_baseline
+    cpu_extrap = None
+    if denom_proc is not None:
+        try:
+            budget_left = max(30.0, soft_budget - (time.time() - t_start) + 120.0)
+            stdout, _ = denom_proc.communicate(timeout=budget_left)
+            res = json.loads(stdout.decode().strip().splitlines()[-1])
+            cpu_extrap = res["cpu_qps"] * res["n"] / n  # O(N)/query extrapolation
+            out["cpu_backend_qps_measured"] = res["cpu_qps"]
+            out["cpu_backend_n"] = res["n"]
+            out["cpu_backend_qps_extrapolated_to_n"] = round(cpu_extrap, 1)
+            _log(f"CPU denominator: {res['cpu_qps']} qps @ N={res['n']} "
+                 f"-> {cpu_extrap:.0f} qps extrapolated to N={n}")
+        except Exception:
+            _log("denominator FAILED (falling back to estimate):\n" + traceback.format_exc())
+            try:
+                denom_proc.kill()
+            except Exception:
+                pass
+
+    if headline_ok:
+        # vs_baseline stays against the CONSERVATIVE reference estimate: the
+        # measured XLA:CPU same-code run (reported separately) comes out far
+        # slower than the reference's hand-tuned Rust SIMD engine plausibly
+        # is, and dividing by it would inflate the claim ~100x.
+        out["vs_baseline"] = round(out["value"] / RUST_CPU_BASELINE_QPS_ESTIMATE, 2)
+        out["baseline_source"] = "estimated_rust_cpu_1500qps"
+        if cpu_extrap and cpu_extrap > 0:
+            out["vs_cpu_backend_same_code"] = round(out["value"] / cpu_extrap, 2)
+
+    out["total_bench_seconds"] = round(time.time() - t_start, 1)
     print(json.dumps(out))
+    if not headline_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -31,3 +31,57 @@ def test_dryrun_multichip_8():
 def test_dryrun_multichip_odd():
     g = _entry_module()
     g.dryrun_multichip(3)  # non-power-of-two device counts must work too
+
+
+def _driver_env(**extra):
+    """Env as the driver sees it: no conftest, no CPU forcing leaking in."""
+    import os
+
+    env = dict(os.environ)
+    env.pop("MUOPDB_DRYRUN_CHILD", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    env.update(extra)
+    return env
+
+
+def test_dryrun_multichip_as_the_driver_runs_it():
+    """Round-1 regression: the driver imports __graft_entry__ in a fresh
+    process (1 default device, no conftest) and calls dryrun_multichip(8).
+    It must self-provision the 8-device mesh."""
+    import subprocess
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '/root/repo'); "
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        ],
+        env=_driver_env(),
+        capture_output=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+
+def test_dryrun_multichip_with_initialized_backend():
+    """If the caller already initialized a too-small backend, dryrun must
+    fall back to a re-exec'd subprocess (cpu platform pinned so the test
+    never touches the real TPU)."""
+    import subprocess
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '/root/repo'); "
+            "import jax; jax.devices(); "  # initialize the 1-device backend
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        ],
+        env=_driver_env(JAX_PLATFORMS="cpu"),
+        capture_output=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
