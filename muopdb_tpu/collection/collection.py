@@ -36,6 +36,16 @@ from .wal import Wal, WalEntry, WalOpType, WalWriteCoordinator
 TEST_SLOW_FLUSH_ENV = "MUOPDB_TEST_SLOW_FLUSH"
 
 
+def _replay_deletions(segment, deletions) -> None:
+    """Replay (user_id, doc_id) deletions grouped per user so each user is
+    one batched mask update + one log fsync."""
+    per_user: Dict[int, List[int]] = {}
+    for user_id, doc_id in deletions:
+        per_user.setdefault(user_id, []).append(doc_id)
+    for user_id, ds in per_user.items():
+        segment.remove_batch(user_id, ds)
+
+
 class Snapshot:
     """Pinned view: version + segment handles (core.rs:978-1002)."""
 
@@ -218,18 +228,22 @@ class Collection:
     def remove(self, user_id: int, doc_ids, sequence_number: int = -1) -> int:
         """Invalidate everywhere: mutable, pending-mutable, all segments
         (core.rs:1410-1439)."""
-        removed = 0
-        for d in doc_ids:
-            with self._mutable_lock:
-                found = self.mutable.remove_for_user(user_id, d, sequence_number)
-                if self.pending_mutable is not None:
+        doc_ids = list(doc_ids)
+        found: set = set()
+        with self._mutable_lock:
+            for d in doc_ids:
+                if self.mutable.remove_for_user(user_id, d, sequence_number):
+                    found.add(int(d))
+            if self.pending_mutable is not None:
+                for d in doc_ids:
                     self.pending_mutable.remove_for_user(user_id, d)
-            with self._toc_lock:
-                segs = [self.all_segments[n] for n in self._toc.toc]
-            for seg in segs:
-                found = seg.remove(user_id, d) or found
-            removed += int(found)
-        return removed
+        with self._toc_lock:
+            segs = [self.all_segments[n] for n in self._toc.toc]
+        # one batched pass per segment: one bloom sweep, one device mask
+        # update, one durable-log fsync (invalidated_ids.rs:148-172)
+        for seg in segs:
+            found |= seg.remove_batch(user_id, doc_ids)
+        return len(found)
 
     # -- flush -----------------------------------------------------------
     def flush(self) -> Optional[str]:
@@ -256,12 +270,20 @@ class Collection:
             segment = ImmutableSegment.open(final_dir, self.config, seg_name)
 
             # replay deletions that arrived during the build (core.rs:952-969)
-            for user_id, doc_id in pending.drain_deletions():
-                segment.remove(user_id, doc_id)
+            _replay_deletions(segment, pending.drain_deletions())
 
             self.add_segments([seg_name], [segment], sequence_number=pending.last_sequence_number)
+            # a remove() landing between the drain above and the TOC commit
+            # was recorded on pending_mutable while the new segment was not
+            # yet in the TOC — drain AGAIN under _mutable_lock before
+            # dropping the pending handle, then replay (idempotent). The
+            # reference holds the write lock across drain/replay/add
+            # (core.rs:952-969); here the post-commit re-drain closes the
+            # same window without holding a lock across the segment build.
             with self._mutable_lock:
+                late_deletions = pending.drain_deletions()
                 self.pending_mutable = None
+            _replay_deletions(segment, late_deletions)
             if self.wal is not None and pending.last_sequence_number >= 0:
                 self.wal.trim(pending.last_sequence_number)
             self._ops_since_flush = 0
@@ -353,6 +375,12 @@ class Collection:
         optimizer = OPTIMIZERS[kind]()
         pending_name = vio.random_name("pending_segment_")
         with self._toc_lock:
+            # TOC order == segment age (append-only): hand segments to the
+            # optimizer oldest-first so its newest-first dedup keeps the
+            # latest version of an upserted doc regardless of how the caller
+            # (e.g. auto_optimize's smallest-first merge pick) ordered names
+            toc_pos = {n: i for i, n in enumerate(self._toc.toc)}
+            segment_names = sorted(segment_names, key=lambda n: toc_pos[n])
             inner = [self.all_segments[n] for n in segment_names]
             assert all(isinstance(s, ImmutableSegment) for s in inner), (
                 "cannot optimize a segment that is already being optimized"

@@ -44,7 +44,13 @@ class NoopOptimizer:
 
 class MergeOptimizer:
     """Re-insert all valid docs of all inner segments into a fresh
-    multi-SPANN build, remapping term posting lists (merge.rs:38-95)."""
+    multi-SPANN build, remapping term posting lists (merge.rs:38-95).
+
+    Fully vectorized: per (user, segment) the live rows come out as whole
+    arrays (valid_arrays), duplicate doc ids are resolved newest-segment-
+    first via np.unique first-occurrence, new point ids are a cumsum, and
+    term posting lists remap through an old->new array gather — no
+    per-point Python (round 1 took 9.3 s for a 5k-doc vacuum)."""
 
     name = "merge"
 
@@ -53,38 +59,63 @@ class MergeOptimizer:
         spann_cfg = SpannBuildConfig.from_collection_config(config)
         msb = MultiSpannBuilder(spann_cfg, config.num_features, fpr=config.fpr)
         term_builders: Dict[int, TermIndexBuilder] = {}
-        all_vectors: List[np.ndarray] = []
+        pq_rows: List[np.ndarray] = []
 
+        # newest-first so the latest version of an upserted doc wins the
+        # dedup (run_optimizer hands inner segments over in TOC order)
+        segs_newest_first = list(reversed(pending.inner))
         for user_id in pending.user_ids():
-            new_pid = 0
+            parts = []  # (segment, spann, old_pids, docs, vecs)
+            for seg in segs_newest_first:
+                spann = seg.index._get(user_id)
+                if spann is None:
+                    continue
+                pts, docs, vecs = spann.valid_arrays()
+                if len(pts):
+                    parts.append((seg, spann, pts, docs, vecs))
+            if not parts:
+                continue
+            docs_all = np.concatenate([p[3] for p in parts])
+            vecs_all = np.concatenate([p[4] for p in parts])
+            keys = (
+                np.ascontiguousarray(docs_all)
+                .view([("lo", np.uint64), ("hi", np.uint64)])
+                .reshape(-1)
+            )
+            _, first = np.unique(keys, return_index=True)  # first = newest
+            keep = np.zeros(len(keys), bool)
+            keep[first] = True
+            new_pid_of_row = np.cumsum(keep) - 1  # meaningful where keep
+            msb.insert_batch_pairs(user_id, docs_all[keep], vecs_all[keep])
+            if config.quantization_type == QuantizerType.PRODUCT_QUANTIZER:
+                pq_rows.append(vecs_all[keep])
+
+            # term posting remap per source segment: old_pid -> new_pid as
+            # one array gather per term (multi_terms/writer.rs:40-48 analog)
             tb = term_builders.setdefault(user_id, TermIndexBuilder())
-            seen_docs = set()
-            for seg in pending.inner:
-                remap: Dict[int, int] = {}
-                for old_pid, doc_id, vec in seg.index.iter_for_user_with_pid(user_id):
-                    if doc_id in seen_docs:
-                        continue  # newer segment wins on duplicate doc ids
-                    seen_docs.add(doc_id)
-                    msb.insert(user_id, doc_id, vec)
-                    all_vectors.append(vec)
-                    remap[old_pid] = new_pid
-                    new_pid += 1
-                # remap this segment's term postings for this user
+            row0 = 0
+            for seg, spann, pts, docs, vecs in parts:
+                rows = slice(row0, row0 + len(pts))
+                old_to_new = np.full(spann.num_points, -1, np.int64)
+                kept = keep[rows]
+                old_to_new[pts[kept]] = new_pid_of_row[rows][kept]
                 ti = seg.term_index_for_user(user_id)
                 if ti is not None:
                     for term in ti.terms():
-                        for p in ti.posting_list(term):
-                            if int(p) in remap:
-                                tb.add(remap[int(p)], term)
+                        pl = ti.posting_list(term).astype(np.int64)
+                        pl = pl[pl < len(old_to_new)]
+                        npids = old_to_new[pl]
+                        tb.add_posting(term, npids[npids >= 0].astype(np.uint64))
+                row0 += len(pts)
 
         quantizer = None
-        if config.quantization_type == QuantizerType.PRODUCT_QUANTIZER and all_vectors:
+        if config.quantization_type == QuantizerType.PRODUCT_QUANTIZER and pq_rows:
             quantizer = ProductQuantizer(
                 dim=config.num_features,
                 subvector_dim=config.product_quantization_subvector_dimension,
                 num_bits=config.product_quantization_num_bits,
             ).train(
-                np.stack(all_vectors),
+                np.concatenate(pq_rows),
                 max_iter=25,
                 num_training_rows=config.product_quantization_num_training_rows,
             )

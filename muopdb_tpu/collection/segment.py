@@ -201,19 +201,24 @@ class ImmutableSegment:
         InvalidatedIdsStorage iterator replay, ivf/files/invalidated_ids.rs)."""
         if not os.path.exists(self._inval_path):
             return
+        per_user: Dict[int, List[int]] = {}
         with open(self._inval_path) as f:
             for line in f:
                 line = line.strip()
                 if line:
                     u, d = line.split(",")
-                    self.index.invalidate(int(u), [int(d)])
+                    per_user.setdefault(int(u), []).append(int(d))
+        for u, ds in per_user.items():  # one mask update per user
+            self.index.invalidate(u, ds)
 
-    def _log_invalidation(self, user_id: int, doc_id: int) -> None:
-        """Append + fsync one deletion (invalidated_ids.rs:121-146 fsyncs per
-        write for crash durability)."""
+    def _log_invalidations(self, user_id: int, doc_ids) -> None:
+        """Append + fsync a batch of deletions: ONE fsync per batch (the
+        reference's batch variant, invalidated_ids.rs:148-172; the per-write
+        variant at :121-146 is the degenerate batch of one)."""
         with self._inval_lock:
             with open(self._inval_path, "a") as f:
-                f.write(f"{user_id},{doc_id}\n")
+                for d in doc_ids:
+                    f.write(f"{user_id},{d}\n")
                 f.flush()
                 os.fsync(f.fileno())
 
@@ -301,11 +306,17 @@ class ImmutableSegment:
 
     # -- deletions -------------------------------------------------------
     def remove(self, user_id: int, doc_id: int) -> bool:
-        if not self.may_contain(user_id, doc_id):
-            return False
-        found = self.index.invalidate(user_id, [doc_id]) > 0
+        return len(self.remove_batch(user_id, [doc_id])) > 0
+
+    def remove_batch(self, user_id: int, doc_ids) -> set:
+        """Batched delete: one bloom pass, one invalidation mask update, one
+        log fsync. Returns the doc ids found in this segment."""
+        cand = [d for d in doc_ids if self.may_contain(user_id, d)]
+        if not cand:
+            return set()
+        found = self.index.invalidate_found(user_id, cand)
         if found:
-            self._log_invalidation(user_id, doc_id)
+            self._log_invalidations(user_id, sorted(found))
         return found
 
     def iter_for_user(self, user_id: int):
@@ -432,13 +443,16 @@ class PendingSegment:
     def remove(self, user_id: int, doc_id: int) -> bool:
         """Deletions during optimize: forward to inner AND record for replay
         (pending_segment.rs:236-273)."""
+        return len(self.remove_batch(user_id, [doc_id])) > 0
+
+    def remove_batch(self, user_id: int, doc_ids) -> set:
         with self._lock:
             if self._switched:
-                return self._built.remove(user_id, doc_id)
-            self._temp_deletions.append((user_id, doc_id))
-        found = False
+                return self._built.remove_batch(user_id, doc_ids)
+            self._temp_deletions.extend((user_id, d) for d in doc_ids)
+        found: set = set()
         for s in self.inner:
-            found = s.remove(user_id, doc_id) or found
+            found |= s.remove_batch(user_id, doc_ids)
         return found
 
     # -- optimizer protocol ----------------------------------------------
@@ -453,8 +467,11 @@ class PendingSegment:
         with self._lock:
             dels = list(self._temp_deletions)
             self._temp_deletions = []
+        per_user: Dict[int, List[int]] = {}
         for user_id, doc_id in dels:
-            self._built.remove(user_id, doc_id)
+            per_user.setdefault(user_id, []).append(doc_id)
+        for user_id, ds in per_user.items():
+            self._built.remove_batch(user_id, ds)
 
     def switch_to_internal_index(self) -> None:
         """Atomic flip (pending_segment.rs:191-194)."""

@@ -125,7 +125,18 @@ class WalFile:
                 version, sseq = _HEADER.unpack(rf.read(_HEADER.size))
                 assert version == WAL_VERSION
                 self.start_seq_no = sseq
-                self.num_entries = sum(1 for _ in _iter_entries(rf, size))
+                self.num_entries = 0
+                end = rf.tell()
+                for _ in _iter_entries(rf, size):
+                    self.num_entries += 1
+                    end = rf.tell()
+            if end < size:
+                # torn tail from a crash mid-append: truncate to the last
+                # complete entry, otherwise new appends land AFTER the
+                # garbage and replay (which stops at the torn record) would
+                # silently lose fsync-acknowledged post-restart writes
+                with open(path, "r+b") as tf:
+                    tf.truncate(end)
             self._f = open(path, "ab")
 
     @property

@@ -108,16 +108,36 @@ class IvfBuilder:
         self.config = config
         self.dim = dim
         self._rows: list[np.ndarray] = []
-        self._doc_ids: list[int] = []
+        # doc ids are kept as (n, 2) uint64 (lo, hi) chunks so batched feeds
+        # (merge/vacuum, InsertPacked) never round-trip through python ints
+        self._doc_pairs: list[np.ndarray] = []
+        self._num_docs = 0
 
     def add(self, doc_id: int, vector: np.ndarray) -> None:
         self._rows.append(np.asarray(vector, np.float32).reshape(self.dim))
-        self._doc_ids.append(doc_id)
+        self._doc_pairs.append(pack_u128s([doc_id]))
+        self._num_docs += 1
 
     def add_batch(self, doc_ids, vectors) -> None:
         v = np.asarray(vectors, np.float32).reshape(-1, self.dim)
         self._rows.extend(v)
-        self._doc_ids.extend(int(d) for d in doc_ids)
+        if isinstance(doc_ids, np.ndarray) and doc_ids.dtype.kind in "iu":
+            # numpy ints always fit u64: vectorized pack, hi word 0
+            pairs = np.zeros((len(doc_ids), 2), np.uint64)
+            pairs[:, 0] = doc_ids.astype(np.uint64)
+            self.add_pairs_only(pairs)
+        else:
+            self.add_pairs_only(pack_u128s(int(d) for d in doc_ids))
+
+    def add_batch_pairs(self, doc_pairs: np.ndarray, vectors: np.ndarray) -> None:
+        """Batched insert with ids already in (n, 2) uint64 (lo, hi) form."""
+        v = np.asarray(vectors, np.float32).reshape(-1, self.dim)
+        self._rows.extend(v)
+        self.add_pairs_only(np.asarray(doc_pairs, np.uint64).reshape(len(v), 2))
+
+    def add_pairs_only(self, pairs: np.ndarray) -> None:
+        self._doc_pairs.append(pairs)
+        self._num_docs += len(pairs)
 
     def __len__(self) -> int:
         return len(self._rows)
@@ -202,7 +222,10 @@ class IvfBuilder:
         pts_sorted = pts[order]
         counts = np.bincount(lists_sorted, minlength=k)
         splits = np.cumsum(counts)[:-1]
-        return np.split(pts_sorted, splits)
+        # nearest (first) assignment per point — becomes point_owner so the
+        # masked probed plans agree with the gather plan on which single
+        # list "owns" a multi-assigned point
+        return np.split(pts_sorted, splits), nearest_i[:, 0].astype(np.int32)
 
     def build(self, quantizer=None, seed: int = 0) -> "IvfIndex":
         import logging
@@ -221,9 +244,9 @@ class IvfBuilder:
         centroids = self._cluster(x, seed, xj=xj)
         log.info("ivf build: clustered k=%d in %.1fs", len(centroids), _time.time() - t0)
         t0 = _time.time()
-        posting_lists = self._assign(x, centroids, xj=xj)
+        posting_lists, nearest_list = self._assign(x, centroids, xj=xj)
         log.info("ivf build: assigned in %.1fs", _time.time() - t0)
-        doc_ids = pack_u128s(self._doc_ids)  # (N, 2) uint64 (lo, hi)
+        doc_ids = np.concatenate(self._doc_pairs)  # (N, 2) uint64 (lo, hi)
         t0 = _time.time()
         idx = IvfIndex.from_posting_lists(
             x,
@@ -235,6 +258,7 @@ class IvfBuilder:
             distance_type=self.config.distance_type,
             pow2_pad=self.config.pow2_pad,
             vectors_device=xj,
+            point_owner=nearest_list,
         )
         log.info("ivf build: packed layout in %.1fs", _time.time() - t0)
         return idx
@@ -541,6 +565,7 @@ class IvfIndex:
         distance_type: str = "L2",
         block_rows: int = 256,
         raw_vectors=None,
+        point_owner=None,
     ):
         self.centroids = jnp.asarray(centroids)
         self.pl_data = jnp.asarray(pl_data)
@@ -578,19 +603,27 @@ class IvfIndex:
             padn = (-num_points) % block_r
             self._codes_t = jnp.asarray(codes.T)  # (m, N)
             self._codes_t_padded = jnp.pad(self._codes_t, ((0, 0), (0, padn)))
-        # owning posting list per point (first assignment): lets the probed
-        # plan run as full-scan + probe mask at large batch sizes
-        if num_points > 0:
+        # owning posting list per point — lets the probed plan run as
+        # full-scan + probe mask at large batch sizes. When the builder knows
+        # each point's nearest (first) assignment it passes it in; the layout
+        # fallback takes the lowest containing list, which only matters under
+        # multi-assignment (max_clusters_per_vector > 1).
+        if point_owner is not None:
+            self.point_owner = jnp.asarray(np.asarray(point_owner, np.int32))
+        elif num_points > 0:
             owner = np.zeros(num_points, np.int32)
             starts_np = np.asarray(self.list_block_start)
             pos_np = np.asarray(self.pos_to_point)
-            for li in range(len(starts_np) - 1):
+            for li in range(len(starts_np) - 2, -1, -1):  # low list wins
                 pts = pos_np[starts_np[li] : starts_np[li + 1]].reshape(-1)
                 pts = pts[pts >= 0]
                 owner[pts] = li
             self.point_owner = jnp.asarray(owner)
         else:
             self.point_owner = jnp.zeros((1,), jnp.int32)
+        # lazily-built (lo, hi) -> point id map for delete-by-doc-id
+        self._doc_map = None
+        self._doc_map_lock = threading.Lock()
 
     # -- construction ----------------------------------------------------
     @classmethod
@@ -606,6 +639,7 @@ class IvfIndex:
         distance_type: str = "L2",
         pow2_pad: bool = False,
         vectors_device=None,
+        point_owner=None,
     ) -> "IvfIndex":
         n, d = vectors.shape
         quantizer = quantizer or NoQuantizer(dim=d)
@@ -673,6 +707,7 @@ class IvfIndex:
             distance_type=distance_type,
             block_rows=block_rows,
             raw_vectors=vectors_device if vectors_device is not None else vectors,
+            point_owner=point_owner,
         )
 
     # -- mutation (deletions only; the index itself is immutable) --------
@@ -689,14 +724,56 @@ class IvfIndex:
 
     def invalidate_doc_ids(self, doc_ids_u128) -> int:
         """Invalidate by u128 doc ids; returns number found."""
-        want = {(int(x) & ((1 << 64) - 1), int(x) >> 64) for x in doc_ids_u128}
-        hits = [
-            i
-            for i in range(self.num_points)
-            if (int(self.doc_ids[i, 0]), int(self.doc_ids[i, 1])) in want
-        ]
+        return len(self.invalidate_doc_ids_found(doc_ids_u128))
+
+    def invalidate_doc_ids_found(self, doc_ids_u128) -> list:
+        """Invalidate by u128 doc ids; returns the ids that exist here.
+
+        Uses a doc->point map built lazily ONCE (O(N)); each delete RPC is
+        then O(deletes) — round 1 rescanned all N points per call
+        (ivf/block_based/index.rs:30-31 keeps the same map in the reference)."""
+        if self._doc_map is None:
+            with self._doc_map_lock:
+                if self._doc_map is None:
+                    self._doc_map = {
+                        (lo, hi): i
+                        for i, (lo, hi) in enumerate(self.doc_ids.tolist())
+                    }
+        m = self._doc_map
+        hits, found = [], []
+        for x in doc_ids_u128:
+            x = int(x)
+            pid = m.get((x & ((1 << 64) - 1), x >> 64))
+            if pid is not None:
+                hits.append(pid)
+                found.append(x)
         self.invalidate(hits)
-        return len(hits)
+        return found
+
+    def valid_arrays(self):
+        """All live points as arrays: (point_ids (V,), doc_id_pairs (V, 2)
+        uint64, vectors (V, d) f32). Vectorized feed for merge/vacuum
+        (the batch form of SpannIter, spann/iter.rs:8-47)."""
+        valid = np.asarray(self.point_valid)[: self.num_points]
+        pts = np.nonzero(valid)[0].astype(np.int64)
+        docs = self.doc_ids[pts]
+        if self.raw_vectors is not None:
+            # gather on device, transfer only the live rows
+            vecs = np.asarray(self.raw_vectors[jnp.asarray(pts)], np.float32)
+        else:
+            pos = np.asarray(self.pos_to_point).reshape(-1)
+            data = np.asarray(self.pl_data).reshape(pos.shape[0], -1)
+            sel = pos >= 0
+            # first slot per point (multi-assignment duplicates slots)
+            _, first = np.unique(pos[sel], return_index=True)
+            slot_of = np.full(self.num_points, -1, np.int64)
+            slot_of[pos[sel][first]] = np.nonzero(sel)[0][first]
+            rows = data[slot_of[pts]]
+            if hasattr(self.quantizer, "codebook") and self.quantizer.codebook is not None:
+                vecs = np.asarray(self.quantizer.original_vectors(rows), np.float32)
+            else:
+                vecs = np.asarray(rows, np.float32)
+        return pts, docs, vecs
 
     @property
     def num_valid_points(self) -> int:
@@ -910,6 +987,7 @@ class IvfIndex:
             list_block_start=np.asarray(self.list_block_start),
             doc_ids=self.doc_ids,
             point_valid=np.asarray(self.point_valid),
+            point_owner=np.asarray(self.point_owner),
             **(
                 {"raw_vectors": np.asarray(self.raw_vectors)}
                 if self.raw_vectors is not None
@@ -945,6 +1023,7 @@ class IvfIndex:
             distance_type=cfg["distance_type"],
             block_rows=cfg["block_rows"],
             raw_vectors=z["raw_vectors"] if "raw_vectors" in z.files else None,
+            point_owner=z["point_owner"] if "point_owner" in z.files else None,
         )
         idx.point_valid = jnp.asarray(z["point_valid"])
         return idx

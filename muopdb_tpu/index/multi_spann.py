@@ -52,6 +52,13 @@ class MultiSpannBuilder:
             b = self._builders[user_id] = SpannBuilder(self.config, self.dim)
         b.add(doc_id, vector)
 
+    def insert_batch_pairs(self, user_id: int, doc_pairs: np.ndarray, vectors: np.ndarray) -> None:
+        """Batched insert with (n, 2) uint64 doc-id pairs (merge/vacuum feed)."""
+        b = self._builders.get(user_id)
+        if b is None:
+            b = self._builders[user_id] = SpannBuilder(self.config, self.dim)
+        b.add_batch_pairs(doc_pairs, vectors)
+
     def user_ids(self) -> List[int]:
         return list(self._builders)
 
@@ -74,14 +81,21 @@ class MultiSpannIndex:
     """user -> SpannIndex with shared deletion plumbing."""
 
     def __init__(self, users: Dict[int, SpannIndex], bloom: Optional[BlockedBloomFilter] = None,
-                 directory: Optional[str] = None, lazy_users: Optional[List[int]] = None):
+                 directory: Optional[str] = None, lazy_users: Optional[List[int]] = None,
+                 manifest_counts: Optional[Dict[int, int]] = None):
         self._users = users
         self.bloom = bloom
         self._directory = directory
         self._lazy = set(lazy_users or [])
+        # per-user doc counts from the manifest so num_docs/invalid_ratio
+        # (polled by the auto-optimize loop) never force-load lazy users —
+        # the reference derives the count from file sizes without opening
+        # the user's index (multi_spann/index.rs:315-324)
+        self._manifest_counts = dict(manifest_counts or {})
         # invalidations recorded against users not opened yet
-        # (multi_spann/index.rs:64-76 pending invalidations)
-        self._pending_invalidations: Dict[int, List[int]] = {}
+        # (multi_spann/index.rs:64-76 pending invalidations); sets so the
+        # lazy-user valid-doc estimate stays exact under repeated deletes
+        self._pending_invalidations: Dict[int, set] = {}
         # guards lazy opens + pending-invalidation handoff: without it two
         # threads can open the same user and deletions land on the loser
         self._lock = threading.Lock()
@@ -111,11 +125,34 @@ class MultiSpannIndex:
 
     @property
     def num_docs(self) -> int:
-        return sum(self._get(u).num_points for u in self.user_ids())
+        total = 0
+        for u in self.user_ids():
+            with self._lock:
+                idx = self._users.get(u)
+                known = self._manifest_counts.get(u)
+            if idx is not None:
+                total += idx.num_points
+            elif known is not None:
+                total += known  # lazy user: manifest count, no load
+            else:
+                total += self._get(u).num_points  # legacy manifest
+        return total
 
     @property
     def num_valid_docs(self) -> int:
-        return sum(self._get(u).num_valid_points for u in self.user_ids())
+        total = 0
+        for u in self.user_ids():
+            with self._lock:
+                idx = self._users.get(u)
+                known = self._manifest_counts.get(u)
+                pend = len(self._pending_invalidations.get(u, ()))
+            if idx is not None:
+                total += idx.num_valid_points
+            elif known is not None:
+                total += max(0, known - pend)
+            else:
+                total += self._get(u).num_valid_points
+        return total
 
     def may_contain(self, user_id: int, doc_id: int) -> bool:
         if self.bloom is not None:
@@ -151,16 +188,23 @@ class MultiSpannIndex:
 
     # -- deletions -------------------------------------------------------
     def invalidate(self, user_id: int, doc_ids: Iterable[int]) -> int:
+        return len(self.invalidate_found(user_id, doc_ids))
+
+    def invalidate_found(self, user_id: int, doc_ids: Iterable[int]) -> set:
+        """Invalidate a batch; returns the doc ids considered found (for a
+        lazy unopened user that is the not-yet-recorded subset — optimistic,
+        resolved when the user is opened, index.rs:64-76)."""
         doc_ids = list(doc_ids)
         with self._lock:
             idx = self._users.get(user_id)
             if idx is None:
                 if user_id in self._lazy:
-                    # defer until the user is opened (index.rs:64-76)
-                    self._pending_invalidations.setdefault(user_id, []).extend(doc_ids)
-                    return len(doc_ids)
-                return 0
-        return idx.invalidate_doc_ids(doc_ids)
+                    pend = self._pending_invalidations.setdefault(user_id, set())
+                    new = {int(d) for d in doc_ids} - pend
+                    pend.update(new)
+                    return new
+                return set()
+        return set(idx.invalidate_doc_ids_found(doc_ids))
 
     def iter_for_user(self, user_id: int):
         idx = self._get(user_id)
@@ -174,21 +218,30 @@ class MultiSpannIndex:
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
         all_users = self.user_ids()
+        counts = {}
         for uid in all_users:
-            self._get(uid).save(_user_dir(directory, uid))
+            idx = self._get(uid)
+            idx.save(_user_dir(directory, uid))
+            counts[f"{uid:032x}"] = idx.num_points
         if self.bloom is not None:
             self.bloom.save(os.path.join(directory, "bloom"))
         with open(os.path.join(directory, "users.json"), "w") as f:
-            json.dump({"user_ids": [f"{u:032x}" for u in all_users]}, f)
+            json.dump(
+                {"user_ids": [f"{u:032x}" for u in all_users], "num_points": counts}, f
+            )
 
     @classmethod
     def load(cls, directory: str, lazy: bool = True) -> "MultiSpannIndex":
         with open(os.path.join(directory, "users.json")) as f:
             manifest = json.load(f)
         uids = [int(s, 16) for s in manifest["user_ids"]]
+        counts = {
+            int(s, 16): int(n) for s, n in manifest.get("num_points", {}).items()
+        }
         bloom_path = os.path.join(directory, "bloom.npz")
         bloom = BlockedBloomFilter.load(bloom_path) if os.path.exists(bloom_path) else None
         if lazy:
-            return cls({}, bloom, directory=directory, lazy_users=uids)
+            return cls({}, bloom, directory=directory, lazy_users=uids,
+                       manifest_counts=counts)
         users = {u: SpannIndex.load(_user_dir(directory, u)) for u in uids}
-        return cls(users, bloom)
+        return cls(users, bloom, manifest_counts=counts)

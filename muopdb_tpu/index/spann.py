@@ -103,32 +103,52 @@ class SpannIndex:
     def invalidate_doc_ids(self, doc_ids_u128) -> int:
         return self.ivf.invalidate_doc_ids(doc_ids_u128)
 
+    def invalidate_doc_ids_found(self, doc_ids_u128) -> list:
+        return self.ivf.invalidate_doc_ids_found(doc_ids_u128)
+
     def iter_valid_with_pid(self):
         """Yield (point_id, doc_id_u128, vector) for every live point —
         SpannIter (spann/iter.rs:8-47), used by merge/vacuum optimizers,
         which need the old point id to remap term posting lists
         (optimizers/merge.rs:38-95).
 
-        Requires raw vectors; PQ-quantized indexes yield reconstructions.
+        Yields the persisted exact raw vectors when present (merge/vacuum
+        must re-train and re-encode from exact data, not lossy PQ
+        reconstructions — cumulative decode/re-encode would silently degrade
+        the rebuilt segment's rerank store); falls back to decode only for
+        legacy indexes without a raw store.
         """
         valid = np.asarray(self.ivf.point_valid)
         pos = np.asarray(self.ivf.pos_to_point).reshape(-1)
         data = np.asarray(self.ivf.pl_data).reshape(pos.shape[0], -1)
+        raw = (
+            np.asarray(self.ivf.raw_vectors, np.float32)
+            if self.ivf.raw_vectors is not None
+            else None
+        )
         seen = set()
         for slot, pt in enumerate(pos):
             if pt < 0 or pt in seen or not valid[pt]:
                 continue
             seen.add(pt)
             lo, hi = self.ivf.doc_ids[pt]
-            vec = data[slot]
-            if hasattr(self.ivf.quantizer, "codebook") and self.ivf.quantizer.codebook is not None:
-                vec = self.ivf.quantizer.original_vectors(vec[None])[0]
+            if raw is not None:
+                vec = raw[pt]
+            else:
+                vec = data[slot]
+                if hasattr(self.ivf.quantizer, "codebook") and self.ivf.quantizer.codebook is not None:
+                    vec = self.ivf.quantizer.original_vectors(vec[None])[0]
             yield int(pt), ((int(hi) << 64) | int(lo)), np.asarray(vec, np.float32)
 
     def iter_valid(self):
         """Yield (doc_id_u128, vector) for every live point."""
         for _, doc, vec in self.iter_valid_with_pid():
             yield doc, vec
+
+    def valid_arrays(self):
+        """Batch form of iter_valid_with_pid: (point_ids, doc_id_pairs,
+        vectors) numpy arrays — the vectorized merge/vacuum feed."""
+        return self.ivf.valid_arrays()
 
     # -- persistence -----------------------------------------------------
     def save(self, directory: str) -> None:
@@ -159,6 +179,9 @@ class SpannBuilder:
 
     def add_batch(self, doc_ids, vectors) -> None:
         self.ivf_builder.add_batch(doc_ids, vectors)
+
+    def add_batch_pairs(self, doc_pairs, vectors) -> None:
+        self.ivf_builder.add_batch_pairs(doc_pairs, vectors)
 
     def __len__(self) -> int:
         return len(self.ivf_builder)

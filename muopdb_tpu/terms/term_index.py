@@ -29,10 +29,15 @@ from ..compression import get_codec
 
 
 class TermIndexBuilder:
-    """Accumulates (point_id, term) pairs (multi_terms/builder.rs analog)."""
+    """Accumulates (point_id, term) pairs (multi_terms/builder.rs analog).
+
+    Postings are kept as a list of chunks per term — single ints from add()
+    or whole numpy arrays from add_posting() — and flattened/deduped once at
+    build(), so merge/vacuum can feed remapped posting lists without a
+    per-id Python loop."""
 
     def __init__(self):
-        self._postings: Dict[str, List[int]] = {}
+        self._postings: Dict[str, List] = {}
 
     def add(self, point_id: int, term: str) -> None:
         self._postings.setdefault(term, []).append(point_id)
@@ -41,21 +46,41 @@ class TermIndexBuilder:
         for t in terms:
             self.add(point_id, t)
 
+    def add_posting(self, term: str, point_ids: np.ndarray) -> None:
+        """Append a whole posting-list chunk for one term (vectorized feed)."""
+        if len(point_ids):
+            self._postings.setdefault(term, []).append(
+                np.asarray(point_ids, np.uint64)
+            )
+
     def __len__(self) -> int:
         return len(self._postings)
+
+    def _flat(self, term: str) -> np.ndarray:
+        chunks = self._postings[term]
+        if not chunks:
+            return np.zeros(0, np.uint64)
+        return np.concatenate(
+            [np.atleast_1d(np.asarray(c, np.uint64)) for c in chunks]
+        )
 
     def remap_point_ids(self, mapping: Dict[int, int]) -> None:
         """Apply old->new point-id mapping (the reassigned_mappings step,
         multi_terms/writer.rs:40-48)."""
-        for term, plist in self._postings.items():
-            self._postings[term] = [mapping.get(p, p) for p in plist]
+        for term in self._postings:
+            flat = self._flat(term)
+            self._postings[term] = [
+                np.asarray(
+                    [mapping.get(int(p), int(p)) for p in flat], np.uint64
+                )
+            ]
 
     def build(self, encoding: str = "EliasFano") -> "TermIndex":
         codec = get_codec(encoding)
         terms = sorted(self._postings)
         blobs = []
         for t in terms:
-            ids = np.asarray(sorted(set(self._postings[t])), np.uint64)
+            ids = np.unique(self._flat(t))
             blobs.append(codec.encode(ids))
         return TermIndex(terms, blobs, encoding)
 

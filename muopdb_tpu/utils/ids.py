@@ -24,6 +24,7 @@ def u128_from_parts(low: int, high: int) -> int:
 
 def u128_to_parts(v: int) -> Tuple[int, int]:
     """Return (low, high)."""
+    v = int(v)  # numpy ints overflow on the 64-bit mask
     return v & MASK64, (v >> 64) & MASK64
 
 

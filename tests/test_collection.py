@@ -281,3 +281,53 @@ def test_batch_insert_in_batch_duplicate(tmp_path, rng):
     with col.get_snapshot() as snap:
         res = snap.search_for_users([1], v2, k=1, num_explored_centroids=4)
     assert res[0][0][0] == 42 and res[0][0][1] < 1e-3
+
+
+def test_remove_in_flush_commit_window_not_lost(tmp_path, rng):
+    """ADVICE r1 (high): a remove() landing between flush's pre-commit
+    deletion drain and the TOC commit must still be replayed onto the new
+    segment (the post-commit re-drain closes the window)."""
+    col = Collection("c", str(tmp_path / "c"), _config())
+    x = _insert_n(col, 30, rng=rng)
+    orig_add = col.add_segments
+
+    def racy_add(names, segments, sequence_number=-1):
+        # simulate a delete acknowledged inside the window: it lands on the
+        # pending-mutable segment (already drained once) and the new segment
+        # is not yet in the TOC
+        col.pending_mutable.remove_for_user(1, 3)
+        orig_add(names, segments, sequence_number=sequence_number)
+
+    col.add_segments = racy_add
+    assert col.flush() is not None
+    col.add_segments = orig_add
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([1], x[3:4], k=1, num_explored_centroids=4)[0][0][0] != 3
+
+
+def test_merge_newest_segment_wins_upsert(tmp_path, rng):
+    """ADVICE r1: after an upsert lands in a newer segment, merging must keep
+    the NEW version regardless of the optimizer's segment pick order."""
+    col = Collection("c", str(tmp_path / "c"), _config())
+    v1 = np.ones((1, 8), np.float32)
+    v2 = -np.ones((1, 8), np.float32)
+    _insert_n(col, 20, rng=rng)
+    col.insert_for_users([1], [42], v1)
+    col.flush()
+    col.insert_for_users([1], [42], v2)  # upsert in a newer, smaller segment
+    col.flush()
+    names = list(col._toc.toc)
+    # pass names newest-first: run_optimizer must reorder by TOC age
+    merged = col.run_optimizer(list(reversed(names)), "merge")
+    assert col.num_segments == 1
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], v2, k=1, num_explored_centroids=4)
+    assert res[0][0][0] == 42 and res[0][0][1] < 1e-3
+
+
+def test_batched_remove_counts(tmp_path, rng):
+    col = Collection("c", str(tmp_path / "c"), _config())
+    _insert_n(col, 20, rng=rng)
+    col.flush()
+    # mix of present, absent, and duplicate ids in one batched call
+    assert col.remove(1, [3, 4, 4, 999]) == 2

@@ -121,3 +121,43 @@ def test_multi_spann_shape_bucketing(rng):
     q = np.asarray(idx._get(1).ivf.raw_vectors)[:1]
     res = idx.search_for_user(1, q, k=1, num_explored_centroids=3)
     assert res[0][0][0] == 0
+
+
+def test_multi_spann_counts_do_not_force_load(tmp_path, rng):
+    """num_docs / num_valid_docs / invalid_ratio are polled by the
+    auto-optimize loop; they must come from the manifest, never from
+    opening lazy users (VERDICT r1 weak #4)."""
+    d = 8
+    b = MultiSpannBuilder(_cfg(num_centroids=2, block_rows=8), dim=d)
+    for uid in (1, 2, 3):
+        for i in range(10):
+            b.insert(uid, uid * 100 + i, rng.standard_normal(d).astype(np.float32))
+    b.build().save(str(tmp_path))
+    lazy = MultiSpannIndex.load(str(tmp_path), lazy=True)
+    assert lazy.num_docs == 30
+    assert lazy.num_valid_docs == 30
+    assert not lazy._users, "count queries must not open lazy users"
+    # deletions against unopened users adjust the estimate without loading
+    assert lazy.invalidate(2, [205, 206]) == 2
+    assert lazy.invalidate(2, [205]) == 0  # duplicate delete
+    assert lazy.num_valid_docs == 28
+    assert not lazy._users
+    # opening the user replays the pending invalidations
+    assert lazy.search_for_user(2, np.zeros((1, d), np.float32), k=10)
+    assert lazy._get(2).num_valid_points == 8
+
+
+def test_pq_merge_feed_uses_exact_raw_vectors(tmp_path, rng):
+    """ADVICE r1 (medium): merge/vacuum must re-train from persisted exact
+    vectors, not lossy PQ reconstructions."""
+    d = 16
+    x = rng.standard_normal((64, d)).astype(np.float32)
+    b = SpannBuilder(_cfg(num_centroids=2, block_rows=8), dim=d)
+    b.add_batch(np.arange(64), x)
+    pq = ProductQuantizer(dim=d, subvector_dim=4, num_bits=4).train(x, max_iter=5)
+    idx = b.build(quantizer=pq)
+    got = {pid: vec for pid, _, vec in idx.iter_valid_with_pid()}
+    _, _, vecs = idx.valid_arrays()
+    for pid, vec in got.items():
+        np.testing.assert_allclose(vec, x[pid], rtol=1e-6)
+    np.testing.assert_allclose(vecs, x, rtol=1e-6)

@@ -125,3 +125,27 @@ def test_group_commit_single_writer_timeout(tmp_path):
     coord = WalWriteCoordinator(w, group_size=940, follower_timeout=0.01)
     assert coord.append(WalEntry.insert([1], [0], [1.0])) == 0
     w.close()
+
+
+def test_wal_torn_tail_truncated_on_reopen(tmp_path):
+    """ADVICE r1 (medium): reopening a WAL file with a torn tail must
+    truncate the garbage so post-restart appends are replayable."""
+    w = Wal(str(tmp_path), max_file_size=1 << 20)
+    w.append(WalEntry.insert([1], [10], np.ones(4, np.float32)))
+    w.append(WalEntry.insert([2], [10], np.ones(4, np.float32)))
+    w.sync()
+    path = w._files[-1].path
+    w.close()
+    # simulate a crash mid-append: garbage half-record at the tail
+    with open(path, "ab") as f:
+        f.write(b"\xff\xff\xff\x7f partial-record-garbage")
+    w2 = Wal(str(tmp_path), max_file_size=1 << 20)
+    assert w2.next_seq_no == 2
+    # a post-restart append must be recoverable by a subsequent replay
+    w2.append(WalEntry.insert([3], [10], np.ones(4, np.float32)))
+    w2.sync()
+    w2.close()
+    w3 = Wal(str(tmp_path), max_file_size=1 << 20)
+    seqs = [s for s, _ in w3.entries_from(-1)]
+    assert seqs == [0, 1, 2]
+    w3.close()
