@@ -139,7 +139,7 @@ def main():
     batch = int(os.environ.get("MUOPDB_BENCH_BATCH", 2048))
     k = 10
     rerank = int(os.environ.get("MUOPDB_BENCH_RERANK", 200))
-    soft_budget = float(os.environ.get("MUOPDB_BENCH_SOFT_BUDGET_S", 330))
+    soft_budget = float(os.environ.get("MUOPDB_BENCH_SOFT_BUDGET_S", 450))
 
     out = {
         "metric": "ivf_pq_qps_per_chip",
@@ -294,6 +294,73 @@ def main():
             _log(f"exact sweep {fb/flat_dt:.0f} qps")
         except Exception:
             _log("exact sweep FAILED (continuing):\n" + traceback.format_exc())
+
+    # ---- secondary: multi-user serving (BASELINE config #5, scaled) —
+    # fused cross-user program vs the per-user dispatch loop
+    if headline_ok and os.environ.get("MUOPDB_BENCH_MULTIUSER", "1") != "0" \
+            and time.time() - t_start < soft_budget:
+        try:
+            from types import SimpleNamespace
+
+            from muopdb_tpu.index.ivf import IvfIndex
+            from muopdb_tpu.index.multi_spann import MultiSpannIndex
+            from muopdb_tpu.quantization import ProductQuantizer
+
+            n_u = int(os.environ.get("MUOPDB_BENCH_MU_USERS", 512))
+            per_u = int(os.environ.get("MUOPDB_BENCH_MU_PER_USER", 2048))
+            d2, m2, mu_batch, mu_rerank = 64, 8, 64, 50
+            rng2 = np.random.Generator(np.random.SFC64(7))
+            xall = rng2.standard_normal((n_u * per_u, d2), dtype=np.float32)
+            pq2 = ProductQuantizer(dim=d2, subvector_dim=d2 // m2, num_bits=8).train(
+                xall, max_iter=5, num_training_rows=50_000
+            )
+            _log(f"multi-user: building {n_u} users x {per_u}")
+            users = {}
+            for u in range(n_u):
+                xs = xall[u * per_u : (u + 1) * per_u]
+                ivf = IvfIndex.from_posting_lists(
+                    xs, xs[:1], [np.arange(per_u)], quantizer=pq2, block_rows=512
+                )
+                users[u + 1] = SimpleNamespace(ivf=ivf, num_points=per_u)
+            ms = MultiSpannIndex(users)
+            qmu = xall[rng2.choice(len(xall), mu_batch, replace=False)]
+            uids = list(users)
+
+            def run_mu():
+                return ms.search_for_users(uids, qmu, k=k, rerank=mu_rerank)
+
+            res_mu = run_mu()  # compile+cache
+            _log("multi-user fused compiled; timing")
+            t0 = time.time()
+            reps_mu = 5
+            for _ in range(reps_mu):
+                res_mu = run_mu()
+            mu_dt = (time.time() - t0) / reps_mu
+            assert res_mu[0], "fused multi-user search returned nothing"
+            # serial-dispatch comparison on a 16-user subset, extrapolated
+            sub = uids[:16]
+
+            def run_serial():
+                for u in sub:
+                    dd, ii = users[u].ivf.search_batched(qmu, k=k, rerank=mu_rerank)
+                    jax.block_until_ready((dd, ii))
+
+            run_serial()
+            t0 = time.time()
+            run_serial()
+            serial_dt_full = (time.time() - t0) / len(sub) * n_u
+            out["multi_user_users"] = n_u
+            out["multi_user_docs_per_user"] = per_u
+            out["multi_user_batch"] = mu_batch
+            out["multi_user_qps"] = round(mu_batch / mu_dt, 1)
+            out["multi_user_serial_qps_est"] = round(mu_batch / serial_dt_full, 1)
+            out["multi_user_fused_speedup"] = round(serial_dt_full / mu_dt, 1)
+            _log(
+                f"multi-user: fused {mu_batch/mu_dt:.0f} qps vs serial-dispatch "
+                f"{mu_batch/serial_dt_full:.1f} qps est ({serial_dt_full/mu_dt:.0f}x)"
+            )
+        except Exception:
+            _log("multi-user secondary FAILED (continuing):\n" + traceback.format_exc())
 
     # ---- optional: recall@10 vs nprobe sweep (BASELINE config #2)
     if headline_ok and gt is not None and os.environ.get("MUOPDB_BENCH_SWEEP"):

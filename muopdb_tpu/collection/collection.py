@@ -64,16 +64,18 @@ class Snapshot:
         where: Optional[Filter] = None,
         **kw,
     ) -> List[List[Tuple[int, float]]]:
-        """Per user, per segment search; merge by score; truncate to k
-        (snapshot.rs:39-106)."""
+        """Per segment, ALL requested users in one batched call (the fused
+        cross-user program); merge by score; truncate to k. Replaces the
+        reference's user x segment loop (snapshot.rs:39-106) with one device
+        program per segment."""
         q = np.asarray(queries, np.float32).reshape(-1, self._collection.config.num_features)
         ne = num_explored_centroids or k
+        user_ids = list(user_ids)
         merged: List[List[Tuple[int, float]]] = [[] for _ in range(len(q))]
-        for user_id in user_ids:
-            for seg in self.segments:
-                res = seg.search_for_user(user_id, q, k, ne, where, **kw)
-                for row, pairs in enumerate(res):
-                    merged[row].extend(pairs)
+        for seg in self.segments:
+            res = seg.search_for_users(user_ids, q, k, ne, where, **kw)
+            for row, pairs in enumerate(res):
+                merged[row].extend(pairs)
         return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
 
     def term_search_for_users(self, user_ids, where: Filter, limit: int = 100) -> List[int]:

@@ -58,6 +58,19 @@ class MockedSegment:
         nq = len(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
         return [list(rows) for _ in range(nq)]
 
+    def search_for_users(self, user_ids, queries, k=10, num_explored_centroids=10,
+                         where=None, **kw):
+        merged = None
+        for u in user_ids:
+            res = self.search_for_user(u, queries, k, num_explored_centroids, where, **kw)
+            if merged is None:
+                merged = [list(r) for r in res]
+            else:
+                for row, pairs in zip(merged, res):
+                    row.extend(pairs)
+        merged = merged or []
+        return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
+
     def term_search_for_user(self, user_id, where, limit=100):
         return [doc for doc, _ in self._results][:limit]
 
@@ -67,3 +80,6 @@ class MockedSegment:
                 return False
             self._removed.append((user_id, doc_id))
             return True
+
+    def remove_batch(self, user_id: int, doc_ids) -> set:
+        return {d for d in doc_ids if self.remove(user_id, d)}

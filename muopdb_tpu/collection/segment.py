@@ -287,6 +287,26 @@ class ImmutableSegment:
             queries, k, num_explored_centroids, filter_mask=mask, **kw
         )
 
+    def search_for_users(
+        self,
+        user_ids,
+        queries,
+        k: int = 10,
+        num_explored_centroids: int = 10,
+        where: Optional[Filter] = None,
+        **kw,
+    ) -> List[List[Tuple[int, float]]]:
+        """Multi-user search, merged across users per query. Routes through
+        the fused cross-user device program (index/multi_search.py); per-user
+        boolean filters become per-user masks folded into the fused sweep."""
+        q = np.asarray(queries, np.float32).reshape(-1, self.config.num_features)
+        masks = None
+        if where is not None:
+            masks = {u: self._filter_mask(u, where) for u in user_ids}
+        return self.index.search_for_users(
+            user_ids, q, k, num_explored_centroids, filter_masks=masks, **kw
+        )
+
     def term_search_for_user(self, user_id: int, where: Filter, limit: int = 100) -> List[int]:
         """Term-only search returning doc ids (immutable_segment.rs:149-226)."""
         ti = self.term_index_for_user(user_id)
@@ -424,6 +444,22 @@ class PendingSegment:
         merged: List[List[Tuple[int, float]]] = [[] for _ in range(len(q))]
         for s in segments:
             res = s.search_for_user(user_id, q, k, num_explored_centroids, where, **kw)
+            for row, pairs in enumerate(res):
+                merged[row].extend(pairs)
+        return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
+
+    def search_for_users(self, user_ids, queries, k: int = 10,
+                         num_explored_centroids: int = 10, where=None, **kw):
+        with self._lock:
+            if self._switched:
+                return self._built.search_for_users(
+                    user_ids, queries, k, num_explored_centroids, where, **kw
+                )
+            segments = list(self.inner)
+        q = np.asarray(queries, np.float32).reshape(-1, self.config.num_features)
+        merged: List[List[Tuple[int, float]]] = [[] for _ in range(len(q))]
+        for s in segments:
+            res = s.search_for_users(user_ids, q, k, num_explored_centroids, where, **kw)
             for row, pairs in enumerate(res):
                 merged[row].extend(pairs)
         return [sorted(row, key=lambda t: t[1])[:k] for row in merged]

@@ -577,6 +577,7 @@ class IvfIndex:
         self.distance_type = distance_type
         self.block_rows = block_rows
         self.point_valid = jnp.ones((max(num_points, 1),), dtype=bool)
+        self.point_valid_host = np.ones((max(num_points, 1),), dtype=bool)
         self._inval_lock = threading.Lock()  # guards point_valid updates
         counts = np.diff(np.asarray(self.list_block_start))
         self.max_blocks = int(counts.max()) if len(counts) else 1
@@ -717,10 +718,12 @@ class IvfIndex:
         ivf/block_based/index.rs:30-31)."""
         if len(point_ids) == 0:
             return
+        ids = np.asarray(point_ids, np.int32)
         with self._inval_lock:  # .at[].set is a copy: serialize read-modify-write
-            self.point_valid = self.point_valid.at[
-                jnp.asarray(np.asarray(point_ids, np.int32))
-            ].set(False)
+            self.point_valid = self.point_valid.at[jnp.asarray(ids)].set(False)
+            # host shadow so cross-user concat plans can rebuild their merged
+            # mask without a device round trip per user
+            self.point_valid_host[ids] = False
 
     def invalidate_doc_ids(self, doc_ids_u128) -> int:
         """Invalidate by u128 doc ids; returns number found."""
@@ -1026,4 +1029,5 @@ class IvfIndex:
             point_owner=z["point_owner"] if "point_owner" in z.files else None,
         )
         idx.point_valid = jnp.asarray(z["point_valid"])
+        idx.point_valid_host = np.asarray(z["point_valid"]).copy()
         return idx

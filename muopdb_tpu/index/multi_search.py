@@ -1,0 +1,215 @@
+"""Cross-user batched search: one device program for many users.
+
+The reference searches each user's index in a Python/Rust loop per request
+(snapshot.rs:50-58); round 1 kept that shape, which costs one device
+dispatch per user (~tens of ms each through the serving tunnel — fatal at
+1k+ users, BASELINE config #5).
+
+TPU-first redesign: within a segment every user shares the PQ codebook (one
+quantizer is trained per flush/merge), so users CONCATENATE along the point
+axis into one flat scan target. The merged-across-users semantics of
+search_for_users — top-k by score over all requested users' points — is
+then literally one fused sweep + one global top-k: no vmap over ragged
+per-user shapes, no per-user dispatch. Users are grouped into slabs so the
+(B, N_total) score matrix stays within memory; slabs merge on host.
+
+Concatenated arrays are cached per (user-set) on the MultiSpannIndex; the
+deletion mask is rebuilt from host shadows when the index's invalidation
+epoch moves.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+# column budget for one fused sweep: bounds the (B, N) score matrix
+_MAX_SLAB_POINTS = int(os.environ.get("MUOPDB_FUSED_SLAB_POINTS", 4 * 1024 * 1024))
+
+
+def _pad_pow2(n: int, minimum: int) -> int:
+    n = max(n, minimum)
+    return 1 << (n - 1).bit_length()
+
+
+class _Slab:
+    """Device-resident concatenation of a contiguous group of users."""
+
+    def __init__(self, uids, user_starts, n, doc_ids, codes=None, vectors=None,
+                 raw=None):
+        self.uids = uids                # list[int]
+        self.user_starts = user_starts  # np (U+1,) int64 point offsets
+        self.n = n                      # total live+dead points
+        self.doc_ids = doc_ids          # np (n, 2) uint64
+        self.codes = codes              # device (m, n_pad) int32 (PQ) or None
+        self.vectors = vectors          # device (n_pad, d) f32 (flat) or None
+        self.raw = raw                  # device (n, d) f32 rerank store or None
+        self.valid = None               # device (n,) bool, epoch-stamped
+        self.valid_epoch = -1
+
+
+class FusedUserGroup:
+    """All slabs + shared quantizer state for one user set of one index."""
+
+    def __init__(self, slabs, quantizer, distance_type):
+        self.slabs = slabs
+        self.quantizer = quantizer
+        self.distance_type = distance_type
+        self.lock = threading.Lock()
+
+
+def build_group(spanns: List[Tuple[int, object]]) -> Optional[FusedUserGroup]:
+    """Concatenate (uid, SpannIndex) pairs into slabs. Returns None when the
+    users cannot share one program (mixed/unequal quantizers)."""
+    from ..quantization import ProductQuantizer
+
+    ivfs = [(u, s.ivf) for u, s in spanns]
+    q0 = ivfs[0][1].quantizer
+    is_pq = isinstance(q0, ProductQuantizer)
+    for _, ivf in ivfs[1:]:
+        q = ivf.quantizer
+        if is_pq:
+            if not isinstance(q, ProductQuantizer):
+                return None
+            if q.codebook.shape != q0.codebook.shape or not np.array_equal(
+                np.asarray(q.codebook), np.asarray(q0.codebook)
+            ):
+                return None
+        elif isinstance(q, ProductQuantizer):
+            return None
+    if not is_pq and any(ivf.raw_vectors is None for _, ivf in ivfs):
+        return None
+    if is_pq and any(ivf._codes_t is None for _, ivf in ivfs):
+        return None
+
+    slabs = []
+    i = 0
+    while i < len(ivfs):
+        group, total = [], 0
+        while i < len(ivfs) and (not group or total + ivfs[i][1].num_points <= _MAX_SLAB_POINTS):
+            group.append(ivfs[i])
+            total += ivfs[i][1].num_points
+            i += 1
+        uids = [u for u, _ in group]
+        starts = np.zeros(len(group) + 1, np.int64)
+        np.cumsum([ivf.num_points for _, ivf in group], out=starts[1:])
+        doc_ids = np.concatenate([ivf.doc_ids for _, ivf in group])
+        n = int(starts[-1])
+        if is_pq:
+            npad = _pad_pow2(n, 512)
+            codes = jnp.concatenate(
+                [ivf._codes_t for _, ivf in group]
+                + ([jnp.zeros((q0.num_subvectors, npad - n), jnp.int32)] if npad > n else []),
+                axis=1,
+            )
+            raw = None
+            if all(ivf.raw_vectors is not None for _, ivf in group):
+                raw = jnp.concatenate([ivf.raw_vectors for _, ivf in group])
+            slabs.append(_Slab(uids, starts, n, doc_ids, codes=codes, raw=raw))
+        else:
+            npad = _pad_pow2(n, 1024)
+            vecs = jnp.concatenate(
+                [ivf.raw_vectors for _, ivf in group]
+                + ([jnp.zeros((npad - n, group[0][1].raw_vectors.shape[1]), jnp.float32)]
+                   if npad > n else [])
+            )
+            slabs.append(_Slab(uids, starts, n, doc_ids, vectors=vecs))
+    return FusedUserGroup(slabs, q0, ivfs[0][1].distance_type)
+
+
+def _slab_valid(slab: _Slab, ivfs_by_uid, epoch: int,
+                filter_masks: Optional[Dict[int, np.ndarray]]):
+    """Merged deletion (+ optional per-user boolean filter) mask."""
+    if filter_masks is None and slab.valid is not None and slab.valid_epoch == epoch:
+        return slab.valid
+    parts = []
+    for j, u in enumerate(slab.uids):
+        ivf = ivfs_by_uid[u]
+        v = ivf.point_valid_host[: ivf.num_points]
+        if filter_masks is not None and filter_masks.get(u) is not None:
+            fm = np.asarray(filter_masks[u], bool)
+            m = v.copy()
+            m[: len(fm)] &= fm[: len(m)]
+            if len(fm) < len(m):
+                m[len(fm):] = False  # mask shorter than index: exclude rest
+            parts.append(m)
+        else:
+            parts.append(v)
+    valid = jnp.asarray(np.concatenate(parts)) if parts else jnp.zeros((0,), bool)
+    if filter_masks is None:
+        slab.valid = valid
+        slab.valid_epoch = epoch
+    return valid
+
+
+def search_group(
+    group: FusedUserGroup,
+    ivfs_by_uid,
+    queries: np.ndarray,
+    k: int,
+    *,
+    rerank: int = 0,
+    epoch: int = 0,
+    filter_masks: Optional[Dict[int, np.ndarray]] = None,
+) -> List[List[Tuple[int, float]]]:
+    """Fused sweep over every slab; merge per query on host. Returns the
+    search_for_users result shape: per query, [(doc_id_u128, dist)] top-k
+    over ALL users (snapshot.rs:39-106 semantics)."""
+    from ..quantization import ProductQuantizer
+    from .ivf import _fused_flat_batched, _fused_pq_batched, ADC_INT8
+
+    q = jnp.asarray(np.asarray(queries, np.float32))
+    b = q.shape[0]
+    use_pallas = jax.default_backend() not in ("cpu",)
+    is_pq = isinstance(group.quantizer, ProductQuantizer)
+    dist_type = "L2" if group.distance_type in ("L2", "l2") else "dot"
+
+    all_d = np.full((b, 0), np.inf, np.float32)
+    all_doc = np.zeros((b, 0, 2), np.uint64)
+    for slab in group.slabs:
+        valid = _slab_valid(slab, ivfs_by_uid, epoch, filter_masks)
+        if is_pq:
+            d, i = _fused_pq_batched(
+                q,
+                slab.codes,
+                jnp.asarray(group.quantizer.codebook),
+                slab.raw if slab.raw is not None else jnp.zeros((1, q.shape[1]), jnp.float32),
+                valid,
+                k=min(k, slab.n),
+                rerank=rerank if slab.raw is not None else 0,
+                use_pallas=use_pallas,
+                distance_type=dist_type,
+                int8_adc=ADC_INT8 and use_pallas,
+            )
+        else:
+            d, i = _fused_flat_batched(
+                q, slab.vectors, valid, k=min(k, slab.n), use_pallas=use_pallas
+            )
+        d = np.asarray(d)
+        i = np.asarray(i)
+        docs = np.zeros(i.shape + (2,), np.uint64)
+        ok = i >= 0
+        docs[ok] = slab.doc_ids[i[ok]]
+        all_d = np.concatenate([all_d, d], axis=1)
+        all_doc = np.concatenate([all_doc, docs], axis=1)
+
+    # host merge across slabs: per query, global top-k by score
+    order = np.argsort(all_d, axis=1)[:, :k]
+    out: List[List[Tuple[int, float]]] = []
+    for r in range(b):
+        pairs = []
+        for c in order[r]:
+            dv = all_d[r, c]
+            if np.isfinite(dv):
+                lo, hi = all_doc[r, c]
+                pairs.append(((int(hi) << 64) | int(lo), float(dv)))
+        out.append(pairs)
+    return out

@@ -99,6 +99,10 @@ class MultiSpannIndex:
         # guards lazy opens + pending-invalidation handoff: without it two
         # threads can open the same user and deletions land on the loser
         self._lock = threading.Lock()
+        # cross-user fused-search state: concatenated user groups cached per
+        # requested user set; epoch invalidates their merged deletion masks
+        self._fused_groups: Dict[tuple, object] = {}
+        self._inval_epoch = 0
 
     # -- lookup ----------------------------------------------------------
     def user_ids(self) -> List[int]:
@@ -121,6 +125,8 @@ class MultiSpannIndex:
                 pend = None
         if pend:
             idx.invalidate_doc_ids(pend)
+            with self._lock:
+                self._inval_epoch += 1
         return idx
 
     @property
@@ -174,17 +180,70 @@ class MultiSpannIndex:
         return idx.search_doc_ids(queries, k, num_explored_centroids, **kw)
 
     def search_for_users(
-        self, user_ids: Iterable[int], queries, k: int = 10, num_explored_centroids: int = 10, **kw
+        self, user_ids: Iterable[int], queries, k: int = 10, num_explored_centroids: int = 10,
+        filter_masks: Optional[Dict[int, np.ndarray]] = None, rerank: int = 0, **kw
     ) -> List[List[Tuple[int, float]]]:
         """Per query: merge per-user results by score and keep top-k overall
-        (snapshot.rs:39-106 semantics)."""
+        (snapshot.rs:39-106 semantics).
+
+        Multi-user requests run as ONE fused device program per slab of
+        concatenated users (multi_search.py) instead of a per-user dispatch
+        loop — the cross-user batching the reference's per-user loop
+        (snapshot.rs:50-58) cannot express. Falls back to the serial loop
+        when users cannot share a program (mixed quantizers, legacy
+        indexes)."""
+        uids = list(user_ids)
         q = np.asarray(queries, np.float32)
+        if len(uids) > 1:
+            try:
+                res = self._search_users_fused(
+                    uids, q, k, filter_masks=filter_masks, rerank=rerank
+                )
+                if res is not None:
+                    return res
+            except Exception:  # noqa: BLE001 — fused path is an optimization
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "fused multi-user search failed; falling back to serial"
+                )
         merged: List[List[Tuple[int, float]]] = [[] for _ in range(len(q))]
-        for uid in user_ids:
-            res = self.search_for_user(uid, q, k, num_explored_centroids, **kw)
+        for uid in uids:
+            fm = (filter_masks or {}).get(uid)
+            res = self.search_for_user(
+                uid, q, k, num_explored_centroids, filter_mask=fm, **kw
+            )
             for row, pairs in enumerate(res):
                 merged[row].extend(pairs)
         return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
+
+    def _search_users_fused(self, uids, q, k, *, filter_masks=None, rerank: int = 0):
+        from .multi_search import build_group, search_group
+
+        spanns = []
+        for u in sorted(set(uids)):
+            idx = self._get(u)
+            if idx is not None and idx.num_points > 0:
+                spanns.append((u, idx))
+        if len(spanns) < 2:
+            return None
+        key = tuple(u for u, _ in spanns)
+        with self._lock:
+            group = self._fused_groups.get(key)
+            epoch = self._inval_epoch
+        if group is None:
+            group = build_group(spanns)
+            if group is None:
+                return None  # users cannot share one program
+            with self._lock:
+                if len(self._fused_groups) > 8:  # bound stale user-set cache
+                    self._fused_groups.clear()
+                self._fused_groups[key] = group
+        ivfs_by_uid = {u: s.ivf for u, s in spanns}
+        return search_group(
+            group, ivfs_by_uid, q, k, rerank=rerank, epoch=epoch,
+            filter_masks=filter_masks,
+        )
 
     # -- deletions -------------------------------------------------------
     def invalidate(self, user_id: int, doc_ids: Iterable[int]) -> int:
@@ -204,7 +263,11 @@ class MultiSpannIndex:
                     pend.update(new)
                     return new
                 return set()
-        return set(idx.invalidate_doc_ids_found(doc_ids))
+        found = set(idx.invalidate_doc_ids_found(doc_ids))
+        if found:
+            with self._lock:
+                self._inval_epoch += 1  # stale fused deletion masks rebuild
+        return found
 
     def iter_for_user(self, user_id: int):
         idx = self._get(user_id)
