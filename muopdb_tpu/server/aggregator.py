@@ -11,11 +11,14 @@ runs shards concurrently.
 
 from __future__ import annotations
 
+import logging
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, wait
 from typing import Dict, List, Optional, Tuple
 
 import grpc
+
+log = logging.getLogger(__name__)
 
 from ..utils import io as vio
 from ..utils.tracing import TRACER
@@ -77,10 +80,18 @@ class NodeManager:
 
 
 class AggregatorImpl:
+    """Hardened beyond the reference (aggregator.rs:79-134 has no deadline,
+    retry, or failure policy): per-shard gRPC deadline, one retry, and a
+    partial-result policy — a hung or dead shard costs its deadline, not the
+    whole Get; the response reports how many shards failed."""
+
     def __init__(self, shard_manager: ShardManager, node_manager: NodeManager,
-                 max_parallelism: int = 16):
+                 max_parallelism: int = 16, shard_timeout_s: float = 5.0,
+                 shard_retries: int = 1):
         self.shards = shard_manager
         self.nodes = node_manager
+        self.shard_timeout_s = shard_timeout_s
+        self.shard_retries = shard_retries
         self._channels: Dict[str, grpc.Channel] = {}
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=max_parallelism)
@@ -102,6 +113,8 @@ class AggregatorImpl:
             if not shards:
                 context.abort(grpc.StatusCode.NOT_FOUND, f"index {req.index} has no shards")
 
+            trace_md = TRACER.inject()  # W3C context (aggregator.rs:107-113)
+
             def query_shard(shard_node):
                 shard_id, node_id = shard_node
                 addr = self.nodes.address_for(node_id)
@@ -115,10 +128,34 @@ class AggregatorImpl:
                 )
                 if req.HasField("where_document"):
                     sreq.where_document.CopyFrom(req.where_document)
-                return self._stub(addr).Search(sreq)
+                last_err = None
+                for _ in range(1 + self.shard_retries):
+                    try:
+                        return self._stub(addr).Search(
+                            sreq, timeout=self.shard_timeout_s, metadata=trace_md
+                        )
+                    except grpc.RpcError as e:  # deadline, unavailable, ...
+                        last_err = e
+                raise last_err
 
-            # parallel fan-out (the reference's TODO at aggregator.rs:79)
-            responses = list(self._pool.map(query_shard, shards))
+            # parallel fan-out (the reference's TODO at aggregator.rs:79),
+            # bounded overall by the per-shard deadline budget
+            futures = [self._pool.submit(query_shard, sn) for sn in shards]
+            budget = self.shard_timeout_s * (1 + self.shard_retries) + 1.0
+            done, not_done = wait(futures, timeout=budget)
+            responses, failed = [], 0
+            for f in not_done:
+                f.cancel()
+                failed += 1
+            for f in done:
+                try:
+                    responses.append(f.result())
+                except Exception:
+                    failed += 1
+                    log.exception("shard query failed for index %s", req.index)
+            if failed == len(shards):
+                context.abort(grpc.StatusCode.UNAVAILABLE,
+                              f"all {failed} shards of {req.index} failed")
             # merge by score across shards (aggregator.rs:134)
             merged: List[Tuple[float, int, int]] = []
             pages = 0
@@ -133,4 +170,5 @@ class AggregatorImpl:
                 low_ids=[m[1] for m in merged],
                 high_ids=[m[2] for m in merged],
                 num_pages_accessed=pages,
+                num_failed_shards=failed,
             )

@@ -43,6 +43,9 @@ def serve_index_server(
     server = grpc.server(ThreadPoolExecutor(max_workers=16))
     add_service(server, "muopdb.IndexServer", IndexServerImpl(manager))
     add_service(server, "admin.IndexServerAdmin", AdminServerImpl(manager))
+    from .reflection import add_reflection
+
+    add_reflection(server, ["muopdb.IndexServer", "admin.IndexServerAdmin"])
     bound_port = server.add_insecure_port(f"0.0.0.0:{port}")
     server.start()
 
@@ -59,13 +62,23 @@ def serve_aggregator(
     shard_config_path: str = "/tmp/muopdb_tpu/shards",
     node_config_path: str = "/tmp/muopdb_tpu/nodes",
     block: bool = True,
+    shard_timeout_s: float = 5.0,
+    shard_retries: int = 1,
 ):
     from .aggregator import AggregatorImpl, NodeManager, ShardManager
     from .grpc_defs import add_service
 
-    impl = AggregatorImpl(ShardManager(shard_config_path), NodeManager(node_config_path))
+    impl = AggregatorImpl(
+        ShardManager(shard_config_path),
+        NodeManager(node_config_path),
+        shard_timeout_s=shard_timeout_s,
+        shard_retries=shard_retries,
+    )
     server = grpc.server(ThreadPoolExecutor(max_workers=16))
     add_service(server, "aggregator.Aggregator", impl)
+    from .reflection import add_reflection
+
+    add_reflection(server, ["aggregator.Aggregator"])
     bound_port = server.add_insecure_port(f"0.0.0.0:{port}")
     server.start()
     logging.info("aggregator on :%d", bound_port)

@@ -1,0 +1,90 @@
+"""Vendored gRPC server reflection (grpc.reflection.v1 + v1alpha).
+
+The reference registers tonic reflection descriptor sets
+(rs/proto/src/lib.rs:1-5, rs/index_server/src/main.rs:288-294). The
+grpc_reflection package is absent in this image, so the protocol is
+implemented directly against the process-default descriptor pool: grpcurl /
+evans / any reflection client can list services and fetch the full
+dependency closure of every registered file.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List
+
+import grpc
+from google.protobuf import descriptor_pool
+
+from .proto import reflection_pb2 as rpb
+
+SERVICE_NAMES_V1 = "grpc.reflection.v1.ServerReflection"
+SERVICE_NAMES_V1ALPHA = "grpc.reflection.v1alpha.ServerReflection"
+
+
+def _file_closure(pool, file_desc) -> List[bytes]:
+    """A file's serialized FileDescriptorProto plus all transitive deps."""
+    out, seen, stack = [], set(), [file_desc]
+    while stack:
+        fd = stack.pop()
+        if fd.name in seen:
+            continue
+        seen.add(fd.name)
+        out.append(fd.serialized_pb)
+        stack.extend(fd.dependencies)
+    return out
+
+
+class ReflectionServicer:
+    """Bidi-stream handler for ServerReflectionInfo."""
+
+    def __init__(self, service_names: Iterable[str]):
+        self._services = sorted(set(service_names) | {SERVICE_NAMES_V1, SERVICE_NAMES_V1ALPHA})
+        self._pool = descriptor_pool.Default()
+
+    def ServerReflectionInfo(self, request_iterator, context):
+        for req in request_iterator:
+            resp = rpb.ServerReflectionResponse(valid_host=req.host, original_request=req)
+            which = req.WhichOneof("message_request")
+            try:
+                if which == "list_services":
+                    resp.list_services_response.service.extend(
+                        rpb.ServiceResponse(name=s) for s in self._services
+                    )
+                elif which == "file_by_filename":
+                    fd = self._pool.FindFileByName(req.file_by_filename)
+                    resp.file_descriptor_response.file_descriptor_proto.extend(
+                        _file_closure(self._pool, fd)
+                    )
+                elif which == "file_containing_symbol":
+                    fd = self._pool.FindFileContainingSymbol(req.file_containing_symbol)
+                    resp.file_descriptor_response.file_descriptor_proto.extend(
+                        _file_closure(self._pool, fd)
+                    )
+                elif which == "all_extension_numbers_of_type":
+                    resp.all_extension_numbers_response.base_type_name = (
+                        req.all_extension_numbers_of_type
+                    )
+                else:
+                    resp.error_response.error_code = grpc.StatusCode.UNIMPLEMENTED.value[0]
+                    resp.error_response.error_message = f"unsupported request: {which}"
+            except KeyError:
+                resp.error_response.error_code = grpc.StatusCode.NOT_FOUND.value[0]
+                resp.error_response.error_message = f"not found: {which}"
+            yield resp
+
+
+def add_reflection(server: grpc.Server, service_names: Iterable[str]) -> None:
+    """Register reflection under both the v1 and v1alpha service names
+    (clients fall back between them)."""
+    servicer = ReflectionServicer(service_names)
+    handler = grpc.stream_stream_rpc_method_handler(
+        servicer.ServerReflectionInfo,
+        request_deserializer=rpb.ServerReflectionRequest.FromString,
+        response_serializer=rpb.ServerReflectionResponse.SerializeToString,
+    )
+    for name in (SERVICE_NAMES_V1, SERVICE_NAMES_V1ALPHA):
+        server.add_generic_rpc_handlers(
+            (grpc.method_handlers_generic_handler(
+                name, {"ServerReflectionInfo": handler}
+            ),)
+        )

@@ -4,6 +4,7 @@ multi-node harness SURVEY.md §4 notes the reference lacks)."""
 
 import json
 import os
+import time
 import urllib.request
 
 import numpy as np
@@ -332,3 +333,102 @@ def test_record_metrics_reports_pages(index_server):
         )
     )
     assert sr.num_pages_accessed > 0
+
+
+def test_aggregator_partial_results_on_hung_shard(tmp_path, index_server):
+    """Hardening beyond the reference: one healthy shard + one shard whose
+    node address points at a black-hole port. Get must return the healthy
+    shard's results within the deadline budget and report the failure."""
+    import socket
+
+    stub = index_server["stub"]
+    rng = np.random.default_rng(9)
+    _create(stub, "pidx--0")
+    x = rng.standard_normal((20, 8)).astype(np.float32)
+    stub.Insert(
+        pb.InsertRequest(
+            collection_name="pidx--0",
+            doc_ids=_ids(range(20)),
+            vectors=x.reshape(-1).tolist(),
+            user_ids=_ids([1]),
+        )
+    )
+    stub.Flush(pb.FlushRequest(collection_name="pidx--0"))
+
+    # a listening socket that never speaks gRPC = a hung shard
+    hole = socket.socket()
+    hole.bind(("localhost", 0))
+    hole.listen(1)
+    hole_port = hole.getsockname()[1]
+
+    shard_dir = tmp_path / "shards"
+    node_dir = tmp_path / "nodes"
+    vio.write_version_atomic(str(shard_dir), 1, {"shards": {"pidx": [[0, 0], [1, 1]]}})
+    vio.write_version_atomic(
+        str(node_dir), 1,
+        {"nodes": {"0": f"localhost:{index_server['port']}", "1": f"localhost:{hole_port}"}},
+    )
+    server, impl, agg_port = serve_aggregator(
+        0, str(shard_dir), str(node_dir), block=False,
+        shard_timeout_s=1.0, shard_retries=1,
+    )
+    try:
+        agg = aggregator_stub(grpc.insecure_channel(f"localhost:{agg_port}"))
+        t0 = time.time()
+        r = agg.Get(
+            aggregator_pb2.GetRequest(
+                index="pidx",
+                vector=x[5].tolist(),
+                params=pb.SearchParams(top_k=3, num_explored_centroids=4),
+                user_ids=_ids([1]),
+            )
+        )
+        elapsed = time.time() - t0
+        assert r.low_ids[0] == 5, "healthy shard's results must come back"
+        assert r.num_failed_shards == 1
+        assert elapsed < 10, f"hung shard must cost its deadline, not hang Get ({elapsed:.1f}s)"
+
+        # all shards down -> UNAVAILABLE, not a hang
+        vio.write_version_atomic(str(shard_dir), 2, {"shards": {"pidx": [[1, 1]]}})
+        with pytest.raises(grpc.RpcError) as ei:
+            agg.Get(
+                aggregator_pb2.GetRequest(
+                    index="pidx", vector=x[5].tolist(),
+                    params=pb.SearchParams(top_k=3), user_ids=_ids([1]),
+                )
+            )
+        assert ei.value.code() == grpc.StatusCode.UNAVAILABLE
+    finally:
+        server.stop(0)
+        hole.close()
+
+
+def test_server_reflection(index_server):
+    """Vendored reflection protocol (main.rs:288-294 parity): list services
+    and fetch the IndexServer descriptor closure over a raw stream."""
+    from muopdb_tpu.server.proto import reflection_pb2 as rpb
+    from google.protobuf import descriptor_pb2
+
+    ch = grpc.insecure_channel(f"localhost:{index_server['port']}")
+    for svc in ("grpc.reflection.v1.ServerReflection",
+                "grpc.reflection.v1alpha.ServerReflection"):
+        call = ch.stream_stream(
+            f"/{svc}/ServerReflectionInfo",
+            request_serializer=rpb.ServerReflectionRequest.SerializeToString,
+            response_deserializer=rpb.ServerReflectionResponse.FromString,
+        )
+        reqs = iter([
+            rpb.ServerReflectionRequest(list_services="*"),
+            rpb.ServerReflectionRequest(file_containing_symbol="muopdb.IndexServer"),
+        ])
+        responses = list(call(reqs))
+        names = {s.name for s in responses[0].list_services_response.service}
+        assert "muopdb.IndexServer" in names and "admin.IndexServerAdmin" in names
+        protos = responses[1].file_descriptor_response.file_descriptor_proto
+        assert protos, "descriptor closure must not be empty"
+        fdp = descriptor_pb2.FileDescriptorProto.FromString(protos[0])
+        assert fdp.name.endswith("muopdb.proto")
+        # unknown symbol -> NOT_FOUND error response, stream stays healthy
+        err = list(call(iter([rpb.ServerReflectionRequest(
+            file_containing_symbol="no.such.Symbol")])))[0]
+        assert err.error_response.error_message

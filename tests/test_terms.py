@@ -133,3 +133,18 @@ def test_iter_protocol():
     assert it.skip_to(6) == 9
     assert it.next() == 9
     assert it.next() is None
+
+
+def test_stemming_all_19_languages_covered():
+    """Reference supports 19 languages (stemming_tokenizer.rs:20-52,
+    Vietnamese -> English). Every language must stem — inflected forms of a
+    word map to one term — rather than silently lowercasing."""
+    from muopdb_tpu.config import LANGUAGES
+    from muopdb_tpu.terms.tokenizer import _stemmer, tokenize
+
+    for lang in LANGUAGES:
+        assert _stemmer(lang) is not None, f"no stemmer for {lang}"
+    assert tokenize("running", "vietnamese") == ["run"]  # -> english (:26)
+    assert tokenize("evlerden", "turkish") == tokenize("ev", "turkish") == ["ev"]
+    assert tokenize("άνθρωποι", "greek") == tokenize("άνθρωπος", "greek")
+    assert tokenize("புத்தகங்கள்", "tamil") == tokenize("புத்தகங்களில்", "tamil")
