@@ -52,7 +52,9 @@ class FlatIndex:
 
     @classmethod
     def load(cls, directory: str) -> "FlatIndex":
-        z = np.load(os.path.join(directory, "flat.npz"))
+        from ..utils.file_io import open_reader
+
+        z = np.load(open_reader(os.path.join(directory, "flat.npz")))
         idx = cls(z["vectors"], z["doc_ids"])
         idx.valid = jnp.asarray(z["valid"])
         return idx

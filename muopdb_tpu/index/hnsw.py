@@ -623,8 +623,10 @@ class HnswIndex:
 
     @classmethod
     def load(cls, directory: str) -> "HnswIndex":
-        z = np.load(os.path.join(directory, "hnsw.npz"))
-        with open(os.path.join(directory, "hnsw_config.json")) as f:
+        from ..utils.file_io import open_reader
+
+        z = np.load(open_reader(os.path.join(directory, "hnsw.npz")))
+        with open_reader(os.path.join(directory, "hnsw_config.json")) as f:
             cfg = json.load(f)
         layers = [z[f"layer_{i}"] for i in range(cfg["num_layers"])]
         idx = cls(

@@ -1012,8 +1012,11 @@ class IvfIndex:
     def load(cls, directory: str) -> "IvfIndex":
         from ..quantization import load_dir
 
-        z = np.load(os.path.join(directory, "ivf.npz"))
-        with open(os.path.join(directory, "ivf_config.json")) as f:
+        from ..utils.file_io import open_reader
+
+        # every load rides the Env/BlockCache storage engine (env.rs:15-22)
+        z = np.load(open_reader(os.path.join(directory, "ivf.npz")))
+        with open_reader(os.path.join(directory, "ivf_config.json")) as f:
             cfg = json.load(f)
         idx = cls(
             centroids=z["centroids"],

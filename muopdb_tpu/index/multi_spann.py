@@ -295,7 +295,9 @@ class MultiSpannIndex:
 
     @classmethod
     def load(cls, directory: str, lazy: bool = True) -> "MultiSpannIndex":
-        with open(os.path.join(directory, "users.json")) as f:
+        from ..utils.file_io import open_reader
+
+        with open_reader(os.path.join(directory, "users.json")) as f:
             manifest = json.load(f)
         uids = [int(s, 16) for s in manifest["user_ids"]]
         counts = {

@@ -23,7 +23,9 @@ def load_dir(directory: str):
     import json
     import os
 
-    with open(os.path.join(directory, "quantizer_config.json")) as f:
+    from ..utils.file_io import open_reader
+
+    with open_reader(os.path.join(directory, "quantizer_config.json")) as f:
         cfg = json.load(f)
     cls = {"NoQuantizer": NoQuantizer, "ProductQuantizer": ProductQuantizer}[cfg["type"]]
     return cls.load(directory)

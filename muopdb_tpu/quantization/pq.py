@@ -177,7 +177,9 @@ class ProductQuantizer(Quantizer):
 
     @classmethod
     def load(cls, directory: str) -> "ProductQuantizer":
-        with open(os.path.join(directory, "quantizer_config.json")) as f:
+        from ..utils.file_io import open_reader
+
+        with open_reader(os.path.join(directory, "quantizer_config.json")) as f:
             cfg = json.load(f)
-        cb = np.load(os.path.join(directory, "codebook.npy"))
+        cb = np.load(open_reader(os.path.join(directory, "codebook.npy")))
         return cls(cfg["dim"], cfg["subvector_dim"], cfg["num_bits"], codebook=cb)

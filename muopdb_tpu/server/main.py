@@ -28,12 +28,19 @@ def serve_index_server(
     num_workers: int = 4,
     auto_optimize_interval: float = 60.0,
     block: bool = True,
+    file_type: str = "mmap",
+    block_cache_bytes: int = 256 << 20,
+    disk_cache_dir: str | None = None,
 ):
     from .admin_server import AdminServerImpl
     from .collection_manager import BackgroundLoops, CollectionManager
     from .grpc_defs import add_service
     from .http_server import HttpServer
     from .index_server import IndexServerImpl
+    from ..utils.file_io import configure_env
+
+    # storage engine knobs (main.rs:152-177: file_type + block-cache flags)
+    configure_env(file_type, block_cache_bytes, disk_cache_dir=disk_cache_dir)
 
     manager = CollectionManager(index_config_path, index_data_path, num_workers)
     manager.check_for_update()
@@ -99,11 +106,18 @@ def main():
     s.add_argument("--index-data-path", default="/tmp/muopdb_tpu/data")
     s.add_argument("--num-workers", type=int, default=4)
     s.add_argument("--auto-optimize-interval", type=float, default=60.0)
+    s.add_argument("--file-type", choices=["mmap", "cached_standard"], default="mmap",
+                   help="storage-engine read path (main.rs file_type flag)")
+    s.add_argument("--block-cache-bytes", type=int, default=256 << 20)
+    s.add_argument("--disk-cache-dir", default=None,
+                   help="optional L2 spill directory for evicted cache blocks")
 
     a = sub.add_parser("aggregator")
     a.add_argument("--port", type=int, default=9001)
     a.add_argument("--shard-config-path", default="/tmp/muopdb_tpu/shards")
     a.add_argument("--node-config-path", default="/tmp/muopdb_tpu/nodes")
+    a.add_argument("--shard-timeout-s", type=float, default=5.0)
+    a.add_argument("--shard-retries", type=int, default=1)
 
     args = p.parse_args()
     if args.cmd == "index-server":
@@ -114,9 +128,15 @@ def main():
             args.index_data_path,
             args.num_workers,
             args.auto_optimize_interval,
+            file_type=args.file_type,
+            block_cache_bytes=args.block_cache_bytes,
+            disk_cache_dir=args.disk_cache_dir,
         )
     else:
-        serve_aggregator(args.port, args.shard_config_path, args.node_config_path)
+        serve_aggregator(
+            args.port, args.shard_config_path, args.node_config_path,
+            shard_timeout_s=args.shard_timeout_s, shard_retries=args.shard_retries,
+        )
 
 
 if __name__ == "__main__":

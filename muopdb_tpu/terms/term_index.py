@@ -130,7 +130,11 @@ class TermIndex:
 
     @classmethod
     def load(cls, path: str) -> "TermIndex":
-        with open(path, "rb") as f:
+        from ..utils.file_io import open_reader
+
+        # term blobs ride the Env/BlockCache engine (terms/index.rs:91-143
+        # reads via FileIO; cold segments hit the cache, not the disk)
+        with open_reader(path) as f:
             data = f.read()
         num_terms, terms_len = (int(x) for x in np.frombuffer(data[:16], np.uint64))
         enc_len = int(np.frombuffer(data[16:24], np.uint64)[0])

@@ -53,7 +53,9 @@ class BlockedBloomFilter:
 
     @classmethod
     def load(cls, path: str) -> "BlockedBloomFilter":
-        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        from .file_io import open_reader
+
+        z = np.load(open_reader(path if path.endswith(".npz") else path + ".npz"))
         f = cls.__new__(cls)
         f.bits = z["bits"]
         f.num_blocks = f.bits.shape[0]

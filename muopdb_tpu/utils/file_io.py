@@ -17,6 +17,8 @@ a gated stub: zero-egress environments cannot reach object storage.
 from __future__ import annotations
 
 import collections
+import hashlib
+import io
 import mmap as _mmap
 import os
 import threading
@@ -34,6 +36,12 @@ class FileIO:
 
     def close(self) -> None:
         pass
+
+    def __del__(self):  # backstop for LRU-evicted handles
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class MMapFileIO(FileIO):
@@ -96,19 +104,75 @@ class AppendableFileIO:
         self._f.close()
 
 
-class BlockCache:
-    """Single-level block cache with byte-weighted LRU and singleflight fills
-    (block_cache/cache.rs:128-176,292-385: moka weigher=len + try_get_with
-    dedup — here an OrderedDict LRU + per-key fill locks)."""
+class DiskCache:
+    """L2 spill cache: evicted memory blocks land as files under a cache
+    directory, bounded by capacity with oldest-mtime eviction
+    (block_cache/disk_cache.rs:10-62 — moka metadata cache whose eviction
+    listener deletes spilled block files)."""
 
-    def __init__(self, capacity_bytes: int = 256 << 20, block_size: int = 1 << 20):
+    def __init__(self, directory: str, capacity_bytes: int = 2 << 30):
+        self.directory = directory
+        self.capacity_bytes = capacity_bytes
+        os.makedirs(directory, exist_ok=True)
+        self._lock = threading.Lock()
+        self._size = sum(
+            os.path.getsize(os.path.join(directory, f)) for f in os.listdir(directory)
+        )
+
+    def _path(self, key: Tuple[str, int]) -> str:
+        h = hashlib.sha1(f"{key[0]}:{key[1]}".encode()).hexdigest()
+        return os.path.join(self.directory, h)
+
+    def get(self, key: Tuple[str, int]) -> Optional[bytes]:
+        try:
+            with open(self._path(key), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def put(self, key: Tuple[str, int], data: bytes) -> None:
+        p = self._path(key)
+        with self._lock:
+            try:
+                if not os.path.exists(p):
+                    tmp = p + ".tmp"
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    os.rename(tmp, p)
+                    self._size += len(data)
+                while self._size > self.capacity_bytes:
+                    entries = [
+                        (os.path.getmtime(os.path.join(self.directory, f)),
+                         os.path.join(self.directory, f))
+                        for f in os.listdir(self.directory)
+                        if not f.endswith(".tmp")
+                    ]
+                    if not entries:
+                        break
+                    _, oldest = min(entries)
+                    self._size -= os.path.getsize(oldest)
+                    os.remove(oldest)
+            except OSError:
+                pass  # cache is best-effort
+
+
+class BlockCache:
+    """Two-level block cache: byte-weighted in-memory LRU with singleflight
+    fills (block_cache/cache.rs:128-176,292-385: moka weigher=len +
+    try_get_with dedup — here an OrderedDict LRU + per-key fill locks) and
+    an optional disk L2 that absorbs memory evictions."""
+
+    def __init__(self, capacity_bytes: int = 256 << 20, block_size: int = 1 << 20,
+                 disk_cache: Optional[DiskCache] = None):
         self.capacity_bytes = capacity_bytes
         self.block_size = block_size
+        self.disk = disk_cache
         self._lru: "collections.OrderedDict[Tuple[str, int], bytes]" = collections.OrderedDict()
         self._size = 0
         self._lock = threading.Lock()
         self._fills: Dict[Tuple[str, int], threading.Event] = {}
         self.hits = 0
+        self.disk_hits = 0
         self.misses = 0
 
     def _get_block(self, key: Tuple[str, int], fill: Callable[[], bytes]) -> bytes:
@@ -124,14 +188,27 @@ class BlockCache:
                     break
             ev.wait()  # another thread is filling this block
         try:
-            data = fill()
+            data = self.disk.get(key) if self.disk is not None else None
+            if data is not None:
+                from_disk = True
+            else:
+                from_disk = False
+                data = fill()
+            evicted = []
             with self._lock:
-                self.misses += 1
+                if from_disk:
+                    self.disk_hits += 1
+                else:
+                    self.misses += 1
                 self._lru[key] = data
                 self._size += len(data)
                 while self._size > self.capacity_bytes and self._lru:
-                    _, evicted = self._lru.popitem(last=False)
-                    self._size -= len(evicted)
+                    ek, ev_data = self._lru.popitem(last=False)
+                    self._size -= len(ev_data)
+                    evicted.append((ek, ev_data))
+            if self.disk is not None:
+                for ek, ev_data in evicted:  # spill outside the lock
+                    self.disk.put(ek, ev_data)
             return data
         finally:
             with self._lock:
@@ -172,43 +249,151 @@ class CachedFileIO(FileIO):
         self._inner.close()
 
 
+class ObjectStoreClient:
+    """Range-read interface an object store must provide
+    (object_store_file.rs:14-60's object_store crate role)."""
+
+    def get_range(self, bucket: str, key: str, offset: int, length: int) -> bytes:
+        raise NotImplementedError
+
+    def length(self, bucket: str, key: str) -> int:
+        raise NotImplementedError
+
+
+class LocalDirObjectStore(ObjectStoreClient):
+    """Object store backed by a local directory tree (bucket/key -> file) —
+    proves the interface shape in zero-egress environments; a real S3
+    client implements the same two methods in deployment."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, bucket: str, key: str) -> str:
+        return os.path.join(self.root, bucket, key)
+
+    def get_range(self, bucket: str, key: str, offset: int, length: int) -> bytes:
+        with open(self._path(bucket, key), "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    def length(self, bucket: str, key: str) -> int:
+        return os.path.getsize(self._path(bucket, key))
+
+
+_OBJECT_STORES: Dict[str, ObjectStoreClient] = {}
+
+
+def configure_object_store(scheme: str, client: ObjectStoreClient) -> None:
+    """Register a client for URLs like '<scheme>://bucket/key'."""
+    _OBJECT_STORES[scheme] = client
+
+
 class ObjectStoreFileIO(FileIO):
-    """S3/object-store reads (object_store_file.rs:14-60). Gated: this
-    environment has zero egress; wire an actual client here when deployed."""
+    """Object-store reads (object_store_file.rs:14-60): URL -> registered
+    client. 's3://' stays gated until a client is configured — this
+    environment has zero egress."""
 
     def __init__(self, url: str):
-        raise NotImplementedError(
-            "object-store IO requires network access; configure an S3 client "
-            "in deployment environments"
-        )
+        scheme, rest = url.split("://", 1)
+        client = _OBJECT_STORES.get(scheme)
+        if client is None:
+            raise NotImplementedError(
+                f"no object-store client registered for scheme {scheme!r}; "
+                "call configure_object_store() (S3 needs network access)"
+            )
+        self._client = client
+        self._bucket, _, self._key = rest.partition("/")
+        self._len = client.length(self._bucket, self._key)
+
+    def read(self, offset: int, length: int) -> bytes:
+        return self._client.get_range(self._bucket, self._key, offset, length)
+
+    def file_length(self) -> int:
+        return self._len
+
+
+class FileIOStream(io.RawIOBase):
+    """File-like adapter over FileIO so np.load / json.load / struct readers
+    consume Env-routed reads (the reference's every-query-time-read-through-
+    Env invariant, block_cache/cache.rs:292-385)."""
+
+    def __init__(self, fio: FileIO):
+        self._fio = fio
+        self._pos = 0
+        self._len = fio.file_length()
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        if whence == io.SEEK_SET:
+            self._pos = offset
+        elif whence == io.SEEK_CUR:
+            self._pos += offset
+        else:
+            self._pos = self._len + offset
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def readinto(self, b) -> int:
+        n = min(len(b), max(0, self._len - self._pos))
+        if n == 0:
+            return 0
+        data = self._fio.read(self._pos, n)
+        b[: len(data)] = data
+        self._pos += len(data)
+        return len(data)
 
 
 class Env:
-    """File-type dispatch (env.rs:15-22,133-195)."""
+    """File-type dispatch (env.rs:15-22,133-195); open handles are kept in a
+    bounded LRU so long-lived servers do not leak descriptors."""
 
     MMAP = "mmap"
     CACHED_STANDARD = "cached_standard"
     OBJECT_STORE = "object_store"
 
-    def __init__(self, file_type: str = MMAP, cache: Optional[BlockCache] = None):
+    def __init__(self, file_type: str = MMAP, cache: Optional[BlockCache] = None,
+                 max_open_files: int = 1024):
         self.file_type = file_type
         self.cache = cache or BlockCache()
-        self._open: Dict[str, FileIO] = {}
+        self.max_open_files = max_open_files
+        self._open: "collections.OrderedDict[str, FileIO]" = collections.OrderedDict()
         self._lock = threading.Lock()
 
     def open(self, path: str) -> FileIO:
         with self._lock:
             f = self._open.get(path)
             if f is not None:
+                self._open.move_to_end(path)
                 return f
-            if path.startswith("s3://") or self.file_type == self.OBJECT_STORE:
-                f = ObjectStoreFileIO(path)
-            elif self.file_type == self.MMAP:
-                f = MMapFileIO(path)
+        if "://" in path or self.file_type == self.OBJECT_STORE:
+            f = ObjectStoreFileIO(path)
+        elif self.file_type == self.MMAP:
+            f = MMapFileIO(path)
+        else:
+            f = CachedFileIO(path, self.cache)
+        with self._lock:
+            winner = self._open.get(path)
+            if winner is not None:
+                f = winner  # racing opener lost; its handle finalizes via GC
             else:
-                f = CachedFileIO(path, self.cache)
-            self._open[path] = f
-            return f
+                self._open[path] = f
+                # evicted handles are DROPPED, not closed: a concurrent
+                # reader may still hold one; refcount finalization closes it
+                # (FileIO.__del__) once the last reader finishes
+                while len(self._open) > self.max_open_files:
+                    self._open.popitem(last=False)
+        return f
+
+    def reader(self, path: str) -> io.BufferedReader:
+        """Buffered file-like over an Env-routed FileIO (load paths)."""
+        return io.BufferedReader(FileIOStream(self.open(path)))
 
     def open_append(self, path: str) -> AppendableFileIO:
         return AppendableFileIO(path)
@@ -227,4 +412,29 @@ class Env:
             f.close()
 
 
+_env_lock = threading.Lock()
 DEFAULT_ENV = Env()
+
+
+def configure_env(file_type: str = Env.MMAP, cache_bytes: int = 256 << 20,
+                  block_size: int = 1 << 20,
+                  disk_cache_dir: Optional[str] = None,
+                  disk_cache_bytes: int = 2 << 30) -> Env:
+    """(Re)configure the process-default Env — the server main's
+    --file-type / block-cache flags land here (main.rs:152-177)."""
+    global DEFAULT_ENV
+    disk = DiskCache(disk_cache_dir, disk_cache_bytes) if disk_cache_dir else None
+    with _env_lock:
+        DEFAULT_ENV = Env(file_type, BlockCache(cache_bytes, block_size, disk))
+        return DEFAULT_ENV
+
+
+def get_env() -> Env:
+    return DEFAULT_ENV
+
+
+def open_reader(path: str) -> io.BufferedReader:
+    """Env-routed buffered reader — EVERY production load path goes through
+    this (the reference's Env invariant: hnsw/block_based/index.rs:212-287,
+    cache.rs:292-385)."""
+    return get_env().reader(path)
