@@ -801,21 +801,22 @@ class IvfIndex:
         (the TPU form of plan_with_ids intersection, planner.rs:45-61)."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         nprobe = min(nprobe, self.centroids.shape[0])
-        # plan selection: when the batch collectively probes a large share
-        # of the index, a whole-index fused sweep + per-query probe mask is
-        # cheaper than per-query gathers (batch * nprobe >= #lists means the
-        # batch touches ~every list); the whole plan is ONE compiled program
-        large_batch = q.shape[0] * nprobe >= self.centroids.shape[0]
+        # Plan selection (measured on the chip, round 2): the whole-index
+        # fused sweep + per-query probe mask beats the per-query block
+        # gather at EVERY batch size here — PQ codes for 1M x m16 are only
+        # 16 MB of HBM traffic, so sweeping is cheaper than materializing
+        # gathered blocks (B=1: 65 ms vs 106 ms through the tunnel). The
+        # gather plan remains for explicitly-probed SPANN searches
+        # (search_with_probes) and legacy indexes without a raw store;
+        # a streamed gather kernel only pays off at ~10M+ flat points.
         if (
             not isinstance(self.quantizer, ProductQuantizer)
-            and large_batch
             and self.raw_vectors is not None
-            and filter_mask is None
         ):
             return _fused_flat_probed_masked(
                 q,
                 self._vectors_padded(),
-                self._merged_valid(None),
+                self._merged_valid(filter_mask),
                 self.centroids,
                 self.point_owner,
                 k=k,
@@ -823,11 +824,7 @@ class IvfIndex:
                 centroid_distance_ratio=centroid_distance_ratio,
                 use_pallas=jax.default_backend() not in ("cpu",),
             )
-        if (
-            isinstance(self.quantizer, ProductQuantizer)
-            and rerank >= 0
-            and large_batch
-        ):
+        if isinstance(self.quantizer, ProductQuantizer) and rerank >= 0:
             return _fused_pq_probed_masked(
                 q,
                 self._codes_t_padded,
