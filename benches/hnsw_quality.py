@@ -1,0 +1,168 @@
+"""HNSW graph-quality harness: build at a given scale, measure recall@10 vs
+exact ground truth across ef values, print one JSON line per config.
+
+Usage (TPU; single process owns the chip):
+    python -m benches.hnsw_quality --n 100000 --d 384 \
+        --configs "alpha=1.0,keep_pruned=0;alpha=1.2,keep_pruned=1"
+
+Ground truth is exact top-10 over the full dataset (chunked MXU matmuls).
+Recall target (VERDICT round 1 #5): >= 0.95 @ ef=128 on 1M x 384-d.
+Reference behavior anchor: rs/index/src/hnsw/builder.rs:339-375,
+hnsw/block_based/index.rs:159-287.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg):
+    print(f"[hnswq +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.time()
+
+
+def gen_data(n, d, nq, seed=0):
+    rng = np.random.Generator(np.random.SFC64(seed))
+    n_modes = 4096
+    modes = rng.standard_normal((n_modes, d), dtype=np.float32) * 1.5
+    assign = rng.integers(0, n_modes, n)
+    x = modes[assign] + rng.standard_normal((n, d), dtype=np.float32)
+    queries = x[rng.choice(n, nq, replace=False)] + 0.1 * rng.standard_normal(
+        (nq, d), dtype=np.float32
+    )
+    return x, queries
+
+
+def ground_truth(x, queries, k=10):
+    import jax
+    import jax.numpy as jnp
+
+    from muopdb_tpu.ops.distance import l2_distance
+
+    n = x.shape[0]
+    xj = jnp.asarray(x)
+    qj = jnp.asarray(queries)
+    chunk = 131072
+
+    @jax.jit
+    def score(q, v):
+        return l2_distance(q, v)
+
+    # running top-k across chunks, merged on host (one fetch per chunk)
+    best_d = np.full((queries.shape[0], k), np.inf, np.float32)
+    best_i = np.full((queries.shape[0], k), -1, np.int64)
+    for s in range(0, n, chunk):
+        v = xj[s : s + chunk]
+        dd = score(qj, v)
+        kd, ki = jax.lax.top_k(-dd, k)
+        kd = -np.asarray(kd)
+        ki = np.asarray(ki) + s
+        md = np.concatenate([best_d, kd], 1)
+        mi = np.concatenate([best_i, ki], 1)
+        order = np.argsort(md, axis=1)[:, :k]
+        rows = np.arange(len(md))[:, None]
+        best_d = md[rows, order]
+        best_i = mi[rows, order]
+    return best_i
+
+
+def recall(got, gt, k=10):
+    return float(
+        np.mean(
+            [
+                len(set(got[r][got[r] >= 0].tolist()) & set(gt[r].tolist())) / k
+                for r in range(len(got))
+            ]
+        )
+    )
+
+
+def parse_configs(spec):
+    out = []
+    for part in spec.split(";"):
+        cfg = {}
+        for kv in part.split(","):
+            if not kv.strip():
+                continue
+            key, val = kv.split("=")
+            key = key.strip()
+            if key in ("alpha",):
+                cfg[key] = float(val)
+            elif key in ("keep_pruned",):
+                cfg[key] = bool(int(val))
+            else:
+                cfg[key] = int(val)
+        out.append(cfg)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--d", type=int, default=384)
+    ap.add_argument("--nq", type=int, default=1000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--efs", type=str, default="64,128,256")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--configs",
+        type=str,
+        default="alpha=1.2,keep_pruned=1,nn_descent_rounds=3",
+        help="semicolon-separated config overrides for HnswBuildConfig",
+    )
+    args = ap.parse_args()
+
+    from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
+
+    _log(f"generating n={args.n} d={args.d}")
+    x, queries = gen_data(args.n, args.d, args.nq, args.seed)
+    _log("computing ground truth")
+    gt = ground_truth(x, queries, args.k)
+    _log("ground truth done")
+
+    efs = [int(e) for e in args.efs.split(",")]
+    for overrides in parse_configs(args.configs):
+        cfg = HnswBuildConfig(seed=args.seed, **overrides)
+        builder = HnswBuilder(cfg, args.d)
+        builder.add_batch(np.arange(args.n), x)
+        _log(f"building {overrides}")
+        t0 = time.time()
+        idx = builder.build()
+        build_s = time.time() - t0
+        _log(f"built in {build_s:.1f}s; searching")
+        deg = float(np.mean(np.asarray(idx.layer_edges[0]) >= 0) * idx.layer_edges[0].shape[1])
+        row = {
+            "n": args.n,
+            "d": args.d,
+            **overrides,
+            "build_seconds": round(build_s, 1),
+            "mean_degree_l0": round(deg, 1),
+        }
+        for ef in efs:
+            t0 = time.time()
+            dd, ids = idx.search(queries, k=args.k, ef_search=ef)
+            np.asarray(dd)  # sync
+            t_first = time.time() - t0
+            got = np.asarray(ids)
+            pids = np.where(got >= 0, got, 0)
+            r = recall(np.where(got >= 0, pids, -1), gt, args.k)
+            # steady-state timing: one more dispatch, sync once
+            t0 = time.time()
+            dd2, _ = idx.search(queries, k=args.k, ef_search=ef)
+            dd2.block_until_ready()
+            t_steady = time.time() - t0
+            row[f"recall@{args.k}_ef{ef}"] = round(r, 4)
+            row[f"qps_ef{ef}"] = round(args.nq / t_steady, 1)
+            row[f"compile+run_s_ef{ef}"] = round(t_first, 1)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,10 @@ class MuopDBClient:
     def create_collection(self, name: str, num_features: int, **overrides) -> str:
         req = pb.CreateCollectionRequest(collection_name=name, num_features=num_features)
         for k, v in overrides.items():
-            setattr(req, k, v)
+            try:
+                setattr(req, k, v)
+            except AttributeError:  # message-typed field (e.g. attribute_schema)
+                getattr(req, k).CopyFrom(v)
         return self._stub.CreateCollection(req).message
 
     def insert(self, collection: str, doc_ids: Sequence[int], vectors, user_ids=(0,),

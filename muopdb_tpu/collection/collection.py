@@ -79,13 +79,33 @@ class Snapshot:
         return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
 
     def term_search_for_users(self, user_ids, where: Filter, limit: int = 100) -> List[int]:
-        out: List[int] = []
-        for user_id in user_ids:
-            for seg in self.segments:
+        """Term-only search across users. The per-(user, segment) work is
+        host-side set algebra (EF decode + intersect), so cross-user batching
+        here means a thread fan-out, not a device program: every (user,
+        segment) cell evaluates up to `limit` in parallel, then results are
+        concatenated in user order and truncated (same output prefix as the
+        serial loop whenever earlier users can fill the limit)."""
+        user_ids = list(user_ids)
+        cells = [(u, s) for u in user_ids for s in self.segments]
+        if len(cells) <= 1 or limit <= 0:
+            out: List[int] = []
+            for user_id, seg in cells:
                 out.extend(seg.term_search_for_user(user_id, where, limit - len(out)))
                 if len(out) >= limit:
-                    return out
-        return out
+                    return out[:limit]
+            return out
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(cells))) as pool:
+            results = list(
+                pool.map(lambda c: c[1].term_search_for_user(c[0], where, limit), cells)
+            )
+        out = []
+        for r in results:
+            out.extend(r)
+            if len(out) >= limit:
+                break
+        return out[:limit]
 
     def release(self) -> None:
         if not self._released:

@@ -47,6 +47,19 @@ class HnswBuildConfig:
     ef_construction: int = 100  # candidate pool size (kNN-graph K here)
     distance_type: str = "L2"
     seed: int = 0
+    # Quality knobs (measured with benches/hnsw_quality.py at 100k x 384,
+    # clustered data): alpha is a DiskANN-style relaxed dominance — candidate
+    # c is dominated by a kept s only if alpha*d(c,s) < d(c,node). alpha > 1
+    # (and keep_pruned) fill the degree budget with *near* candidates, which
+    # on clustered data destroys the long diversity edges and collapses
+    # recall (0.99 -> 0.19 measured) — keep both at their defaults unless the
+    # data is uniform.
+    alpha: float = 1.0
+    # fill remaining slots with the nearest pruned candidates
+    # (hnswlib keepPrunedConnections analog)
+    keep_pruned: bool = False
+    # NN-descent repair rounds on the approximate kNN graph (n > 200k only)
+    nn_descent_rounds: int = 3
 
 
 # ---------------------------------------------------------------------------
@@ -215,13 +228,10 @@ def _nn_descent_device(xj, ids, rev, nn2_cols, k: int, chunk: int):
     return out_i.reshape(n, k), out_d.reshape(n, k)
 
 
-def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
-                      chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
-    """One NN-descent improvement round (see _nn_descent_device)."""
+def _reverse_lists(ids: np.ndarray, cap: int) -> np.ndarray:
+    """Reverse-neighbor lists via grouped scatter: for each node, up to `cap`
+    nodes that list it as a neighbor. (n, k) -1-padded -> (n, cap) -1-padded."""
     n, k = ids.shape
-    rng = np.random.default_rng(seed)
-    nn2_cols = rng.integers(0, k * k, size=(n, min(2 * k, k * k))).astype(np.int32)
-    # reverse neighbors on host (grouped scatter)
     flat_dst = ids.reshape(-1)
     flat_src = np.repeat(np.arange(n, dtype=ids.dtype), k)
     keep_rev = flat_dst >= 0
@@ -229,13 +239,23 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
     rev_dst = flat_dst[keep_rev][order_rev]
     rev_src = flat_src[keep_rev][order_rev]
     bounds_rev = np.searchsorted(rev_dst, np.arange(n + 1))
-    rev = np.full((n, k), -1, ids.dtype)
-    counts_rev = np.minimum(np.diff(bounds_rev), k)
+    rev = np.full((n, cap), -1, ids.dtype)
+    counts_rev = np.minimum(np.diff(bounds_rev), cap)
     take_rows = np.repeat(np.arange(n), counts_rev)
     take_cols = (np.arange(len(take_rows))
                  - np.repeat(np.cumsum(np.concatenate([[0], counts_rev[:-1]])), counts_rev))
     take_src_pos = np.repeat(bounds_rev[:-1], counts_rev) + take_cols
     rev[take_rows, take_cols] = rev_src[take_src_pos]
+    return rev
+
+
+def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
+                      chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
+    """One NN-descent improvement round (see _nn_descent_device)."""
+    n, k = ids.shape
+    rng = np.random.default_rng(seed)
+    nn2_cols = rng.integers(0, k * k, size=(n, min(2 * k, k * k))).astype(np.int32)
+    rev = _reverse_lists(ids, k)
 
     chunk = min(chunk, n)
     pad = (-n) % chunk
@@ -268,19 +288,22 @@ def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.nd
     return ids_out, d_out
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _prune_chunk_device(cv, cdist, valid, m: int):
+@functools.partial(jax.jit, static_argnames=("m", "alpha_sq"))
+def _prune_chunk_device(cv, cdist, valid, m: int, alpha_sq: float = 1.0):
     """Greedy distance-dominance selection for one chunk, fully on device.
 
     cv: (c, k, d) candidate vectors; cdist: (c, k) candidate->node distance;
     valid: (c, k) real-candidate mask. Returns keep (c, k) bool.
+
+    alpha_sq: squared relaxation factor (distances are squared L2) — c is
+    dominated only if alpha_sq * d2(c, s) < d2(c, node) for a kept s.
     """
     cc = jax.vmap(l2_distance)(cv, cv)  # (c, k, k) candidate-candidate
     c, kk = cdist.shape
 
     def body(j, carry):
         keep, count = carry
-        dom = (cc[:, j, :] < cdist[:, j, None]) & keep  # dominated by a kept
+        dom = (alpha_sq * cc[:, j, :] < cdist[:, j, None]) & keep
         ok = (~dom.any(1)) & (count < m) & valid[:, j]
         keep = keep.at[:, j].set(ok)
         return keep, count + ok.astype(jnp.int32)
@@ -292,14 +315,18 @@ def _prune_chunk_device(cv, cdist, valid, m: int):
 
 def _heuristic_prune(
     x: np.ndarray, cand_ids: np.ndarray, cand_d: np.ndarray, m: int,
-    chunk: int = 4096, xj=None,
+    chunk: int = 4096, xj=None, alpha: float = 1.0, keep_pruned: bool = False,
 ) -> np.ndarray:
     """Vectorized distance-dominance neighbor selection.
 
     For each node: walk candidates nearest-first, keep c iff no already-kept
-    s has d(c, s) < d(c, node) (hnsw/builder.rs:339-375). The greedy walk
-    runs on device (only the boolean keep-mask returns to host); vectors are
-    gathered from the device-resident copy — no bulk host<->device traffic.
+    s has alpha*d(c, s) < d(c, node) (hnsw/builder.rs:339-375; alpha is the
+    DiskANN-style relaxation). The greedy walk runs on device (only the
+    boolean keep-mask returns to host); vectors are gathered from the
+    device-resident copy — no bulk host<->device traffic.
+
+    keep_pruned: fill slots left open by the dominance test with the nearest
+    pruned candidates (hnswlib keepPrunedConnections).
 
     Returns (n, m) int32 edges, -1 padded.
     """
@@ -308,19 +335,30 @@ def _heuristic_prune(
     out = np.full((n, m), -1, np.int32)
     if k == 0:  # single-point index: nothing to prune
         return out
+    alpha_sq = float(alpha) * float(alpha)  # distances are squared L2
     for s in range(0, n, chunk):
         cid = cand_ids[s : s + chunk]  # (c, k)
         cdist = cand_d[s : s + chunk]
         valid = cid >= 0
         cv = xj[jnp.asarray(np.clip(cid, 0, None))]  # device gather
         keep = np.asarray(
-            _prune_chunk_device(cv, jnp.asarray(cdist), jnp.asarray(valid), m)
+            _prune_chunk_device(
+                cv, jnp.asarray(cdist), jnp.asarray(valid), m, alpha_sq
+            )
         )
         c = cid.shape[0]
-        sel_order = np.argsort(~keep, axis=1, kind="stable")[:, :m]
+        if keep_pruned:
+            # kept first, then valid pruned (nearest-first), then pads
+            key = (~keep).astype(np.int8) + (~valid).astype(np.int8) * 2
+            sel_order = np.argsort(key, axis=1, kind="stable")[:, :m]
+        else:
+            sel_order = np.argsort(~keep, axis=1, kind="stable")[:, :m]
         rows = np.arange(c)[:, None]
         vals = cid[rows, sel_order]
-        ok = keep[rows, sel_order]
+        if keep_pruned:
+            ok = valid[rows, sel_order]
+        else:
+            ok = keep[rows, sel_order]
         w = sel_order.shape[1]
         out[s : s + c, :w] = np.where(ok, vals, -1)
     return out
@@ -351,6 +389,76 @@ def _add_reverse_edges(edges: np.ndarray, x: np.ndarray, m_max: int) -> np.ndarr
             nb = nb[np.argsort(d)[:m_max]]
         out[i, : len(nb)] = nb
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _cand_rank_device(xj, cand, chunk: int):
+    """Score + sort candidate lists nearest-first, one compiled program.
+
+    cand: (n, R) int32 ids, -1 padded. Self edges and duplicates get +inf.
+    Returns (dists (n, R), ids (n, R)) sorted ascending by distance.
+    """
+    n, r = cand.shape
+    nn = xj.shape[0]
+    nchunks = n // chunk
+
+    def one(args):
+        node_ids, cd = args
+        c = cd.shape[0]
+        safe = jnp.clip(cd, 0, nn - 1)
+        cv = xj[safe]  # (c, R, d)
+        qv = xj[jnp.clip(node_ids, 0, nn - 1)]
+        dd = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(qv, cv)
+        dd = jnp.where(cd < 0, jnp.inf, dd)
+        dd = jnp.where(cd == node_ids[:, None], jnp.inf, dd)
+        order = jnp.argsort(cd, axis=1)
+        sorted_ids = jnp.take_along_axis(cd, order, 1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((c, 1), bool),
+             (sorted_ids[:, 1:] == sorted_ids[:, :-1]) & (sorted_ids[:, 1:] >= 0)],
+            axis=1,
+        )
+        dup = jnp.zeros_like(dup_sorted).at[
+            jnp.arange(c)[:, None], order
+        ].set(dup_sorted)
+        dd = jnp.where(dup, jnp.inf, dd)
+        nd, ni = jax.lax.top_k(-dd, r)
+        return -nd, jnp.take_along_axis(cd, ni, 1)
+
+    node_ids = jnp.arange(n, dtype=jnp.int32)
+    out_d, out_i = jax.lax.map(
+        one, (node_ids.reshape(nchunks, chunk), cand.reshape(nchunks, chunk, r))
+    )
+    return out_d.reshape(n, r), out_i.reshape(n, r)
+
+
+def _finalize_edges_heuristic(
+    fw: np.ndarray, x: np.ndarray, m_max: int, xj=None,
+    alpha: float = 1.0, keep_pruned: bool = True, chunk: int = 8192,
+) -> np.ndarray:
+    """Bidirectional finalize with heuristic (not distance-only) trim.
+
+    hnswlib re-runs the selection heuristic when a neighbor list overflows
+    during reverse-edge insertion; this is the batched form — per node the
+    candidate set is its forward picks plus everyone who picked it, ranked
+    on device and re-pruned with the same alpha-relaxed dominance test.
+    (Reference's trim at hnsw/builder.rs:258-295 is distance-only; this
+    measurably improves recall at equal degree.)
+    """
+    n, m = fw.shape
+    xj = jnp.asarray(x) if xj is None else xj
+    rev = _reverse_lists(fw, 2 * m_max)
+    cand = np.concatenate([fw, rev], axis=1)
+    c = min(chunk, n)
+    pad = (-n) % c
+    cand_p = np.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
+    d, ids = _cand_rank_device(xj, jnp.asarray(cand_p), chunk=c)
+    d = np.asarray(d)[:n]
+    ids = np.asarray(ids)[:n]
+    ids = np.where(np.isfinite(d), ids, -1).astype(np.int32)
+    return _heuristic_prune(
+        x, ids, d, m_max, xj=xj, alpha=alpha, keep_pruned=keep_pruned
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -690,10 +798,15 @@ class HnswBuilder:
             knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj)
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
-            for r in range(2):
+            for r in range(cfg.nn_descent_rounds):
                 knn_ids, knn_d = _nn_descent_round(knn_ids, knn_d, xj, seed=cfg.seed + r)
-        fw = _heuristic_prune(x, knn_ids, knn_d, m, xj=xj)
-        edges0 = _add_reverse_edges(fw, x, 2 * m)
+        fw = _heuristic_prune(
+            x, knn_ids, knn_d, m, xj=xj,
+            alpha=cfg.alpha, keep_pruned=cfg.keep_pruned,
+        )
+        edges0 = _finalize_edges_heuristic(
+            fw, x, 2 * m, xj=xj, alpha=cfg.alpha, keep_pruned=cfg.keep_pruned
+        )
         layers = [edges0]
 
         # upper layers: same construction on the member subset, edges stored
@@ -706,7 +819,9 @@ class HnswBuilder:
                 sub = x[members]
                 kk = min(max(m * 2, 2), len(members) - 1)
                 sids, sd = _exact_knn(sub, kk)
-                sfw = _heuristic_prune(sub, sids, sd, m)
+                sfw = _heuristic_prune(
+                    sub, sids, sd, m, alpha=cfg.alpha, keep_pruned=cfg.keep_pruned
+                )
                 sbi = _add_reverse_edges(sfw, sub, m)
                 glob = np.where(sbi >= 0, members[np.clip(sbi, 0, None)], -1)
                 e_global[members] = glob
