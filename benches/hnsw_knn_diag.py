@@ -1,0 +1,96 @@
+"""Diagnose approximate-kNN graph quality at scale: measures kNN recall@10
+of the partitioned graph and after each NN-descent round, against exact
+ground truth on a node sample. Isolates graph construction quality from
+prune/search quality (benches/hnsw_quality.py measures the full stack).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg):
+    print(f"[diag +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.time()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=500_000)
+    ap.add_argument("--d", type=int, default=384)
+    ap.add_argument("--k0", type=int, default=50)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--sample", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from benches.hnsw_quality import gen_data
+    from muopdb_tpu.index.hnsw import _approx_knn, _nn_descent_round
+    from muopdb_tpu.ops.distance import l2_distance
+    import jax
+
+    x, _ = gen_data(args.n, args.d, 10, args.seed)
+    xj = jnp.asarray(x)
+    rng = np.random.default_rng(args.seed)
+    sample = np.sort(rng.choice(args.n, args.sample, replace=False))
+
+    # exact top-10 neighbors of the sampled nodes (self excluded)
+    _log("exact ground truth on sample")
+    sq = xj[jnp.asarray(sample)]
+    gt_parts = []
+    chunk = 131072
+    best_d = np.full((args.sample, 11), np.inf, np.float32)
+    best_i = np.full((args.sample, 11), -1, np.int64)
+    for s in range(0, args.n, chunk):
+        dd = l2_distance(sq, xj[s : s + chunk])
+        kd, ki = jax.lax.top_k(-dd, 11)
+        kd = -np.asarray(kd)
+        ki = np.asarray(ki) + s
+        md = np.concatenate([best_d, kd], 1)
+        mi = np.concatenate([best_i, ki], 1)
+        order = np.argsort(md, axis=1)[:, :11]
+        rows = np.arange(args.sample)[:, None]
+        best_d, best_i = md[rows, order], mi[rows, order]
+    gt = np.empty((args.sample, 10), np.int64)
+    for r in range(args.sample):
+        row = best_i[r][best_i[r] != sample[r]]
+        gt[r] = row[:10]
+
+    def knn_recall(ids):
+        got = ids[sample][:, : args.k0]
+        return float(
+            np.mean(
+                [len(set(got[r].tolist()) & set(gt[r].tolist())) / 10 for r in range(args.sample)]
+            )
+        )
+
+    _log("building partitioned kNN")
+    t0 = time.time()
+    ids, dists = _approx_knn(x, args.k0, seed=args.seed, xj=xj)
+    t_part = time.time() - t0
+    out = {"n": args.n, "d": args.d, "k0": args.k0,
+           "partition_knn_recall@10": round(knn_recall(ids), 4),
+           "partition_seconds": round(t_part, 1)}
+    _log(f"partitioned: recall {out['partition_knn_recall@10']} in {t_part:.0f}s")
+    for r in range(args.rounds):
+        t0 = time.time()
+        ids, dists = _nn_descent_round(ids, dists, xj, seed=args.seed + r)
+        dt = time.time() - t0
+        rec = knn_recall(ids)
+        out[f"descent{r + 1}_recall@10"] = round(rec, 4)
+        out[f"descent{r + 1}_seconds"] = round(dt, 1)
+        _log(f"round {r + 1}: recall {rec:.4f} in {dt:.0f}s")
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -471,10 +471,11 @@ def _finalize_edges_heuristic(
 )
 def _beam_search(
     queries,  # (B, d)
-    vectors,  # (N, d)
+    vectors,  # (N, d) f32 or bf16 (bf16 halves the per-hop HBM gather)
     edges,  # (N, deg) int32, -1 pad
     entry_ids,  # (B, E) int32 starting points
     valid,  # (N,) bool — deletion mask for result emission
+    vectors_exact=None,  # optional (N, d) f32: exact re-rank of the final beam
     *,
     ef: int,
     k: int,
@@ -486,6 +487,11 @@ def _beam_search(
     State per query: beam of (id, dist, expanded). Each hop expands the
     `expand_width` best unexpanded entries, scores their neighbors in one
     batched gather+matmul, merges, sorts, dedups, truncates to ef.
+
+    The hop loop is gather-bound, so `vectors` may be bf16 (math still runs
+    in f32 after the gather); `vectors_exact` re-scores the final beam with
+    one (B, ef, d) f32 gather so emitted distances and the top-k cutoff stay
+    exact.
     """
     b, d = queries.shape
     n, deg = edges.shape
@@ -493,7 +499,7 @@ def _beam_search(
     W = min(expand_width, ef)  # cannot expand more entries than the beam holds
 
     def dist_to(ids):  # ids (B, t) -> (B, t)
-        v = vectors[jnp.clip(ids, 0, n - 1)]  # (B, t, d)
+        v = vectors[jnp.clip(ids, 0, n - 1)].astype(jnp.float32)  # (B, t, d)
         dd = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(queries, v)
         return jnp.where(ids >= 0, dd, jnp.inf)
 
@@ -565,6 +571,9 @@ def _beam_search(
         (state, jnp.int32(0)),
     )
     # emit top-k among valid nodes only
+    if vectors_exact is not None:
+        ev = vectors_exact[jnp.clip(beam_ids, 0, n - 1)]  # (B, ef, d) f32
+        beam_d = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(queries, ev)
     emit_d = jnp.where(
         (beam_ids >= 0) & valid[jnp.clip(beam_ids, 0, n - 1)], beam_d, jnp.inf
     )
@@ -605,6 +614,18 @@ class HnswIndex:
         n = self.vectors.shape[0]
         self.valid = jnp.ones((n,), bool)
         self._inval_lock = threading.Lock()
+        # bf16 copy for the gather-bound hop loop (half the HBM traffic per
+        # hop); the final beam is re-ranked against the f32 copy so emitted
+        # distances stay exact. Disable with search_bf16 = False.
+        self.search_bf16 = True
+        self._vectors_bf16 = None
+
+    def _search_vectors(self):
+        if not self.search_bf16:
+            return self.vectors
+        if self._vectors_bf16 is None:
+            self._vectors_bf16 = self.vectors.astype(jnp.bfloat16)
+        return self._vectors_bf16
 
     @property
     def num_layers(self) -> int:
@@ -633,11 +654,12 @@ class HnswIndex:
         n = self.num_points
         max_hops = max_hops or max(8, 4 * ef_search // max(expand_width, 1))
         # greedy descent through upper layers (beam width 1)
+        sv = self._search_vectors()
         entry = jnp.full((b, 1), self.entry_point, jnp.int32)
         for l in range(self.num_layers - 1, 0, -1):
             _, entry = _beam_search(
                 q,
-                self.vectors,
+                sv,
                 self.layer_edges[l],
                 entry,
                 jnp.ones((n,), bool),  # upper layers route through everything
@@ -649,10 +671,11 @@ class HnswIndex:
         ef = max(ef_search, k)
         return _beam_search(
             q,
-            self.vectors,
+            sv,
             self.layer_edges[0],
             entry,
             self.valid,
+            self.vectors if self.search_bf16 else None,
             ef=ef,
             k=k,
             max_hops=max_hops,

@@ -464,7 +464,7 @@ def _fused_flat_batched(q, vectors_padded, valid, *, k: int, use_pallas: bool):
     if use_pallas:
         scores = flat_full_scan(q, vectors_padded)[:, :n]
     else:
-        scores = l2_distance(q, vectors_padded[:n])
+        scores = l2_distance(q, vectors_padded[:n].astype(jnp.float32))
     scores = jnp.where(valid[None, :], scores, jnp.inf)
     d, i = top_k_smallest(scores, jnp.arange(n, dtype=jnp.int32), k)
     return d, jnp.where(jnp.isinf(d), -1, i)
@@ -486,7 +486,7 @@ def _fused_flat_probed_masked(q, vectors_padded, valid, centroids, point_owner, 
     if use_pallas:
         scores = flat_full_scan(q, vectors_padded)[:, :n]
     else:
-        scores = l2_distance(q, vectors_padded[:n])
+        scores = l2_distance(q, vectors_padded[:n].astype(jnp.float32))
     c = centroids.shape[0]
     probe_sel = jnp.zeros((q.shape[0], c), bool).at[
         jnp.arange(q.shape[0])[:, None], probe
@@ -955,9 +955,20 @@ class IvfIndex:
         )
 
     def _vectors_padded(self):
+        # bf16 storage on accelerators: the flat Pallas kernel already rounds
+        # operands to bf16 on the MXU, so storing bf16 halves the HBM stream
+        # (the whole cost of the sweep) without changing the scores it was
+        # already producing. The f32 raw store stays resident for reranks.
+        # Opt out with MUOPDB_FLAT_BF16_STORE=0.
         if not hasattr(self, "_vec_pad_cache"):
             pad = (-self.num_points) % 1024
-            self._vec_pad_cache = jnp.pad(self.raw_vectors, ((0, pad), (0, 0)))
+            padded = jnp.pad(self.raw_vectors, ((0, pad), (0, 0)))
+            if (
+                jax.default_backend() not in ("cpu",)
+                and os.environ.get("MUOPDB_FLAT_BF16_STORE", "1") != "0"
+            ):
+                padded = padded.astype(jnp.bfloat16)
+            self._vec_pad_cache = padded
         return self._vec_pad_cache
 
     def search_doc_ids(self, queries, k: int = 10, nprobe: int = 10, **kw):
