@@ -60,6 +60,12 @@ class HnswBuildConfig:
     keep_pruned: bool = False
     # NN-descent repair rounds on the approximate kNN graph (n > 200k only)
     nn_descent_rounds: int = 3
+    # Vamana-style self-search refinement passes (n > 200k only): search the
+    # built graph for every node's neighbors with the batched beam search,
+    # merge into the candidate lists, re-prune. Searched recall is far above
+    # raw kNN-graph recall, so one pass lifts the graph to search quality.
+    refine_rounds: int = 1
+    refine_ef: int = 100
 
 
 # ---------------------------------------------------------------------------
@@ -67,24 +73,62 @@ class HnswBuildConfig:
 # ---------------------------------------------------------------------------
 
 
-def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=None) -> tuple[np.ndarray, np.ndarray]:
-    """IVF-partitioned approximate kNN graph for large n.
+def _merge_knn(ids_a, d_a, ids_b, d_b, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two kNN candidate lists per node (exact stored distances),
+    dropping duplicates, keeping the k nearest. Host numpy; O(n k log k)."""
+    ids = np.concatenate([ids_a, ids_b], axis=1)
+    d = np.concatenate([d_a, d_b], axis=1)
+    d = np.where(ids < 0, np.inf, d)
+    # dedup per row: stable-sort by id, inf-out repeats, then rank by dist
+    order = np.argsort(ids, axis=1, kind="stable")
+    rows = np.arange(ids.shape[0])[:, None]
+    ids_s = ids[rows, order]
+    d_s = d[rows, order]
+    dup = np.zeros_like(ids_s, bool)
+    dup[:, 1:] = (ids_s[:, 1:] == ids_s[:, :-1]) & (ids_s[:, 1:] >= 0)
+    d_s = np.where(dup, np.inf, d_s)
+    sel = np.argsort(d_s, axis=1, kind="stable")[:, :k]
+    out_d = d_s[rows, sel]
+    out_i = np.where(np.isfinite(out_d), ids_s[rows, sel], -1)
+    return out_i.astype(ids_a.dtype), out_d.astype(d_a.dtype)
+
+
+def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=None,
+                trees: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-tree IVF-partitioned approximate kNN graph for large n.
 
     Exact all-pairs kNN reads the whole vector array once per query tile —
     HBM-bound beyond ~200k points. Instead: balanced k-means into ~sqrt(n)
     partitions, each point multi-assigned to its 2 nearest partitions, and
     kNN computed within each partition's member+visitor pool (one batched
-    MXU matmul per partition). Standard partitioned-graph recipe; recall of
-    the *final searched graph* stays high because the heuristic prune and
-    bidirectional pass run on top.
+    MXU matmul per partition).
+
+    `trees` independent partitionings (different k-means seeds) are merged
+    per node: one partitioning covers only ~0.5-0.6 of true neighbors on
+    clustered data (measured, benches/hnsw_knn_diag.py) and NN-descent
+    cannot jump modes it has no edge into, so candidate diversity must come
+    from the init. Coverage compounds across trees (~1-(1-c)^T).
     """
+    if trees > 1:
+        ids, d = _approx_knn(x, k, num_clusters, seed, xj=xj, trees=1)
+        for t in range(1, trees):
+            ids_t, d_t = _approx_knn(
+                x, k, num_clusters, seed + 7919 * t, xj=xj, trees=1
+            )
+            ids, d = _merge_knn(ids, d, ids_t, d_t, k)
+        return ids, d
     import jax
     import jax.numpy as jnp
 
     from ..ops.kmeans import kmeans
 
     n, d = x.shape
-    nc = num_clusters or max(16, int(np.sqrt(n)))
+    # Partition count: ~1k-point partitions (NOT sqrt(n)). Bigger pools cost
+    # linearly more MXU flops (still cheap) but coverage of true neighbors
+    # grows much faster than the flop bill — and big matmuls are exactly
+    # what the hardware wants. Measured at 20k x 64: sqrt(n) partitions give
+    # 1-tree kNN recall 0.37, n/1024 partitions 0.8+.
+    nc = num_clusters or max(4, n // 1024)
     xj = jnp.asarray(x) if xj is None else xj
     sample = xj
     if n > 200_000:
@@ -97,18 +141,22 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         dd = l2_distance(xj[s0 : s0 + 65536], cents)
         _, ii = jax.lax.top_k(-dd, 2)
         top2[s0 : s0 + 65536] = np.asarray(ii)
-    # pool of each partition = members (top1) + visitors (top2)
-    ids_out = np.full((n, k), -1, np.int32)
-    d_out = np.full((n, k), np.inf, np.float32)
+    # pool of each partition = members (top1) + visitors (top2). kNN is
+    # computed for EVERY pool row (members and visitors alike) so each point
+    # collects neighbor rows from BOTH of its assigned partitions — scoring
+    # only members halves the effective neighbor coverage (a true neighbor
+    # pair (i, j) with top1(j)=top2(i) is only observable from i's visitor
+    # row; measured: member-only rows cap kNN recall at ~coverage/2,
+    # benches/hnsw_knn_diag.py).
     order1 = np.argsort(top2[:, 0], kind="stable")
     bounds1 = np.searchsorted(top2[:, 0][order1], np.arange(nc + 1))
     order2 = np.argsort(top2[:, 1], kind="stable")
     bounds2 = np.searchsorted(top2[:, 1][order2], np.arange(nc + 1))
     # ONE fixed shape for every group: shape diversity means recompiles,
     # and each remote compile costs tens of seconds. Balanced k-means keeps
-    # partition sizes near n/nc, so a single (pm, pp) bucket fits almost all
-    # partitions; oversized member lists re-chunk, oversized visitor sets
-    # subsample.
+    # partition sizes near n/nc, so a single pool bucket fits almost all
+    # partitions; oversized member lists re-chunk (visitors split across the
+    # chunks), oversized visitor sets subsample.
     rng_local = np.random.default_rng(seed)
     avg = max(1, n // nc)
 
@@ -118,64 +166,67 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
             b *= 2
         return b
 
-    pm = pow2_at_least(2 * avg)
-    pp = 2 * pm
-    jobs = []  # (members, pool) index arrays; pool starts with members
+    pp = 2 * pow2_at_least(2 * avg)  # pool bucket: members + visitors
+    pmm = pp // 2  # member-chunk cap
+    jobs = []  # (pool, nm): pool[:nm] are members (top1), pool[nm:] visitors
     for c in range(nc):
         members = order1[bounds1[c] : bounds1[c + 1]]
         visitors = order2[bounds2[c] : bounds2[c + 1]]
-        if len(members) == 0:
+        if len(members) == 0 and len(visitors) == 0:
             continue
-        for m0 in range(0, len(members), pm):
-            mem = members[m0 : m0 + pm]
+        nchunks_c = max(1, -(-len(members) // pmm))
+        vis_split = np.array_split(visitors, nchunks_c)
+        for ci_c, m0 in enumerate(range(0, max(len(members), 1), pmm)):
+            mem = members[m0 : m0 + pmm]
+            vis = vis_split[ci_c]
             room = pp - len(mem)
-            vis = visitors
             if len(vis) > room:
                 vis = rng_local.choice(vis, room, replace=False)
             pool = np.concatenate([mem, vis])
             if len(pool) >= 2:
-                jobs.append((mem, pool))
+                jobs.append((pool, len(mem)))
 
-    g_fixed = max(1, min(32, int(768e6 / (pm * pp * 4 + pp * d * 4))))
+    g_fixed = max(1, min(32, int(768e6 / (pp * pp * 4 + pp * d * 4))))
     kk = min(k, pp - 1)
 
     @functools.partial(jax.jit, static_argnames=("kk",))
-    def group_knn(mv, pv, pool_ok, self_mask, kk):
-        dd = jax.vmap(l2_distance)(mv, pv)  # (G, Pm, Pp)
+    def group_knn(pv, pool_ok, kk):
+        dd = jax.vmap(l2_distance)(pv, pv)  # (G, Pp, Pp)
         dd = jnp.where(pool_ok[:, None, :], dd, jnp.inf)
-        dd = jnp.where(self_mask, jnp.inf, dd)
+        eye = jnp.eye(pv.shape[1], dtype=bool)
+        dd = jnp.where(eye[None], jnp.inf, dd)
         nd, ni = jax.lax.top_k(-dd, kk)
         return -nd, ni
 
-    self_mask = np.zeros((g_fixed, pm, pp), bool)
-    rr = np.arange(pm)
-    self_mask[:, rr, rr] = True
-    self_mask_j = jnp.asarray(self_mask)
+    # two row buffers per point: its member-partition row and its
+    # visitor-partition row, merged at the end
+    ids1 = np.full((n, kk), -1, np.int32)
+    d1 = np.full((n, kk), np.inf, np.float32)
+    ids2 = np.full((n, kk), -1, np.int32)
+    d2 = np.full((n, kk), np.inf, np.float32)
 
     for g0 in range(0, len(jobs), g_fixed):
         chunk_items = jobs[g0 : g0 + g_fixed]
-        g = len(chunk_items)
-        mem_idx = np.zeros((g_fixed, pm), np.int64)
         pool_idx = np.zeros((g_fixed, pp), np.int64)
         pool_ok = np.zeros((g_fixed, pp), bool)
-        for gi, (mem, pool) in enumerate(chunk_items):
-            mem_idx[gi, : len(mem)] = mem
+        for gi, (pool, _) in enumerate(chunk_items):
             pool_idx[gi, : len(pool)] = pool
             pool_ok[gi, : len(pool)] = True
-        mv = xj[jnp.asarray(mem_idx)]  # (G, Pm, d)
-        pv = xj[jnp.asarray(pool_idx)]
-        cd, ci = group_knn(mv, pv, jnp.asarray(pool_ok), self_mask_j, kk)
+        pv = xj[jnp.asarray(pool_idx)]  # (G, Pp, d)
+        cd, ci = group_knn(pv, jnp.asarray(pool_ok), kk)
         cd = np.asarray(cd)
         ci = np.asarray(ci)
-        for gi, (mem, pool) in enumerate(chunk_items):
-            nm = len(mem)
-            sel = ci[gi, :nm]
+        for gi, (pool, nm) in enumerate(chunk_items):
+            npl = len(pool)
+            sel = ci[gi, :npl]  # (npl, kk) pool-local neighbor positions
             row_ids = pool_idx[gi][sel].astype(np.int32)
             row_ids[~pool_ok[gi][sel]] = -1
-            kw = min(kk, k)
-            ids_out[mem, :kw] = row_ids[:, :kw]
-            d_out[mem, :kw] = cd[gi, :nm, :kw]
-    return ids_out, d_out
+            rd = cd[gi, :npl]
+            ids1[pool[:nm]] = row_ids[:nm]
+            d1[pool[:nm]] = rd[:nm]
+            ids2[pool[nm:]] = row_ids[nm:]
+            d2[pool[nm:]] = rd[nm:]
+    return _merge_knn(ids1, d1, ids2, d2, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -849,6 +900,50 @@ class HnswBuilder:
                 glob = np.where(sbi >= 0, members[np.clip(sbi, 0, None)], -1)
                 e_global[members] = glob
             layers.append(e_global)
+
+        # Vamana-style refinement: the searched recall of the graph far
+        # exceeds its raw kNN recall (the beam explores), so searching the
+        # graph for every node's neighbors and re-pruning lifts graph quality
+        # to search quality. Runs only in the approximate-graph regime (the
+        # exact graph needs no repair); force with MUOPDB_HNSW_REFINE=1.
+        refine = cfg.refine_rounds if (
+            n > 200_000 or os.environ.get("MUOPDB_HNSW_REFINE") == "1"
+        ) else 0
+        for _ in range(refine):
+            tmp = HnswIndex(
+                x, layers, entry_point, np.zeros((n, 2), np.uint64),
+                cfg.distance_type, cfg,
+            )
+            ef_r = max(cfg.refine_ef, k0 + 1)
+            ref_i = np.full((n, k0), -1, np.int32)
+            ref_d = np.full((n, k0), np.inf, np.float32)
+            ch = 4096
+            for s in range(0, n, ch):
+                qs = x[s : s + ch]
+                real = qs.shape[0]
+                if real < ch:  # pad to the compiled shape
+                    qs = np.pad(qs, ((0, ch - real), (0, 0)))
+                sd, si = tmp.search(qs, k=k0 + 1, ef_search=ef_r)
+                sd = np.asarray(sd)[:real]
+                si = np.asarray(si)[:real]
+                keep_self = si != (np.arange(s, s + real)[:, None])
+                # stable-compact: drop self, keep k0 nearest (already sorted)
+                for_rows = np.where(keep_self, si, -1)
+                d_rows = np.where(keep_self, sd, np.inf)
+                order = np.argsort(d_rows, axis=1, kind="stable")[:, :k0]
+                rr2 = np.arange(real)[:, None]
+                ref_i[s : s + real] = np.where(
+                    np.isfinite(d_rows[rr2, order]), for_rows[rr2, order], -1
+                )
+                ref_d[s : s + real] = d_rows[rr2, order]
+            knn_ids, knn_d = _merge_knn(knn_ids, knn_d, ref_i, ref_d, k0)
+            fw = _heuristic_prune(
+                x, knn_ids, knn_d, m, xj=xj,
+                alpha=cfg.alpha, keep_pruned=cfg.keep_pruned,
+            )
+            layers[0] = _finalize_edges_heuristic(
+                fw, x, 2 * m, xj=xj, alpha=cfg.alpha, keep_pruned=cfg.keep_pruned
+            )
 
         return HnswIndex(
             x,
