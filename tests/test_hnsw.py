@@ -127,3 +127,80 @@ def test_nn_descent_improves_graph(rng):
         [len(set(ids[i]) & set(exact_ids[i])) / k for i in range(0, 2000, 29)]
     )
     assert overlap >= 0.5, overlap
+
+
+def test_merge_knn_dedups_and_ranks():
+    from muopdb_tpu.index.hnsw import _merge_knn
+
+    ids_a = np.asarray([[1, 2, 3], [4, -1, -1]], np.int32)
+    d_a = np.asarray([[0.1, 0.2, 0.3], [0.5, np.inf, np.inf]], np.float32)
+    ids_b = np.asarray([[2, 5, -1], [6, 4, -1]], np.int32)
+    d_b = np.asarray([[0.2, 0.05, np.inf], [0.1, 0.5, np.inf]], np.float32)
+    ids, d = _merge_knn(ids_a, d_a, ids_b, d_b, 3)
+    assert ids[0].tolist() == [5, 1, 2]  # dedup kept one '2'
+    assert ids[1].tolist() == [6, 4, -1]  # dedup across lists, -1 pad
+    assert np.allclose(d[0], [0.05, 0.1, 0.2])
+
+
+def test_reverse_lists_grouped_scatter():
+    from muopdb_tpu.index.hnsw import _reverse_lists
+
+    ids = np.asarray([[1, 2], [0, -1], [0, 1]], np.int32)
+    rev = _reverse_lists(ids, cap=3)
+    assert set(rev[0][rev[0] >= 0].tolist()) == {1, 2}
+    assert set(rev[1][rev[1] >= 0].tolist()) == {0, 2}
+    assert set(rev[2][rev[2] >= 0].tolist()) == {0}
+
+
+def test_finalize_edges_heuristic_bidirectional(rng):
+    from muopdb_tpu.index.hnsw import (
+        _exact_knn,
+        _finalize_edges_heuristic,
+        _heuristic_prune,
+    )
+
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    ids, d = _exact_knn(x, 16)
+    fw = _heuristic_prune(x, ids, d, 8)
+    edges = _finalize_edges_heuristic(fw, x, 16)
+    assert edges.shape == (200, 16)
+    # no self edges, ids in range
+    for i in range(200):
+        row = edges[i][edges[i] >= 0]
+        assert i not in row.tolist()
+        assert (row < 200).all()
+    # a forward pick or its reverse generally survives: graph is connected
+    # enough to search
+    deg = (edges >= 0).mean(axis=1)
+    assert deg.mean() > 0.2
+
+
+def test_multi_tree_approx_knn_beats_single_tree(rng):
+    from muopdb_tpu.index.hnsw import _approx_knn, _exact_knn
+
+    x = rng.standard_normal((4000, 16)).astype(np.float32)
+    # cluster structure so partitioning matters
+    x[:2000] += 4.0
+    eids, _ = _exact_knn(x, 10)
+
+    def rec(ids):
+        return np.mean(
+            [len(set(ids[i].tolist()) & set(eids[i].tolist())) / 10 for i in range(0, 4000, 17)]
+        )
+
+    a1, _ = _approx_knn(x, 10, num_clusters=64, trees=1)
+    a3, _ = _approx_knn(x, 10, num_clusters=64, trees=3)
+    assert rec(a3) >= rec(a1) - 1e-9
+    assert rec(a3) > 0.5
+
+
+def test_bf16_search_matches_f32_topk(rng):
+    x, idx = _build(rng, n=800, d=16, m=8, ef=64)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    d_bf, i_bf = idx.search(q, k=5, ef_search=64)
+    idx.search_bf16 = False
+    d_f, i_f = idx.search(q, k=5, ef_search=64)
+    # exact final re-rank: distances agree to f32 precision on common hits
+    common = np.asarray(i_bf) == np.asarray(i_f)
+    assert common.mean() > 0.9
+    assert np.allclose(np.asarray(d_bf)[common], np.asarray(d_f)[common], rtol=1e-5)

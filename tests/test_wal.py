@@ -149,3 +149,20 @@ def test_wal_torn_tail_truncated_on_reopen(tmp_path):
     seqs = [s for s, _ in w3.entries_from(-1)]
     assert seqs == [0, 1, 2]
     w3.close()
+
+
+def test_group_commit_adaptive_skips_wait_when_lone(tmp_path):
+    """A lone writer must not pay the 10 ms follower fill-wait."""
+    import time
+
+    from muopdb_tpu.collection.wal import Wal, WalEntry, WalWriteCoordinator
+
+    wal = Wal(str(tmp_path))
+    coord = WalWriteCoordinator(wal, group_size=64, follower_timeout=0.25)
+    t0 = time.monotonic()
+    for i in range(5):
+        coord.append(WalEntry.insert([i], [0], np.zeros(4, np.float32)))
+    elapsed = time.monotonic() - t0
+    # 5 sequential lone appends; with the old fixed wait this is >= 1.25 s
+    assert elapsed < 0.25, elapsed
+    assert wal.next_seq_no == 5
