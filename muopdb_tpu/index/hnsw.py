@@ -66,6 +66,14 @@ class HnswBuildConfig:
     # raw kNN-graph recall, so one pass lifts the graph to search quality.
     refine_rounds: int = 1
     refine_ef: int = 100
+    # Random candidates appended per node before each prune. On clustered
+    # data at scale the kNN candidates are all intra-cluster, the prune then
+    # emits zero long edges, and layer 0 degenerates into disconnected
+    # islands (measured: 500k x 384, degree 7.8, searched recall 0.20).
+    # Random candidates let the dominance test keep the long edges that
+    # make the graph navigable — the batched analog of the multi-scale
+    # candidate sets hnswlib collects from its insert-time search path.
+    num_random_candidates: int = 16
 
 
 # ---------------------------------------------------------------------------
@@ -483,6 +491,28 @@ def _cand_rank_device(xj, cand, chunk: int):
     return out_d.reshape(n, r), out_i.reshape(n, r)
 
 
+def _rank_candidates(cand: np.ndarray, xj, chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
+    """Rank arbitrary candidate lists nearest-first on device (dedup + self
+    masked). cand: (n, R) int32 ids -> (ids (n, R), dists (n, R)) host."""
+    n = cand.shape[0]
+    c = min(chunk, n)
+    pad = (-n) % c
+    cand_p = np.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
+    d, ids = _cand_rank_device(xj, jnp.asarray(cand_p), chunk=c)
+    d = np.asarray(d)[:n]
+    ids = np.asarray(ids)[:n]
+    return np.where(np.isfinite(d), ids, -1).astype(np.int32), d
+
+
+def _augment_random(ids: np.ndarray, xj, num_rand: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Append `num_rand` random candidate ids per node and re-rank (see
+    HnswBuildConfig.num_random_candidates for why)."""
+    n = ids.shape[0]
+    rng = np.random.default_rng(seed)
+    rnd = rng.integers(0, n, size=(n, num_rand)).astype(np.int32)
+    return _rank_candidates(np.concatenate([ids, rnd], axis=1), xj)
+
+
 def _finalize_edges_heuristic(
     fw: np.ndarray, x: np.ndarray, m_max: int, xj=None,
     alpha: float = 1.0, keep_pruned: bool = True, chunk: int = 8192,
@@ -874,14 +904,20 @@ class HnswBuilder:
             # the data has weak cluster structure)
             for r in range(cfg.nn_descent_rounds):
                 knn_ids, knn_d = _nn_descent_round(knn_ids, knn_d, xj, seed=cfg.seed + r)
-        fw = _heuristic_prune(
-            x, knn_ids, knn_d, m, xj=xj,
-            alpha=cfg.alpha, keep_pruned=cfg.keep_pruned,
-        )
-        edges0 = _finalize_edges_heuristic(
-            fw, x, 2 * m, xj=xj, alpha=cfg.alpha, keep_pruned=cfg.keep_pruned
-        )
-        layers = [edges0]
+        def prune_layer0(cand_ids, cand_d, seed_r):
+            if cfg.num_random_candidates:
+                cand_ids, cand_d = _augment_random(
+                    cand_ids, xj, cfg.num_random_candidates, seed_r
+                )
+            fw_ = _heuristic_prune(
+                x, cand_ids, cand_d, m, xj=xj,
+                alpha=cfg.alpha, keep_pruned=cfg.keep_pruned,
+            )
+            return _finalize_edges_heuristic(
+                fw_, x, 2 * m, xj=xj, alpha=cfg.alpha, keep_pruned=cfg.keep_pruned
+            )
+
+        layers = [prune_layer0(knn_ids, knn_d, cfg.seed + 101)]
 
         # upper layers: same construction on the member subset, edges stored
         # in global id space
@@ -937,13 +973,7 @@ class HnswBuilder:
                 )
                 ref_d[s : s + real] = d_rows[rr2, order]
             knn_ids, knn_d = _merge_knn(knn_ids, knn_d, ref_i, ref_d, k0)
-            fw = _heuristic_prune(
-                x, knn_ids, knn_d, m, xj=xj,
-                alpha=cfg.alpha, keep_pruned=cfg.keep_pruned,
-            )
-            layers[0] = _finalize_edges_heuristic(
-                fw, x, 2 * m, xj=xj, alpha=cfg.alpha, keep_pruned=cfg.keep_pruned
-            )
+            layers[0] = prune_layer0(knn_ids, knn_d, cfg.seed + 211)
 
         return HnswIndex(
             x,
