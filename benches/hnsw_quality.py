@@ -114,9 +114,13 @@ def main():
     ap.add_argument(
         "--configs",
         type=str,
-        default="alpha=1.2,keep_pruned=1,nn_descent_rounds=3",
+        default="alpha=1.0,keep_pruned=0,nn_descent_rounds=3",
         help="semicolon-separated config overrides for HnswBuildConfig",
     )
+    ap.add_argument("--save-dir", type=str, default=None,
+                    help="save each built index here (search-stage experiments reload it)")
+    ap.add_argument("--load-dir", type=str, default=None,
+                    help="skip the build and load a saved index")
     args = ap.parse_args()
 
     from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
@@ -129,13 +133,24 @@ def main():
 
     efs = [int(e) for e in args.efs.split(",")]
     for overrides in parse_configs(args.configs):
-        cfg = HnswBuildConfig(seed=args.seed, **overrides)
-        builder = HnswBuilder(cfg, args.d)
-        builder.add_batch(np.arange(args.n), x)
-        _log(f"building {overrides}")
-        t0 = time.time()
-        idx = builder.build()
-        build_s = time.time() - t0
+        if args.load_dir:
+            from muopdb_tpu.index.hnsw import HnswIndex
+
+            _log(f"loading index from {args.load_dir}")
+            t0 = time.time()
+            idx = HnswIndex.load(args.load_dir)
+            build_s = time.time() - t0
+        else:
+            cfg = HnswBuildConfig(seed=args.seed, **overrides)
+            builder = HnswBuilder(cfg, args.d)
+            builder.add_batch(np.arange(args.n), x)
+            _log(f"building {overrides}")
+            t0 = time.time()
+            idx = builder.build()
+            build_s = time.time() - t0
+            if args.save_dir:
+                idx.save(args.save_dir)
+                _log(f"saved to {args.save_dir}")
         _log(f"built in {build_s:.1f}s; searching")
         deg = float(np.mean(np.asarray(idx.layer_edges[0]) >= 0) * idx.layer_edges[0].shape[1])
         row = {

@@ -734,8 +734,14 @@ class HnswIndex:
         b = q.shape[0]
         n = self.num_points
         max_hops = max_hops or max(8, 4 * ef_search // max(expand_width, 1))
-        # greedy descent through upper layers (beam width 1)
+        # Descent through upper layers with a small beam (not greedy ef=1):
+        # on clustered data layer 0 keeps mostly intra-cluster edges, so the
+        # search succeeds iff an entry lands in the query's cluster — a
+        # greedy walk strands in neighboring modes (measured at 500k x 384:
+        # recall 0.25 with ef=1 descent). The final upper layer hands its
+        # whole beam to layer 0 as a multi-entry seed.
         sv = self._search_vectors()
+        e_desc = 8
         entry = jnp.full((b, 1), self.entry_point, jnp.int32)
         for l in range(self.num_layers - 1, 0, -1):
             _, entry = _beam_search(
@@ -744,9 +750,10 @@ class HnswIndex:
                 self.layer_edges[l],
                 entry,
                 jnp.ones((n,), bool),  # upper layers route through everything
-                ef=1,
-                k=1,
+                ef=e_desc,
+                k=e_desc,
                 max_hops=64,
+                expand_width=2,
             )
             entry = jnp.where(entry < 0, self.entry_point, entry)
         ef = max(ef_search, k)
