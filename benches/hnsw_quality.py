@@ -104,6 +104,9 @@ def parse_configs(spec):
 
 
 def main():
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--d", type=int, default=384)

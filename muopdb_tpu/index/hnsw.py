@@ -881,6 +881,18 @@ class HnswBuilder:
         return len(self._rows)
 
     def build(self) -> HnswIndex:
+        import logging
+        import time as _time
+
+        log = logging.getLogger(__name__)
+        t_stage = _time.time()
+
+        def _stage(name):
+            nonlocal t_stage
+            now = _time.time()
+            log.info("hnsw build: %s in %.1fs", name, now - t_stage)
+            t_stage = now
+
         assert self._rows
         cfg = self.config
         x = np.stack(self._rows)
@@ -905,12 +917,15 @@ class HnswBuilder:
         k0 = min(max(cfg.ef_construction // 2, 2 * m), max(n - 1, 1))
         if n <= 200_000:
             knn_ids, knn_d = _exact_knn(x, k0, xj=xj)
+            _stage("exact knn")
         else:
             knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj)
+            _stage("partitioned knn (3 trees)")
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
             for r in range(cfg.nn_descent_rounds):
                 knn_ids, knn_d = _nn_descent_round(knn_ids, knn_d, xj, seed=cfg.seed + r)
+            _stage(f"nn-descent x{cfg.nn_descent_rounds}")
         def prune_layer0(cand_ids, cand_d, seed_r):
             if cfg.num_random_candidates:
                 cand_ids, cand_d = _augment_random(
@@ -925,6 +940,7 @@ class HnswBuilder:
             )
 
         layers = [prune_layer0(knn_ids, knn_d, cfg.seed + 101)]
+        _stage("layer-0 prune+finalize")
 
         # upper layers: same construction on the member subset, edges stored
         # in global id space
@@ -943,6 +959,7 @@ class HnswBuilder:
                 glob = np.where(sbi >= 0, members[np.clip(sbi, 0, None)], -1)
                 e_global[members] = glob
             layers.append(e_global)
+        _stage("upper layers")
 
         # Vamana-style refinement: the searched recall of the graph far
         # exceeds its raw kNN recall (the beam explores), so searching the
@@ -979,8 +996,10 @@ class HnswBuilder:
                     np.isfinite(d_rows[rr2, order]), for_rows[rr2, order], -1
                 )
                 ref_d[s : s + real] = d_rows[rr2, order]
+            _stage("refine self-search")
             knn_ids, knn_d = _merge_knn(knn_ids, knn_d, ref_i, ref_d, k0)
             layers[0] = prune_layer0(knn_ids, knn_d, cfg.seed + 211)
+            _stage("refine re-prune")
 
         return HnswIndex(
             x,
