@@ -432,27 +432,53 @@ class Collection:
 
     def auto_optimize(self) -> List[str]:
         """auto_vacuum (>10% deleted) + auto_merge down to max segments
-        (core.rs:1480-1562)."""
+        (core.rs:1480-1562). Selection lives in plan_vacuums/plan_merge so
+        scheduling is testable with MockedSegment (no real index builds)."""
         actions: List[str] = []
-        with self._toc_lock:
-            seg_items = [(n, self.all_segments[n]) for n in self._toc.toc]
-        # vacuum
-        for n, s in seg_items:
-            if isinstance(s, ImmutableSegment) and s.invalid_ratio() > 0.1:
-                actions.append(self.run_optimizer([n], "vacuum"))
-        # merge smallest
         with self._toc_lock:
             seg_items = [
                 (n, self.all_segments[n])
                 for n in self._toc.toc
-                if isinstance(self.all_segments[n], ImmutableSegment)
+                if _optimizable(self.all_segments[n])
             ]
-        if len(seg_items) > self.config.max_number_of_segments:
-            n_to_merge = len(seg_items) - self.config.max_number_of_segments + 1
-            smallest = sorted(seg_items, key=lambda t: t[1].num_docs)[:n_to_merge]
-            actions.append(self.run_optimizer([n for n, _ in smallest], "merge"))
+        for n in plan_vacuums(seg_items):
+            actions.append(self.run_optimizer([n], "vacuum"))
+        # merge smallest (re-snapshot: vacuums above replaced segment names)
+        with self._toc_lock:
+            seg_items = [
+                (n, self.all_segments[n])
+                for n in self._toc.toc
+                if _optimizable(self.all_segments[n])
+            ]
+        merge_names = plan_merge(seg_items, self.config.max_number_of_segments)
+        if merge_names:
+            actions.append(self.run_optimizer(merge_names, "merge"))
         return actions
 
     def close(self) -> None:
         if self.wal is not None:
             self.wal.close()
+
+
+def _optimizable(seg) -> bool:
+    """Segments eligible for auto-optimization: finalized immutables and the
+    MockedSegment test double (a first-class segment variant in the reference,
+    segment/mod.rs:49) — never segments already under optimization."""
+    return not isinstance(seg, PendingSegment) and hasattr(seg, "invalid_ratio")
+
+
+def plan_vacuums(seg_items) -> List[str]:
+    """Names of segments whose deleted fraction exceeds 10%
+    (auto_vacuum, core.rs:1480-1509; ratio at immutable_segment.rs:75-82)."""
+    return [n for n, s in seg_items if s.invalid_ratio() > 0.1]
+
+
+def plan_merge(seg_items, max_segments: int) -> List[str]:
+    """Smallest-by-doc-count merge picks when the segment count exceeds the
+    cap, merging down to max-1 (auto_merge, core.rs:1516-1553). Returns []
+    when under the cap."""
+    if len(seg_items) <= max_segments:
+        return []
+    n_to_merge = len(seg_items) - max_segments + 1
+    smallest = sorted(seg_items, key=lambda t: t[1].num_docs)[:n_to_merge]
+    return [n for n, _ in smallest]

@@ -154,3 +154,92 @@ def test_manager_hot_add_via_config_watch(tmp_path, rng):
     assert m2.check_for_update() == 0  # idempotent
     m1.close()
     m2.close()
+
+
+# -- optimizer scheduling (planning separated from execution so MockedSegment
+#    covers it without real index builds; reference runs the analogous picks
+#    inside auto_vacuum/auto_merge, core.rs:1480-1562) -----------------------
+
+
+def test_plan_vacuums_picks_over_10pct_deleted():
+    from muopdb_tpu.collection.collection import plan_vacuums
+
+    clean = MockedSegment("clean", [(i, 0.1) for i in range(10)])
+    dirty = MockedSegment("dirty", [(i, 0.1) for i in range(10)])
+    for d in range(2):  # 20% deleted
+        dirty.remove(0, d)
+    edge = MockedSegment("edge", [(i, 0.1) for i in range(10)])
+    edge.remove(0, 0)  # exactly 10% — NOT vacuumed (strict >)
+    picks = plan_vacuums([("clean", clean), ("dirty", dirty), ("edge", edge)])
+    assert picks == ["dirty"]
+
+
+def test_plan_merge_smallest_down_to_cap():
+    from muopdb_tpu.collection.collection import plan_merge
+
+    segs = [
+        (f"s{i}", MockedSegment(f"s{i}", [(j, 0.1) for j in range(n)]))
+        for i, n in enumerate([50, 10, 30, 20, 40])
+    ]
+    assert plan_merge(segs, max_segments=5) == []  # at cap: no merge
+    # 5 segments, cap 3 -> merge the 3 smallest (10, 20, 30) into one,
+    # leaving exactly cap segments
+    assert sorted(plan_merge(segs, max_segments=3)) == ["s1", "s2", "s3"]
+
+
+def test_auto_optimize_schedules_vacuum_then_merge(tmp_path, monkeypatch):
+    """auto_optimize picks vacuum targets (>10% deleted) and merge targets
+    (smallest over the cap) from mocked segments; execution is recorded, not
+    run (run_optimizer needs real indexes)."""
+    col = Collection("c", str(tmp_path / "c"), _config(max_number_of_segments=2))
+    sizes = {"a": 8, "b": 4, "c": 6}
+    for name, n in sizes.items():
+        col.add_segments([name], [MockedSegment(name, [(i, 0.1) for i in range(n)])])
+    dirty = col.all_segments["a"]
+    for d in range(2):  # 2/8 = 25% deleted
+        dirty.remove(0, d)
+
+    calls = []
+    monkeypatch.setattr(
+        col, "run_optimizer",
+        lambda names, kind="merge": (calls.append((kind, sorted(names))), f"opt_{len(calls)}")[1],
+    )
+    actions = col.auto_optimize()
+    assert actions == ["opt_1", "opt_2"]
+    assert calls[0] == ("vacuum", ["a"])
+    # over cap by 1 -> merge the 2 smallest (b=4, c=6)
+    assert calls[1] == ("merge", ["b", "c"])
+
+
+def test_auto_optimize_skips_pending_segments(tmp_path, monkeypatch):
+    """Segments already under optimization (PendingSegment) are never
+    re-picked (reference wraps targets in PendingSegment for exactly this
+    exclusion, core.rs:1264-1285)."""
+    col = Collection("c", str(tmp_path / "c"), _config(max_number_of_segments=10))
+    col.add_segments(["m"], [MockedSegment("m", [(i, 0.1) for i in range(10)])])
+    for d in range(5):
+        col.all_segments["m"].remove(0, d)
+
+    class FakePending:  # stands in for a segment mid-optimization
+        def invalid_ratio(self):
+            return 0.9
+
+        num_docs = 1
+
+        def size_in_bytes(self):
+            return 1
+
+    from muopdb_tpu.collection.segment import PendingSegment
+
+    fake = FakePending()
+    fake.__class__ = type("P", (FakePending, PendingSegment), {})
+    col.all_segments["p"] = fake
+    col._toc.toc.append("p")
+
+    calls = []
+    monkeypatch.setattr(
+        col, "run_optimizer",
+        lambda names, kind="merge": (calls.append((kind, sorted(names))), "x")[1],
+    )
+    col.auto_optimize()
+    assert calls == [("vacuum", ["m"])]
