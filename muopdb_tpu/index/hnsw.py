@@ -213,6 +213,34 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     ids2 = np.full((n, kk), -1, np.int32)
     d2 = np.full((n, kk), np.inf, np.float32)
 
+    # Bounded-window pipelining: keep a few group dispatches in flight so the
+    # per-fetch tunnel RTT overlaps device compute (enqueues are async), while
+    # the window bounds the device memory pinned by queued inputs. The scatter
+    # back into the per-point row buffers is fully vectorized (the per-job
+    # Python loop used to dominate the partition stage at 500k+).
+    import collections as _collections
+
+    inflight = _collections.deque()
+
+    def drain_one():
+        chunk_items, pool_idx, pool_ok, cd, ci = inflight.popleft()
+        g = len(chunk_items)  # last chunk may be shorter than the pad
+        cd = np.asarray(cd)[:g]
+        ci = np.asarray(ci)[:g]  # (g, Pp, kk) pool-local neighbor positions
+        pool_idx = pool_idx[:g]
+        pool_ok = pool_ok[:g]
+        rows_g = np.arange(g)[:, None, None]
+        row_ids = pool_idx[rows_g, ci].astype(np.int32)  # global neighbor ids
+        row_ids[~pool_ok[rows_g, ci]] = -1
+        nm_arr = np.array([nm for _, nm in chunk_items])
+        slot = np.arange(pp)[None, :]
+        member = (slot < nm_arr[:, None]) & pool_ok
+        visitor = (slot >= nm_arr[:, None]) & pool_ok
+        ids1[pool_idx[member]] = row_ids[member]
+        d1[pool_idx[member]] = cd[member]
+        ids2[pool_idx[visitor]] = row_ids[visitor]
+        d2[pool_idx[visitor]] = cd[visitor]
+
     for g0 in range(0, len(jobs), g_fixed):
         chunk_items = jobs[g0 : g0 + g_fixed]
         pool_idx = np.zeros((g_fixed, pp), np.int64)
@@ -222,18 +250,11 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
             pool_ok[gi, : len(pool)] = True
         pv = xj[jnp.asarray(pool_idx)]  # (G, Pp, d)
         cd, ci = group_knn(pv, jnp.asarray(pool_ok), kk)
-        cd = np.asarray(cd)
-        ci = np.asarray(ci)
-        for gi, (pool, nm) in enumerate(chunk_items):
-            npl = len(pool)
-            sel = ci[gi, :npl]  # (npl, kk) pool-local neighbor positions
-            row_ids = pool_idx[gi][sel].astype(np.int32)
-            row_ids[~pool_ok[gi][sel]] = -1
-            rd = cd[gi, :npl]
-            ids1[pool[:nm]] = row_ids[:nm]
-            d1[pool[:nm]] = rd[:nm]
-            ids2[pool[nm:]] = row_ids[nm:]
-            d2[pool[nm:]] = rd[nm:]
+        inflight.append((chunk_items, pool_idx, pool_ok, cd, ci))
+        if len(inflight) >= 4:
+            drain_one()
+    while inflight:
+        drain_one()
     return _merge_knn(ids1, d1, ids2, d2, k)
 
 
