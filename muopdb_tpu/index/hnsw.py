@@ -38,6 +38,7 @@ import numpy as np
 from ..ops.distance import l2_distance
 from ..ops.topk import top_k_smallest
 from ..utils.ids import pack_u128s
+from ..utils.vector_storage import AppendableVectorStorage
 
 
 @dataclass
@@ -886,16 +887,17 @@ class HnswBuilder:
     def __init__(self, config: HnswBuildConfig, dim: int):
         self.config = config
         self.dim = dim
-        self._rows: list[np.ndarray] = []
+        # spill-to-disk staging (vector/file.rs:11-49 analog)
+        self._rows = AppendableVectorStorage(dim)
         self._doc_ids: list[int] = []
 
     def add(self, doc_id: int, vector) -> None:
-        self._rows.append(np.asarray(vector, np.float32).reshape(self.dim))
+        self._rows.append(vector)
         self._doc_ids.append(int(doc_id))
 
     def add_batch(self, doc_ids, vectors) -> None:
         v = np.asarray(vectors, np.float32).reshape(-1, self.dim)
-        self._rows.extend(v)
+        self._rows.append_batch(v)
         self._doc_ids.extend(int(x) for x in doc_ids)
 
     def __len__(self) -> int:
@@ -914,9 +916,9 @@ class HnswBuilder:
             log.info("hnsw build: %s in %.1fs", name, now - t_stage)
             t_stage = now
 
-        assert self._rows
+        assert len(self._rows)
         cfg = self.config
-        x = np.stack(self._rows)
+        x = self._rows.to_numpy()
         n = x.shape[0]
         m = cfg.max_neighbors
         rng = np.random.default_rng(cfg.seed)

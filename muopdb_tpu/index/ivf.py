@@ -41,6 +41,7 @@ from ..ops.topk import top_k_smallest
 from ..quantization import NoQuantizer, ProductQuantizer
 from ..quantization.pq import adc_scores
 from ..utils.ids import pack_u128s
+from ..utils.vector_storage import AppendableVectorStorage
 from ..utils import search_stats
 
 
@@ -107,20 +108,21 @@ class IvfBuilder:
     def __init__(self, config: IvfBuildConfig, dim: int):
         self.config = config
         self.dim = dim
-        self._rows: list[np.ndarray] = []
+        # spill-to-disk staging (vector/file.rs:11-49 analog)
+        self._rows = AppendableVectorStorage(dim)
         # doc ids are kept as (n, 2) uint64 (lo, hi) chunks so batched feeds
         # (merge/vacuum, InsertPacked) never round-trip through python ints
         self._doc_pairs: list[np.ndarray] = []
         self._num_docs = 0
 
     def add(self, doc_id: int, vector: np.ndarray) -> None:
-        self._rows.append(np.asarray(vector, np.float32).reshape(self.dim))
+        self._rows.append(vector)
         self._doc_pairs.append(pack_u128s([doc_id]))
         self._num_docs += 1
 
     def add_batch(self, doc_ids, vectors) -> None:
         v = np.asarray(vectors, np.float32).reshape(-1, self.dim)
-        self._rows.extend(v)
+        self._rows.append_batch(v)
         if isinstance(doc_ids, np.ndarray) and doc_ids.dtype.kind in "iu":
             # numpy ints always fit u64: vectorized pack, hi word 0
             pairs = np.zeros((len(doc_ids), 2), np.uint64)
@@ -132,7 +134,7 @@ class IvfBuilder:
     def add_batch_pairs(self, doc_pairs: np.ndarray, vectors: np.ndarray) -> None:
         """Batched insert with ids already in (n, 2) uint64 (lo, hi) form."""
         v = np.asarray(vectors, np.float32).reshape(-1, self.dim)
-        self._rows.extend(v)
+        self._rows.append_batch(v)
         self.add_pairs_only(np.asarray(doc_pairs, np.uint64).reshape(len(v), 2))
 
     def add_pairs_only(self, pairs: np.ndarray) -> None:
@@ -232,9 +234,9 @@ class IvfBuilder:
         import time as _time
 
         log = logging.getLogger(__name__)
-        assert self._rows, "no vectors added"
+        assert len(self._rows), "no vectors added"
         t0 = _time.time()
-        x = np.stack(self._rows)
+        x = self._rows.to_numpy()
         # one host->device transfer of the vectors, reused by every stage
         # (device transfers through the serving tunnel are expensive)
         xj = jnp.asarray(x)

@@ -1,0 +1,160 @@
+"""Appendable vector storage with spill-to-disk.
+
+Reference behavior re-provided (not ported): FileBackedAppendableVectorStorage
+(rs/index/src/vector/file.rs:11-49) keeps appended rows resident until
+`memory_threshold` bytes, then moves them to mmapped backing files and keeps
+appending there, so index builds are not bounded by host RAM.
+
+TPU-first shape: a single growing backing file exposed as one np.memmap —
+builders consume the storage as a plain ndarray (`to_numpy()`), so device
+staging (`jnp.asarray(x[chunk])`) streams straight from the page cache with
+no extra copy, and nothing downstream needs to know whether the data spilled.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+# Default threshold: builds stay fully resident until this many bytes of
+# vector data, then spill (override per instance or via env).
+DEFAULT_MEMORY_THRESHOLD = int(
+    os.environ.get("MUOPDB_BUILD_MEM_THRESHOLD_BYTES", 4 << 30)
+)
+
+
+class AppendableVectorStorage:
+    """Append-only (n, dim) row storage; resident until a byte threshold,
+    mmap-file-backed beyond it."""
+
+    def __init__(
+        self,
+        dim: int,
+        dtype=np.float32,
+        memory_threshold_bytes: int | None = None,
+        directory: str | None = None,
+    ):
+        self.dim = int(dim)
+        self.dtype = np.dtype(dtype)
+        self.memory_threshold_bytes = (
+            DEFAULT_MEMORY_THRESHOLD
+            if memory_threshold_bytes is None
+            else int(memory_threshold_bytes)
+        )
+        self.directory = directory
+        self._chunks: list[np.ndarray] = []
+        self._mem_bytes = 0
+        self._rows = 0
+        # spilled state
+        self._mm: np.memmap | None = None
+        self._path: str | None = None
+        self._cap_rows = 0
+
+    # -- append ------------------------------------------------------------
+    def append(self, row) -> None:
+        self.append_batch(np.asarray(row, self.dtype).reshape(1, self.dim))
+
+    def append_batch(self, rows) -> None:
+        v = np.ascontiguousarray(np.asarray(rows, self.dtype).reshape(-1, self.dim))
+        if len(v) == 0:
+            return
+        if self._mm is None:
+            self._chunks.append(v)
+            self._mem_bytes += v.nbytes
+            self._rows += len(v)
+            if self._mem_bytes > self.memory_threshold_bytes:
+                self._spill()
+        else:
+            self._ensure_capacity(self._rows + len(v))
+            self._mm[self._rows : self._rows + len(v)] = v
+            self._rows += len(v)
+
+    def __len__(self) -> int:
+        return self._rows
+
+    @property
+    def spilled(self) -> bool:
+        return self._mm is not None
+
+    # -- read --------------------------------------------------------------
+    def to_numpy(self) -> np.ndarray:
+        """The full (n, dim) array. Resident: one concatenated copy (chunks
+        are dropped so peak memory matches a plain buffer). Spilled: a
+        memmap view — O(1) host RAM; reads stream from the page cache."""
+        if self._mm is not None:
+            return self._mm[: self._rows]
+        if len(self._chunks) != 1:
+            joined = (
+                np.concatenate(self._chunks)
+                if self._chunks
+                else np.empty((0, self.dim), self.dtype)
+            )
+            self._chunks = [joined]
+        return self._chunks[0]
+
+    def __getitem__(self, sl) -> np.ndarray:
+        return self.to_numpy()[sl]
+
+    # -- spill mechanics -----------------------------------------------------
+    def _backing_path(self) -> str:
+        d = self.directory or tempfile.gettempdir()
+        os.makedirs(d, exist_ok=True)
+        fd, path = tempfile.mkstemp(prefix="vectors_spill_", suffix=".bin", dir=d)
+        os.close(fd)
+        return path
+
+    def _spill(self) -> None:
+        self._path = self._backing_path()
+        self._cap_rows = max(2 * self._rows, 1024)
+        self._resize_file()
+        self._mm = np.memmap(
+            self._path, self.dtype, mode="r+", shape=(self._cap_rows, self.dim)
+        )
+        at = 0
+        for c in self._chunks:
+            self._mm[at : at + len(c)] = c
+            at += len(c)
+        self._chunks = []
+        self._mem_bytes = 0
+
+    def _resize_file(self) -> None:
+        with open(self._path, "r+b") as f:
+            f.truncate(self._cap_rows * self.dim * self.dtype.itemsize)
+
+    def _ensure_capacity(self, rows: int) -> None:
+        if rows <= self._cap_rows:
+            return
+        self._mm.flush()
+        del self._mm
+        self._cap_rows = max(rows, 2 * self._cap_rows)
+        self._resize_file()
+        self._mm = np.memmap(
+            self._path, self.dtype, mode="r+", shape=(self._cap_rows, self.dim)
+        )
+
+    # -- lifecycle -----------------------------------------------------------
+    def cleanup(self) -> None:
+        """Drop buffers and delete the backing file (safe to call twice)."""
+        self._chunks = []
+        if self._mm is not None:
+            del self._mm
+            self._mm = None
+        if self._path and os.path.exists(self._path):
+            try:
+                os.remove(self._path)
+            except OSError:
+                pass
+        self._path = None
+        self._rows = 0
+        self._mem_bytes = 0
+
+    def __del__(self):  # best-effort backing-file cleanup
+        try:
+            if self._path:
+                self._mm = None
+                if os.path.exists(self._path):
+                    os.remove(self._path)
+        except Exception:
+            pass

@@ -1,0 +1,64 @@
+"""Spill-to-disk appendable vector storage (vector/file.rs:11-49 analog)."""
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.utils.vector_storage import AppendableVectorStorage
+
+
+def test_resident_roundtrip():
+    st = AppendableVectorStorage(4)
+    st.append([1, 2, 3, 4])
+    st.append_batch(np.arange(8, dtype=np.float32).reshape(2, 4))
+    assert len(st) == 3 and not st.spilled
+    out = st.to_numpy()
+    np.testing.assert_array_equal(out[0], [1, 2, 3, 4])
+    np.testing.assert_array_equal(out[2], [4, 5, 6, 7])
+
+
+def test_spill_and_append_after_spill(tmp_path):
+    st = AppendableVectorStorage(8, memory_threshold_bytes=1024, directory=str(tmp_path))
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((200, 8)).astype(np.float32)
+    st.append_batch(ref[:50])  # 1600 bytes > threshold -> spills
+    assert st.spilled
+    for s in range(50, 200, 30):  # keeps appending into the backing file
+        st.append_batch(ref[s : s + 30])
+    assert len(st) == 200
+    np.testing.assert_array_equal(np.asarray(st.to_numpy()), ref)
+    assert isinstance(st.to_numpy(), np.memmap)
+    # indexing works like an ndarray
+    np.testing.assert_array_equal(np.asarray(st[10:20]), ref[10:20])
+    st.cleanup()
+    assert len(st) == 0
+
+
+def test_capacity_growth(tmp_path):
+    st = AppendableVectorStorage(2, memory_threshold_bytes=8, directory=str(tmp_path))
+    ref = np.arange(4000, dtype=np.float32).reshape(2000, 2)
+    for s in range(0, 2000, 7):  # many small appends force several regrows
+        st.append_batch(ref[s : s + 7])
+    np.testing.assert_array_equal(np.asarray(st.to_numpy()), ref)
+
+
+def test_ivf_build_with_spilled_storage(tmp_path, rng):
+    """An IVF index built from spilled staging equals one built resident."""
+    from muopdb_tpu.index.ivf import IvfBuildConfig, IvfBuilder
+
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    cfg = IvfBuildConfig(num_centroids=4, block_rows=16)
+
+    def build(threshold):
+        b = IvfBuilder(cfg, 8)
+        b._rows.memory_threshold_bytes = threshold
+        b._rows.directory = str(tmp_path)
+        b.add_batch(np.arange(300), x)
+        return b.build()
+
+    spilled = IvfBuilder(cfg, 8)
+    idx_res = build(1 << 30)
+    idx_spl = build(128)  # forces spill
+    q = x[:5]
+    d1, i1 = idx_res.search(q, k=3, nprobe=4)
+    d2, i2 = idx_spl.search(q, k=3, nprobe=4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
