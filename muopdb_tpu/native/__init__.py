@@ -57,6 +57,17 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.io_engine_create.restype = ctypes.c_void_p
+        lib.io_engine_create.argtypes = [ctypes.c_int]
+        lib.io_engine_submit.restype = ctypes.c_int64
+        lib.io_engine_submit.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_void_p,
+        ]
+        lib.io_engine_wait.restype = ctypes.c_int64
+        lib.io_engine_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.io_engine_destroy.restype = None
+        lib.io_engine_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -115,3 +126,37 @@ def hnsw_finalize_edges(fw: np.ndarray, vectors: np.ndarray, m_max: int) -> np.n
         m_max, out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+class NativeIoEngine:
+    """Handle to the C++ async pread engine (uring_engine.rs analog).
+    Returns None from create() when the native library is unavailable."""
+
+    def __init__(self, handle):
+        self._h = handle
+
+    @classmethod
+    def create(cls, num_threads: int = 8) -> "NativeIoEngine | None":
+        lib = _load()
+        if lib is None:
+            return None
+        h = lib.io_engine_create(num_threads)
+        return cls(h) if h else None
+
+    def submit(self, path: str, offset: int, length: int, buf: np.ndarray) -> int:
+        """Enqueue a pread of [offset, offset+length) into buf (uint8,
+        contiguous, >= length). Returns a ticket for wait()."""
+        return _lib.io_engine_submit(
+            self._h, path.encode(), offset, length,
+            buf.ctypes.data_as(ctypes.c_void_p),
+        )
+
+    def wait(self, ticket: int) -> int:
+        """Block until the ticket completes; bytes read (short at EOF), -1 on
+        IO error."""
+        return _lib.io_engine_wait(self._h, ticket)
+
+    def close(self) -> None:
+        if self._h:
+            _lib.io_engine_destroy(self._h)
+            self._h = None

@@ -18,10 +18,20 @@
 // image). `make` in this directory, or let muopdb_tpu.native autobuild.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
 #include <vector>
+
+#include <fcntl.h>
+#include <unistd.h>
 
 extern "C" {
 
@@ -154,6 +164,116 @@ void hnsw_finalize_edges(const int32_t* fw, int64_t n, int64_t m,
     std::partial_sort(scored.begin(), scored.begin() + m_max, scored.end());
     for (int32_t j = 0; j < m_max; j++) row[j] = scored[j].second;
   }
+}
+
+// ---------------------------------------------------------------------------
+// Async IO engine (utils/src/file_io/uring_engine.rs:11-66 analog)
+//
+// Same architecture as the reference's UringEngine: a submission queue and a
+// completion map behind independent mutexes, worker threads draining the SQ,
+// waiters parked on the CQ condvar. The kernel interface is pread on a
+// per-request fd instead of io_uring (portable, and the parallelism — many
+// outstanding reads per caller — is what amortizes IO latency for block-cache
+// fills; the syscall mechanism is incidental to that role).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IoReq {
+  int64_t id;
+  std::string path;
+  uint64_t offset;
+  uint64_t len;
+  uint8_t* buf;
+};
+
+struct IoEngine {
+  std::mutex sq_mu;
+  std::condition_variable sq_cv;
+  std::deque<IoReq> sq;  // submission queue
+
+  std::mutex cq_mu;
+  std::condition_variable cq_cv;
+  std::unordered_map<int64_t, int64_t> done;  // ticket -> bytes read or -1
+
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  std::atomic<int64_t> next_id{0};
+
+  void worker() {
+    for (;;) {
+      IoReq req;
+      {
+        std::unique_lock<std::mutex> lk(sq_mu);
+        sq_cv.wait(lk, [&] { return stop.load() || !sq.empty(); });
+        if (stop.load() && sq.empty()) return;
+        req = std::move(sq.front());
+        sq.pop_front();
+      }
+      int64_t result = -1;
+      int fd = ::open(req.path.c_str(), O_RDONLY);
+      if (fd >= 0) {
+        uint64_t got = 0;
+        result = 0;
+        while (got < req.len) {
+          ssize_t r = ::pread(fd, req.buf + got, req.len - got,
+                              (off_t)(req.offset + got));
+          if (r < 0) {
+            result = -1;
+            break;
+          }
+          if (r == 0) break;  // EOF: short read
+          got += (uint64_t)r;
+        }
+        if (result == 0) result = (int64_t)got;
+        ::close(fd);
+      }
+      {
+        std::lock_guard<std::mutex> lk(cq_mu);
+        done[req.id] = result;
+      }
+      cq_cv.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+void* io_engine_create(int num_threads) {
+  auto* e = new IoEngine();
+  if (num_threads < 1) num_threads = 1;
+  for (int i = 0; i < num_threads; i++)
+    e->workers.emplace_back([e] { e->worker(); });
+  return e;
+}
+
+int64_t io_engine_submit(void* eng, const char* path, uint64_t offset,
+                         uint64_t len, void* buf) {
+  auto* e = (IoEngine*)eng;
+  int64_t id = e->next_id.fetch_add(1);
+  {
+    std::lock_guard<std::mutex> lk(e->sq_mu);
+    e->sq.push_back(IoReq{id, std::string(path), offset, len, (uint8_t*)buf});
+  }
+  e->sq_cv.notify_one();
+  return id;
+}
+
+int64_t io_engine_wait(void* eng, int64_t ticket) {
+  auto* e = (IoEngine*)eng;
+  std::unique_lock<std::mutex> lk(e->cq_mu);
+  e->cq_cv.wait(lk, [&] { return e->done.count(ticket) != 0; });
+  int64_t result = e->done[ticket];
+  e->done.erase(ticket);
+  return result;
+}
+
+void io_engine_destroy(void* eng) {
+  auto* e = (IoEngine*)eng;
+  e->stop.store(true);
+  e->sq_cv.notify_all();
+  for (auto& t : e->workers) t.join();
+  delete e;
 }
 
 }  // extern "C"

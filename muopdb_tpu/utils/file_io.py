@@ -69,6 +69,7 @@ class StandardFileIO(FileIO):
         self._f = open(path, "rb")
         self._lock = threading.Lock()
         self._len = os.path.getsize(path)
+        self.disk_path = path  # lets the async IO engine pread directly
 
     def read(self, offset: int, length: int) -> bytes:
         with self._lock:
@@ -129,6 +130,9 @@ class DiskCache:
                 return f.read()
         except FileNotFoundError:
             return None
+
+    def contains(self, key: Tuple[str, int]) -> bool:
+        return os.path.exists(self._path(key))
 
     def put(self, key: Tuple[str, int], data: bytes) -> None:
         p = self._path(key)
@@ -216,14 +220,36 @@ class BlockCache:
 
     def read(self, path: str, source: FileIO, offset: int, length: int) -> bytes:
         """Read [offset, offset+length) through block-granular cache
-        (cache.rs:292-385 splits the range into blocks)."""
+        (cache.rs:292-385 splits the range into blocks). Multi-block misses
+        are filled in parallel through the async IO engine (the io_uring
+        engine's role, uring_engine.rs:11-66)."""
         bs = self.block_size
         first = offset // bs
         last = (offset + length - 1) // bs if length else first
+        idxs = list(range(first, last + 1))
+        prefetched: Dict[int, bytes] = {}
+        if len(idxs) > 1:
+            with self._lock:
+                missing = [
+                    bi for bi in idxs
+                    if (path, bi) not in self._lru and (path, bi) not in self._fills
+                ]
+            if self.disk is not None:  # L2 hits are local: no prefetch needed
+                missing = [bi for bi in missing if not self.disk.contains((path, bi))]
+            if len(missing) > 1:
+                from . import async_io
+
+                blocks = async_io.read_source_ranges(
+                    source, [(bi * bs, bs) for bi in missing]
+                )
+                prefetched = dict(zip(missing, blocks))
         parts = []
-        for bi in range(first, last + 1):
+        for bi in idxs:
             blk = self._get_block(
-                (path, bi), lambda bi=bi: source.read(bi * bs, bs)
+                (path, bi),
+                lambda bi=bi: (
+                    prefetched[bi] if bi in prefetched else source.read(bi * bs, bs)
+                ),
             )
             parts.append(blk)
         data = b"".join(parts)

@@ -1,0 +1,63 @@
+"""Async IO engine (io_uring engine analog, uring_engine.rs:11-66)."""
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.utils import async_io
+from muopdb_tpu.utils.file_io import BlockCache, StandardFileIO
+
+
+@pytest.fixture
+def datafile(tmp_path):
+    data = bytes(range(256)) * 1000  # 256 000 bytes
+    p = tmp_path / "blob.bin"
+    p.write_bytes(data)
+    return str(p), data
+
+
+def test_read_ranges_parallel_correct(datafile):
+    path, data = datafile
+    ranges = [(i * 7919 % 200_000, 1024) for i in range(64)]
+    out = async_io.read_ranges(path, ranges)
+    for (off, ln), got in zip(ranges, out):
+        assert got == data[off : off + ln]
+
+
+def test_read_ranges_short_at_eof(datafile):
+    path, data = datafile
+    out = async_io.read_ranges(path, [(len(data) - 100, 1024), (len(data) + 10, 64)])
+    assert out[0] == data[-100:]
+    assert out[1] == b""
+
+
+def test_fallback_pool_matches_native(datafile, monkeypatch):
+    path, data = datafile
+    ranges = [(0, 100), (100_000, 5000), (255_000, 5000)]
+    native_out = async_io.read_ranges(path, ranges)
+    monkeypatch.setattr(async_io, "_engine", False)  # force the fallback
+    fallback_out = async_io.read_ranges(path, ranges)
+    assert native_out == fallback_out
+
+
+def test_block_cache_parallel_fill(datafile):
+    path, data = datafile
+    cache = BlockCache(capacity_bytes=1 << 20, block_size=4096)
+    src = StandardFileIO(path)
+    got = cache.read(path, src, 1000, 100_000)  # spans ~25 blocks
+    assert got == data[1000:101_000]
+    assert cache.misses >= 24
+    # second read: all hits
+    got2 = cache.read(path, src, 1000, 100_000)
+    assert got2 == got
+    assert cache.hits >= 24
+
+
+def test_native_engine_error_on_missing_file():
+    from muopdb_tpu import native
+
+    eng = native.NativeIoEngine.create(2)
+    if eng is None:
+        pytest.skip("native library unavailable")
+    buf = np.empty(16, np.uint8)
+    t = eng.submit("/nonexistent/nope.bin", 0, 16, buf)
+    assert eng.wait(t) == -1
