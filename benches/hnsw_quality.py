@@ -107,6 +107,9 @@ def main():
     import logging
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--d", type=int, default=384)

@@ -111,6 +111,10 @@ def main():
     s.add_argument("--block-cache-bytes", type=int, default=256 << 20)
     s.add_argument("--disk-cache-dir", default=None,
                    help="optional L2 spill directory for evicted cache blocks")
+    s.add_argument("--jax-cache-dir", default="/tmp/muopdb_tpu/jax_cache",
+                   help="persistent XLA compilation cache (survives restarts; "
+                        "measured to work through the axon remote-compile "
+                        "tunnel). Empty string disables.")
 
     a = sub.add_parser("aggregator")
     a.add_argument("--port", type=int, default=9001)
@@ -121,6 +125,10 @@ def main():
 
     args = p.parse_args()
     if args.cmd == "index-server":
+        if args.jax_cache_dir:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", args.jax_cache_dir)
         serve_index_server(
             args.port,
             args.http_port,
