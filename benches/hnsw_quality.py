@@ -116,6 +116,8 @@ def main():
     ap.add_argument("--nq", type=int, default=1000)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--efs", type=str, default="64,128,256")
+    ap.add_argument("--descent-ef", type=int, default=8,
+                    help="upper-layer beam width / number of layer-0 seeds")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--configs",
@@ -166,9 +168,15 @@ def main():
             "build_seconds": round(build_s, 1),
             "mean_degree_l0": round(deg, 1),
         }
+        if args.descent_ef != 8:
+            row_extra = {"descent_ef": args.descent_ef}
+        else:
+            row_extra = {}
+        row.update(row_extra)
         for ef in efs:
             t0 = time.time()
-            dd, ids = idx.search(queries, k=args.k, ef_search=ef)
+            dd, ids = idx.search(queries, k=args.k, ef_search=ef,
+                                 descent_ef=args.descent_ef)
             np.asarray(dd)  # sync
             t_first = time.time() - t0
             got = np.asarray(ids)
@@ -176,7 +184,8 @@ def main():
             r = recall(np.where(got >= 0, pids, -1), gt, args.k)
             # steady-state timing: one more dispatch, sync once
             t0 = time.time()
-            dd2, _ = idx.search(queries, k=args.k, ef_search=ef)
+            dd2, _ = idx.search(queries, k=args.k, ef_search=ef,
+                                descent_ef=args.descent_ef)
             dd2.block_until_ready()
             t_steady = time.time() - t0
             row[f"recall@{args.k}_ef{ef}"] = round(r, 4)
