@@ -1,0 +1,107 @@
+"""Search-stage diagnosis on a SAVED HNSW index: separates upper-layer
+navigation failures from layer-0 graph deficiencies.
+
+    python -m benches.hnsw_search_diag --load-dir /tmp/h500k_idx --n 500000
+
+Stages measured (all against exact ground truth, same data seed as
+benches.hnsw_quality):
+  1. recall vs descent_ef — if widening the upper-layer beam lifts recall,
+     navigation is under-seeded.
+  2. oracle entry — seed layer 0 directly with each query's true nearest
+     node. Recall here is the layer-0 graph's ceiling: ~1.0 means the bottom
+     graph is fine and ALL loss is navigation; low means layer 0 itself is
+     deficient (islands).
+  3. seed quality — fraction of queries whose layer-0 seeds land within the
+     true top-100 neighborhood (direct navigation success measure).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from benches.hnsw_quality import gen_data, ground_truth, recall
+
+
+def main():
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--load-dir", required=True)
+    ap.add_argument("--n", type=int, required=True)
+    ap.add_argument("--d", type=int, default=384)
+    ap.add_argument("--nq", type=int, default=1000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--ef", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from muopdb_tpu.index.hnsw import HnswIndex, _beam_search
+    from muopdb_tpu.ops.distance import l2_distance
+
+    x, queries = gen_data(args.n, args.d, args.nq, args.seed)
+    gt = ground_truth(x, queries, 100)  # top-100 for seed-quality measure
+    gt10 = gt[:, : args.k]
+    idx = HnswIndex.load(args.load_dir)
+    out = {"n": args.n, "ef": args.ef, "num_layers": idx.num_layers}
+    for l, e in enumerate(idx.layer_edges):
+        e = np.asarray(e)
+        members = int((e >= 0).any(1).sum())
+        out[f"layer{l}_members"] = members if l else args.n
+
+    # 1. recall vs descent_ef
+    for de in (1, 8, 32, 64):
+        dd, ids = idx.search(queries, k=args.k, ef_search=args.ef, descent_ef=de)
+        got = np.asarray(ids)
+        out[f"recall_descent_ef{de}"] = round(recall(got, gt10, args.k), 4)
+
+    # 2. oracle entry: hand layer 0 the true nearest node as its seed
+    sv = idx._search_vectors()
+    qj = jnp.asarray(queries)
+    entry = jnp.asarray(gt[:, :1].astype(np.int32))
+    dd, ids = _beam_search(
+        qj, sv, idx.layer_edges[0], entry, idx.valid,
+        idx.vectors if idx.search_bf16 else None,
+        ef=args.ef, k=args.k, max_hops=128, expand_width=4,
+    )
+    out["recall_oracle_entry"] = round(recall(np.asarray(ids), gt10, args.k), 4)
+
+    # 3. seed quality: do the layer-0 seeds touch the true top-100?
+    b = queries.shape[0]
+    entry = jnp.full((b, 1), idx.entry_point, jnp.int32)
+    for l in range(idx.num_layers - 1, 0, -1):
+        _, entry = _beam_search(
+            qj, sv, idx.layer_edges[l], entry,
+            jnp.ones((idx.num_points,), bool),
+            ef=8, k=8, max_hops=64, expand_width=2,
+        )
+        entry = jnp.where(entry < 0, idx.entry_point, entry)
+    seeds = np.asarray(entry)
+    in100 = np.mean([
+        len(set(seeds[i].tolist()) & set(gt[i].tolist())) > 0 for i in range(b)
+    ])
+    # seed distance ratio: nearest seed vs true nearest (1.0 = perfect)
+    sv_np = np.asarray(idx.vectors)
+    seed_d = np.min(
+        ((sv_np[np.clip(seeds, 0, None)] - queries[:, None]) ** 2).sum(-1), axis=1
+    )
+    true_d = ((sv_np[gt[:, 0]] - queries) ** 2).sum(-1)
+    out["seeds_touch_top100_rate"] = round(float(in100), 4)
+    out["median_seed_over_true_dist"] = round(
+        float(np.median(np.sqrt(seed_d / np.maximum(true_d, 1e-12)))), 3
+    )
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -940,17 +940,38 @@ class HnswBuilder:
         # One device copy of the vectors serves every stage.
         xj = jnp.asarray(x)
         k0 = min(max(cfg.ef_construction // 2, 2 * m), max(n - 1, 1))
+
+        diag = os.environ.get("MUOPDB_HNSW_DIAG") == "1"
+
+        def _diag_knn_recall(ids, what, sample=2048):
+            """Sampled kNN-graph recall vs exact (diagnosis only)."""
+            if not diag:
+                return
+            sel = np.random.default_rng(1).choice(n, min(sample, n), replace=False)
+            dd = l2_distance(xj[jnp.asarray(sel)], xj)
+            dd = np.asarray(dd)
+            dd[np.arange(len(sel)), sel] = np.inf
+            true10 = np.argpartition(dd, 10, axis=1)[:, :10]
+            got = ids[sel][:, :10]
+            hits = np.mean([
+                len(set(got[i].tolist()) & set(true10[i].tolist())) / 10
+                for i in range(len(sel))
+            ])
+            log.info("hnsw diag: knn recall@10 after %s = %.4f", what, hits)
+
         if n <= 200_000:
             knn_ids, knn_d = _exact_knn(x, k0, xj=xj)
             _stage("exact knn")
         else:
             knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj)
             _stage("partitioned knn (3 trees)")
+            _diag_knn_recall(knn_ids, "partition")
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
             for r in range(cfg.nn_descent_rounds):
                 knn_ids, knn_d = _nn_descent_round(knn_ids, knn_d, xj, seed=cfg.seed + r)
             _stage(f"nn-descent x{cfg.nn_descent_rounds}")
+            _diag_knn_recall(knn_ids, f"descent x{cfg.nn_descent_rounds}")
         def prune_layer0(cand_ids, cand_d, seed_r):
             if cfg.num_random_candidates:
                 cand_ids, cand_d = _augment_random(
@@ -1029,6 +1050,7 @@ class HnswBuilder:
                 ref_d[s : s + real] = d_rows[rr2, order]
             _stage("refine self-search")
             knn_ids, knn_d = _merge_knn(knn_ids, knn_d, ref_i, ref_d, k0)
+            _diag_knn_recall(knn_ids, "refine merge")
             layers[0] = prune_layer0(knn_ids, knn_d, cfg.seed + 211)
             _stage("refine re-prune")
 
