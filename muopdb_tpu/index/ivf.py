@@ -151,11 +151,19 @@ class IvfBuilder:
         cfg = self.config
         n = x.shape[0]
         xj = jnp.asarray(x) if xj is None else xj
+        nb = int(xj.shape[0])  # may exceed n: build-stage shape bucketing
         k = min(cfg.num_centroids, max(1, n))
-        sample = xj
-        if n > cfg.num_data_points_for_clustering:
-            sel = np.random.default_rng(seed).choice(n, cfg.num_data_points_for_clustering, replace=False)
+        cap = cfg.num_data_points_for_clustering
+        if n > cap:
+            sel = np.random.default_rng(seed).choice(n, cap, replace=False)
             sample = xj[jnp.asarray(np.sort(sel))]
+        elif nb > n:
+            # bucketed build: bootstrap-sample real rows up to the bucket
+            # size so the k-means program shape is bucket-stable
+            sel = np.random.default_rng(seed).choice(n, nb, replace=True)
+            sample = xj[jnp.asarray(np.sort(sel))]
+        else:
+            sample = xj
         res = kmeans(
             jnp.asarray(sample),
             k,
@@ -170,11 +178,11 @@ class IvfBuilder:
             # materialized whole (4 GB at 1M x 1024)
             cj = jnp.asarray(centroids)
             assign_parts = []
-            for s0 in range(0, n, 65536):
+            for s0 in range(0, nb, 65536):
                 assign_parts.append(
                     np.asarray(jnp.argmin(l2_distance(xj[s0 : s0 + 65536], cj), axis=-1))
                 )
-            assign = np.concatenate(assign_parts)
+            assign = np.concatenate(assign_parts)[:n]  # drop bucket pad rows
             counts = np.bincount(assign, minlength=len(centroids))
             oversized = np.nonzero(counts > cfg.max_posting_list_size)[0]
             if len(oversized) == 0:
@@ -207,12 +215,12 @@ class IvfBuilder:
         cj = jnp.asarray(centroids)
         dists_idx = []
         chunk = 65536
-        for s in range(0, len(x), chunk):
+        for s in range(0, int(xj.shape[0]), chunk):  # bucket rows (>= len(x))
             d = l2_distance(xj[s : s + chunk], cj)
             nd, ni = jax.lax.top_k(-d, mc)
             dists_idx.append((np.asarray(-nd), np.asarray(ni)))
-        nearest_d = np.concatenate([a for a, _ in dists_idx])
-        nearest_i = np.concatenate([b for _, b in dists_idx])
+        nearest_d = np.concatenate([a for a, _ in dists_idx])[: len(x)]
+        nearest_i = np.concatenate([b for _, b in dists_idx])[: len(x)]
         # multi-assign: within (1 + pct) of nearest (builder.rs:319-327)
         thresh = nearest_d[:, :1] * (1.0 + cfg.distance_threshold_pct)
         ok = nearest_d <= np.maximum(thresh, nearest_d[:, :1])  # col 0 always true
@@ -237,16 +245,31 @@ class IvfBuilder:
         assert len(self._rows), "no vectors added"
         t0 = _time.time()
         x = self._rows.to_numpy()
+        n = len(x)
         # one host->device transfer of the vectors, reused by every stage
-        # (device transfers through the serving tunnel are expensive)
-        xj = jnp.asarray(x)
-        jax.block_until_ready(xj)
+        # (device transfers through the serving tunnel are expensive).
+        # Build-stage shape bucketing: small builds (per-user indexes,
+        # vacuum/merge rebuilds) are XLA-compile-bound — pad the staged rows
+        # to a power-of-two bucket so the clustering/assignment programs are
+        # reused across nearby sizes (measured: a 5k-doc vacuum is ~95%
+        # compilation without this; pow2_pad already buckets the search side)
+        bucket_n = n
+        if self.config.pow2_pad and n <= 262_144:
+            bucket_n = max(1024, 1 << (n - 1).bit_length())
+        if bucket_n > n:
+            xj_b = jnp.asarray(
+                np.concatenate([x, np.broadcast_to(x[:1], (bucket_n - n, x.shape[1]))])
+            )
+            xj = xj_b[:n]  # real-row view for quantize/raw storage
+        else:
+            xj_b = xj = jnp.asarray(x)
+        jax.block_until_ready(xj_b)
         log.info("ivf build: staged %d vectors in %.1fs", len(x), _time.time() - t0)
         t0 = _time.time()
-        centroids = self._cluster(x, seed, xj=xj)
+        centroids = self._cluster(x, seed, xj=xj_b)
         log.info("ivf build: clustered k=%d in %.1fs", len(centroids), _time.time() - t0)
         t0 = _time.time()
-        posting_lists, nearest_list = self._assign(x, centroids, xj=xj)
+        posting_lists, nearest_list = self._assign(x, centroids, xj=xj_b)
         log.info("ivf build: assigned in %.1fs", _time.time() - t0)
         doc_ids = np.concatenate(self._doc_pairs)  # (N, 2) uint64 (lo, hi)
         t0 = _time.time()
