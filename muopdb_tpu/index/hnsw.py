@@ -944,20 +944,23 @@ class HnswBuilder:
         diag = os.environ.get("MUOPDB_HNSW_DIAG") == "1"
 
         def _diag_knn_recall(ids, what, sample=2048):
-            """Sampled kNN-graph recall vs exact (diagnosis only)."""
+            """Sampled kNN-graph recall vs exact (diagnosis only). Top-k
+            stays on device; only (sample, 11) ids come back to host."""
             if not diag:
                 return
             sel = np.random.default_rng(1).choice(n, min(sample, n), replace=False)
-            dd = l2_distance(xj[jnp.asarray(sel)], xj)
-            dd = np.asarray(dd)
-            dd[np.arange(len(sel)), sel] = np.inf
-            true10 = np.argpartition(dd, 10, axis=1)[:, :10]
+            true_parts = []
+            for s0 in range(0, len(sel), 256):
+                q = xj[jnp.asarray(sel[s0 : s0 + 256])]
+                dd = l2_distance(q, xj)
+                _, ti = jax.lax.top_k(-dd, 11)  # 10 + possible self
+                true_parts.append(np.asarray(ti))
             got = ids[sel][:, :10]
-            hits = np.mean([
-                len(set(got[i].tolist()) & set(true10[i].tolist())) / 10
-                for i in range(len(sel))
-            ])
-            log.info("hnsw diag: knn recall@10 after %s = %.4f", what, hits)
+            hits = []
+            for i, row in enumerate(np.concatenate(true_parts)):
+                true10 = [int(t) for t in row if t != sel[i]][:10]
+                hits.append(len(set(got[i].tolist()) & set(true10)) / 10)
+            log.info("hnsw diag: knn recall@10 after %s = %.4f", what, float(np.mean(hits)))
 
         if n <= 200_000:
             knn_ids, knn_d = _exact_knn(x, k0, xj=xj)
