@@ -722,6 +722,10 @@ class HnswIndex:
         # distances stay exact. Disable with search_bf16 = False.
         self.search_bf16 = True
         self._vectors_bf16 = None
+        # routing-scan state (see search()): layer-1 member ids + their
+        # vectors, materialized lazily on first scan-routed search
+        self._routing_ids = None
+        self._routing_vectors = None
 
     def _search_vectors(self):
         if not self.search_bf16:
@@ -745,41 +749,73 @@ class HnswIndex:
                     jnp.asarray(np.asarray(point_ids, np.int32))
                 ].set(False)
 
+    # routing layers beyond this many members fall back to beam descent
+    ROUTING_SCAN_MAX = 131_072
+
+    def _routing(self):
+        """Layer-1 member ids/vectors for the scan route (lazy; exact f32)."""
+        if self._routing_ids is None:
+            mem = np.nonzero(np.asarray(self.layer_edges[1] >= 0).any(1))[0]
+            self._routing_ids = jnp.asarray(mem.astype(np.int32))
+            self._routing_vectors = self.vectors[self._routing_ids]
+        return self._routing_ids, self._routing_vectors
+
     def search(self, queries, k: int = 10, ef_search: int = 100, max_hops: int | None = None,
-               expand_width: int = 4, descent_ef: int = 8):
+               expand_width: int = 4, descent_ef: int = 8, route: str = "auto"):
         """Returns (dists (B, k), point_ids (B, k)), -1/-inf padded.
 
         expand_width: beam entries expanded per hop. Wider = fewer sequential
         hops (TPU-friendlier); 4 measures ~2x the QPS of 1 at equal recall.
-        descent_ef: beam width through the upper layers (and the number of
-        layer-0 entry seeds).
+        descent_ef: number of layer-0 entry seeds (and the upper-layer beam
+        width when beam descent is used).
+        route: how layer-0 entry seeds are found.
+          "scan"    — one exact distance matmul over the layer-1 members
+                      (n/M of the index) + top-k. The TPU-first replacement
+                      for serial descent: a cascade of tiny beam searches
+                      through the upper layers compounds per-layer failure
+                      (measured at 500k x 384: recall pinned at 0.58-0.61
+                      regardless of layer-0 quality), while one MXU scan of
+                      the routing subset is exact, and costs ~1/M of a
+                      brute-force sweep.
+          "descent" — classic multi-layer beam descent (the reference's
+                      hnsw/block_based/index.rs:159-210 shape).
+          "auto"    — scan when the routing layer is small enough
+                      (<= ROUTING_SCAN_MAX members), descent otherwise.
         """
         q = jnp.asarray(np.asarray(queries, np.float32))
         b = q.shape[0]
         n = self.num_points
         max_hops = max_hops or max(8, 4 * ef_search // max(expand_width, 1))
-        # Descent through upper layers with a small beam (not greedy ef=1):
-        # on clustered data layer 0 keeps mostly intra-cluster edges, so the
-        # search succeeds iff an entry lands in the query's cluster — a
-        # greedy walk strands in neighboring modes (measured at 500k x 384:
-        # recall 0.25 with ef=1 descent). The final upper layer hands its
-        # whole beam to layer 0 as a multi-entry seed.
         sv = self._search_vectors()
         e_desc = max(1, descent_ef)
-        entry = jnp.full((b, 1), self.entry_point, jnp.int32)
-        for l in range(self.num_layers - 1, 0, -1):
-            _, entry = _beam_search(
-                q,
-                sv,
-                self.layer_edges[l],
-                entry,
-                jnp.ones((n,), bool),  # upper layers route through everything
-                ef=e_desc,
-                k=e_desc,
-                max_hops=64,
-                expand_width=2,
-            )
-            entry = jnp.where(entry < 0, self.entry_point, entry)
+        if route == "auto":
+            n_route = self._routing()[0].shape[0] if self.num_layers > 1 else 0
+            route = "scan" if 0 < n_route <= self.ROUTING_SCAN_MAX else "descent"
+        if route == "scan" and self.num_layers > 1:
+            rid, rv = self._routing()
+            dd = l2_distance(q, rv)
+            _, sel = jax.lax.top_k(-dd, min(e_desc, int(rv.shape[0])))
+            entry = rid[sel]  # (B, e_desc) exact best routing members
+        else:
+            # Beam descent through upper layers (not greedy ef=1): on
+            # clustered data layer 0 keeps mostly intra-cluster edges, so
+            # the search succeeds iff an entry lands in the query's cluster.
+            # The final upper layer hands its whole beam to layer 0 as a
+            # multi-entry seed.
+            entry = jnp.full((b, 1), self.entry_point, jnp.int32)
+            for l in range(self.num_layers - 1, 0, -1):
+                _, entry = _beam_search(
+                    q,
+                    sv,
+                    self.layer_edges[l],
+                    entry,
+                    jnp.ones((n,), bool),  # upper layers route through everything
+                    ef=e_desc,
+                    k=e_desc,
+                    max_hops=64,
+                    expand_width=2,
+                )
+                entry = jnp.where(entry < 0, self.entry_point, entry)
         ef = max(ef_search, k)
         return _beam_search(
             q,
@@ -1000,7 +1036,18 @@ class HnswBuilder:
             if len(members) > 1:
                 sub = x[members]
                 kk = min(max(m * 2, 2), len(members) - 1)
-                sids, sd = _exact_knn(sub, kk)
+                subj = jnp.asarray(sub)
+                sids, sd = _exact_knn(sub, kk, xj=subj)
+                # Random candidates for upper layers too: they exist purely
+                # for navigation, and on clustered data their exact-kNN
+                # candidates are all intra-cluster at scale — without long
+                # candidates the dominance prune emits island layers and the
+                # descent strands in the wrong cluster (layer 0's original
+                # failure mode; see HnswBuildConfig.num_random_candidates).
+                if cfg.num_random_candidates and len(members) > 256:
+                    sids, sd = _augment_random(
+                        sids, subj, cfg.num_random_candidates, cfg.seed + 307 + l
+                    )
                 # upper layers exist purely for navigation: filling their
                 # degree budget with near-duplicate pruned candidates
                 # (keep_pruned) strips the diversity edges the descent relies
@@ -1008,7 +1055,7 @@ class HnswBuilder:
                 # with keep_pruned applied here), so the dominance test runs
                 # strict regardless of the layer-0 setting
                 sfw = _heuristic_prune(
-                    sub, sids, sd, m, alpha=cfg.alpha, keep_pruned=False
+                    sub, sids, sd, m, xj=subj, alpha=cfg.alpha, keep_pruned=False
                 )
                 sbi = _add_reverse_edges(sfw, sub, m)
                 glob = np.where(sbi >= 0, members[np.clip(sbi, 0, None)], -1)
