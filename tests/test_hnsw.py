@@ -204,3 +204,54 @@ def test_bf16_search_matches_f32_topk(rng):
     common = np.asarray(i_bf) == np.asarray(i_f)
     assert common.mean() > 0.9
     assert np.allclose(np.asarray(d_bf)[common], np.asarray(d_f)[common], rtol=1e-5)
+
+
+def test_routing_scan_seeds_are_layer1_members(rng):
+    """route=scan seeds layer 0 from the exact nearest layer-1 members
+    (the TPU-first replacement for serial beam descent)."""
+    x = rng.standard_normal((3000, 16)).astype(np.float32)
+    b = HnswBuilder(HnswBuildConfig(seed=3), 16)
+    b.add_batch(np.arange(3000), x)
+    idx = b.build()
+    assert idx.num_layers > 1
+    rid, rv = idx._routing()
+    members = np.nonzero(np.asarray(idx.layer_edges[1] >= 0).any(1))[0]
+    np.testing.assert_array_equal(np.asarray(rid), members)
+    # scan route matches brute force on the index contents
+    q = x[:32]
+    dd, ids = idx.search(q, k=1, ef_search=32, route="scan")
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.arange(32))
+
+
+def test_routing_auto_falls_back_to_descent(rng, monkeypatch):
+    """route=auto uses beam descent when the routing layer exceeds the scan
+    cap (the very-large-index regime)."""
+    x = rng.standard_normal((2000, 8)).astype(np.float32)
+    b = HnswBuilder(HnswBuildConfig(seed=1), 8)
+    b.add_batch(np.arange(2000), x)
+    idx = b.build()
+    calls = {}
+    orig = idx._routing
+
+    def counting():
+        calls["routing"] = calls.get("routing", 0) + 1
+        return orig()
+
+    monkeypatch.setattr(idx, "_routing", counting)
+    monkeypatch.setattr(HnswIndex, "ROUTING_SCAN_MAX", 1)  # force fallback
+    dd, ids = idx.search(x[:8], k=1, ef_search=32, route="auto")
+    # fallback still answers correctly
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.arange(8))
+    assert calls.get("routing", 0) <= 1  # counted only for the size check
+
+
+def test_routing_scan_respects_deletions(rng):
+    x = rng.standard_normal((1500, 8)).astype(np.float32)
+    b = HnswBuilder(HnswBuildConfig(seed=2), 8)
+    b.add_batch(np.arange(1500), x)
+    idx = b.build()
+    dd, ids = idx.search(x[:4], k=1, ef_search=32, route="scan")
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.arange(4))
+    idx.invalidate([0, 1, 2, 3])
+    dd2, ids2 = idx.search(x[:4], k=1, ef_search=32, route="scan")
+    assert all(int(i) not in (0, 1, 2, 3) for i in np.asarray(ids2)[:, 0])
