@@ -151,6 +151,21 @@ def main():
         "batch": batch,
         "rerank": rerank,
     }
+    # Tunnel-stall insurance: if the driver's timeout (or a wedged serving
+    # tunnel) is about to kill this process, print whatever has been measured
+    # so far — a partial JSON line beats rc=124 with no line at all.
+    import signal
+
+    def _bail(signum, frame):
+        out["total_bench_seconds"] = round(time.time() - t_start, 1)
+        out["aborted_by"] = signal.Signals(signum).name
+        print(json.dumps(out), flush=True)
+        os._exit(0 if out.get("value") else 1)
+
+    signal.signal(signal.SIGTERM, _bail)
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(int(os.environ.get("MUOPDB_BENCH_HARD_BUDGET_S", 840)))
+
     headline_ok = False
     try:
         x, queries = _gen_data(n, d, batch)
