@@ -752,13 +752,20 @@ class HnswIndex:
     # routing layers beyond this many members fall back to beam descent
     ROUTING_SCAN_MAX = 131_072
 
-    def _routing(self):
-        """Layer-1 member ids/vectors for the scan route (lazy; exact f32)."""
+    def _routing_members(self):
+        """Layer-1 member ids (lazy device array)."""
         if self._routing_ids is None:
             mem = np.nonzero(np.asarray(self.layer_edges[1] >= 0).any(1))[0]
             self._routing_ids = jnp.asarray(mem.astype(np.int32))
-            self._routing_vectors = self.vectors[self._routing_ids]
-        return self._routing_ids, self._routing_vectors
+        return self._routing_ids
+
+    def _routing(self):
+        """Layer-1 member ids/vectors for the scan route (lazy; exact f32).
+        Vectors are only materialized when the scan route is actually used."""
+        rid = self._routing_members()
+        if self._routing_vectors is None:
+            self._routing_vectors = self.vectors[rid]
+        return rid, self._routing_vectors
 
     def search(self, queries, k: int = 10, ef_search: int = 100, max_hops: int | None = None,
                expand_width: int = 4, descent_ef: int = 8, route: str = "auto"):
@@ -789,7 +796,9 @@ class HnswIndex:
         sv = self._search_vectors()
         e_desc = max(1, descent_ef)
         if route == "auto":
-            n_route = self._routing()[0].shape[0] if self.num_layers > 1 else 0
+            n_route = (
+                int(self._routing_members().shape[0]) if self.num_layers > 1 else 0
+            )
             route = "scan" if 0 < n_route <= self.ROUTING_SCAN_MAX else "descent"
         if route == "scan" and self.num_layers > 1:
             rid, rv = self._routing()
