@@ -1089,12 +1089,19 @@ class HnswBuilder:
             ref_i = np.full((n, k0), -1, np.int32)
             ref_d = np.full((n, k0), np.inf, np.float32)
             ch = 4096
+            # enqueue all chunk searches first (async dispatch through the
+            # tunnel), fetch+compact after — a per-chunk sync pays one
+            # tunnel RTT per chunk (seconds each when the tunnel degrades)
+            pending = []
             for s in range(0, n, ch):
                 qs = x[s : s + ch]
                 real = qs.shape[0]
                 if real < ch:  # pad to the compiled shape
                     qs = np.pad(qs, ((0, ch - real), (0, 0)))
-                sd, si = tmp.search(qs, k=k0 + 1, ef_search=ef_r)
+                pending.append((s, real, tmp.search(qs, k=k0 + 1, ef_search=ef_r)))
+                if len(pending) > 8:  # bound in-flight device results
+                    pending[-8][2][0].block_until_ready()
+            for s, real, (sd, si) in pending:
                 sd = np.asarray(sd)[:real]
                 si = np.asarray(si)[:real]
                 keep_self = si != (np.arange(s, s + real)[:, None])
