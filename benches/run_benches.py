@@ -92,13 +92,17 @@ def bench_deletion_vacuum():
         [name] = [s["name"] for s in col.segment_infos()]
         col.run_optimizer([name], "vacuum")
         dt = time.time() - t0
-        # steady state: a second delete+vacuum hits the jit cache (the cold
-        # number is ~entirely XLA compilation — 22 compiles, measured)
-        t0 = time.time()
-        col.remove(0, list(range(1_000, 2_000)))
-        [name] = [s["name"] for s in col.segment_infos()]
-        col.run_optimizer([name], "vacuum")
-        dt_warm = time.time() - t0
+        # steady state: the cold number is ~entirely XLA compilation (22
+        # compiles, measured). Vacuum #2 rebuilds at a smaller pow2 bucket
+        # (8192 -> 4096) so it still compiles once; vacuum #3 (also 4096)
+        # is the true warm path.
+        dt_warm = None
+        for lo in (1_000, 2_000):
+            t0 = time.time()
+            col.remove(0, list(range(lo, lo + 1_000)))
+            [name] = [s["name"] for s in col.segment_infos()]
+            col.run_optimizer([name], "vacuum")
+            dt_warm = time.time() - t0
     _report("deletion_and_vacuum_5k", dt, "seconds", warm_seconds=round(dt_warm, 3))
 
 
