@@ -157,9 +157,17 @@ def main():
     import signal
 
     def _bail(signum, frame):
-        out["total_bench_seconds"] = round(time.time() - t_start, 1)
-        out["aborted_by"] = signal.Signals(signum).name
-        print(json.dumps(out), flush=True)
+        # Serialize a shallow copy: the main thread may be mutating `out`
+        # mid-assignment, and a RuntimeError inside this handler would lose
+        # the partial line this handler exists to guarantee.
+        try:
+            snap = dict(out)
+            snap["total_bench_seconds"] = round(time.time() - t_start, 1)
+            snap["aborted_by"] = signal.Signals(signum).name
+            line = json.dumps(snap)
+        except Exception:
+            line = '{"metric": "ivf_pq_qps_per_chip", "value": null, "aborted_by": "signal"}'
+        print(line, flush=True)
         os._exit(0 if out.get("value") else 1)
 
     signal.signal(signal.SIGTERM, _bail)

@@ -67,13 +67,16 @@ class MutableSegment:
         # user_id -> list of [doc_id, vector, terms, deleted]
         self._rows: Dict[int, List[list]] = {}
         self._doc_pos: Dict[Tuple[int, int], int] = {}  # (user, doc) -> row idx
+        self._live = 0  # live (non-tombstoned) row count; O(1) num_docs
         self.last_sequence_number = -1
         self._lock = threading.Lock()
 
     @property
     def num_docs(self) -> int:
+        # Counter, not a scan: the auto-flush loop polls this every 0.5 s per
+        # collection, and an O(rows) sweep under the lock stalls writers.
         with self._lock:
-            return sum(1 for rows in self._rows.values() for r in rows if not r[3])
+            return self._live
 
     def insert_for_user(
         self,
@@ -89,9 +92,13 @@ class MutableSegment:
             rows = self._rows.setdefault(user_id, [])
             key = (user_id, doc_id)
             if key in self._doc_pos:  # upsert: replace previous version
-                rows[self._doc_pos[key]][3] = True
+                prev_row = rows[self._doc_pos[key]]
+                if not prev_row[3]:
+                    prev_row[3] = True
+                    self._live -= 1
             self._doc_pos[key] = len(rows)
             rows.append([doc_id, v, terms, False])
+            self._live += 1
             self.last_sequence_number = max(self.last_sequence_number, sequence_number)
 
     def insert_batch_for_user(self, user_id: int, doc_ids, vectors,
@@ -106,13 +113,15 @@ class MutableSegment:
             rows = self._rows.setdefault(user_id, [])
             base = len(rows)
             rows.extend([d, v[i], terms_list[i], False] for i, d in enumerate(doc_ids))
+            self._live += len(doc_ids)
             # upsert marking after extension so in-batch duplicates resolve
             # (each occurrence tombstones the previous one, last wins)
             for i, d in enumerate(doc_ids):
                 key = (user_id, d)
                 prev = self._doc_pos.get(key)
-                if prev is not None and prev != base + i:
+                if prev is not None and prev != base + i and not rows[prev][3]:
                     rows[prev][3] = True
+                    self._live -= 1
                 self._doc_pos[key] = base + i
             self.last_sequence_number = max(self.last_sequence_number, sequence_number)
 
@@ -124,6 +133,8 @@ class MutableSegment:
                 return False
             row = self._rows[user_id][pos]
             found = not row[3]
+            if found:
+                self._live -= 1
             row[3] = True
             del self._doc_pos[(user_id, doc_id)]
             return found

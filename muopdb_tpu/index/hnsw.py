@@ -800,12 +800,19 @@ class HnswIndex:
                 int(self._routing_members().shape[0]) if self.num_layers > 1 else 0
             )
             route = "scan" if 0 < n_route <= self.ROUTING_SCAN_MAX else "descent"
-        if route == "scan" and self.num_layers > 1:
+        if (
+            route == "scan"
+            and self.num_layers > 1
+            and int(self._routing_members().shape[0]) > 0
+        ):
             rid, rv = self._routing()
             dd = l2_distance(q, rv)
             _, sel = jax.lax.top_k(-dd, min(e_desc, int(rv.shape[0])))
             entry = rid[sel]  # (B, e_desc) exact best routing members
         else:
+            # (also reached when route="scan" was requested but the routing
+            # set is empty — an empty entry array would never seed the beam
+            # and silently return all -1s; fall back to descent seeding.)
             # Beam descent through upper layers (not greedy ef=1): on
             # clustered data layer 0 keeps mostly intra-cluster edges, so
             # the search succeeds iff an entry lands in the query's cluster.

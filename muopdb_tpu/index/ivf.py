@@ -981,10 +981,14 @@ class IvfIndex:
 
     def _vectors_padded(self):
         # bf16 storage on accelerators: the flat Pallas kernel already rounds
-        # operands to bf16 on the MXU, so storing bf16 halves the HBM stream
-        # (the whole cost of the sweep) without changing the scores it was
-        # already producing. The f32 raw store stays resident for reranks.
-        # Opt out with MUOPDB_FLAT_BF16_STORE=0.
+        # the MXU cross-term operands to bf16, so storing bf16 halves the HBM
+        # stream (the whole cost of the sweep). NOTE the kernel's ||x||^2 term
+        # is summed from the stored dtype (scan.py:32), so bf16 storage also
+        # coarsens the norm (~2^-8 relative) — near-tie top-k orderings on the
+        # non-reranked flat path can shift vs f32 storage. A (1,N) f32 xsq
+        # operand stalls Mosaic (sublane-1 layout) and a post-kernel
+        # correction row doubles output traffic, so the rounding is accepted
+        # and documented. Opt out with MUOPDB_FLAT_BF16_STORE=0.
         if not hasattr(self, "_vec_pad_cache"):
             pad = (-self.num_points) % 1024
             padded = jnp.pad(self.raw_vectors, ((0, pad), (0, 0)))

@@ -56,13 +56,14 @@ def read_ranges(path: str, ranges: list[tuple[int, int]]) -> list[bytes]:
             eng.submit(path, off, ln, buf)
             for (off, ln), buf in zip(ranges, bufs)
         ]
-        out = []
-        for t, buf in zip(tickets, bufs):
-            got = eng.wait(t)
-            if got < 0:
-                raise OSError(f"async read failed: {path}")
-            out.append(buf[:got].tobytes())
-        return out
+        # Drain EVERY ticket before raising: a worker thread may still be
+        # pread()ing into a later buffer, and an unclaimed ticket would leak
+        # its completion entry in the engine's done map forever.
+        results = [eng.wait(t) for t in tickets]
+        failed = [i for i, got in enumerate(results) if got < 0]
+        if failed:
+            raise OSError(f"async read failed: {path} (ranges {failed})")
+        return [buf[:got].tobytes() for got, buf in zip(results, bufs)]
 
     def one(off_ln):
         off, ln = off_ln

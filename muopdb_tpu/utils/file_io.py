@@ -198,25 +198,30 @@ class BlockCache:
             else:
                 from_disk = False
                 data = fill()
-            evicted = []
-            with self._lock:
-                if from_disk:
-                    self.disk_hits += 1
-                else:
-                    self.misses += 1
-                self._lru[key] = data
-                self._size += len(data)
-                while self._size > self.capacity_bytes and self._lru:
-                    ek, ev_data = self._lru.popitem(last=False)
-                    self._size -= len(ev_data)
-                    evicted.append((ek, ev_data))
-            if self.disk is not None:
-                for ek, ev_data in evicted:  # spill outside the lock
-                    self.disk.put(ek, ev_data)
+            self._insert_block(key, data, from_disk=from_disk)
             return data
         finally:
             with self._lock:
                 self._fills.pop(key).set()
+
+    def _insert_block(self, key: Tuple[str, int], data: bytes, from_disk: bool = False) -> None:
+        """Insert a filled block under the lock, spilling evictions to L2."""
+        evicted = []
+        with self._lock:
+            if from_disk:
+                self.disk_hits += 1
+            else:
+                self.misses += 1
+            if key not in self._lru:
+                self._lru[key] = data
+                self._size += len(data)
+            while self._size > self.capacity_bytes and self._lru:
+                ek, ev_data = self._lru.popitem(last=False)
+                self._size -= len(ev_data)
+                evicted.append((ek, ev_data))
+        if self.disk is not None:
+            for ek, ev_data in evicted:  # spill outside the lock
+                self.disk.put(ek, ev_data)
 
     def read(self, path: str, source: FileIO, offset: int, length: int) -> bytes:
         """Read [offset, offset+length) through block-granular cache
@@ -227,29 +232,43 @@ class BlockCache:
         first = offset // bs
         last = (offset + length - 1) // bs if length else first
         idxs = list(range(first, last + 1))
-        prefetched: Dict[int, bytes] = {}
         if len(idxs) > 1:
+            # Claim the missing blocks in _fills BEFORE issuing the parallel
+            # prefetch so a concurrent reader of the same range waits on the
+            # events instead of re-reading the same source bytes.
+            claimed: list = []
             with self._lock:
-                missing = [
-                    bi for bi in idxs
-                    if (path, bi) not in self._lru and (path, bi) not in self._fills
-                ]
-            if self.disk is not None:  # L2 hits are local: no prefetch needed
-                missing = [bi for bi in missing if not self.disk.contains((path, bi))]
-            if len(missing) > 1:
-                from . import async_io
+                for bi in idxs:
+                    bkey = (path, bi)
+                    if bkey not in self._lru and bkey not in self._fills:
+                        self._fills[bkey] = threading.Event()
+                        claimed.append(bi)
+            if claimed:
+                try:
+                    to_read = claimed
+                    if self.disk is not None:  # L2 hits are local: no prefetch
+                        to_read = [
+                            bi for bi in claimed
+                            if not self.disk.contains((path, bi))
+                        ]
+                    if to_read:
+                        from . import async_io
 
-                blocks = async_io.read_source_ranges(
-                    source, [(bi * bs, bs) for bi in missing]
-                )
-                prefetched = dict(zip(missing, blocks))
+                        blocks = async_io.read_source_ranges(
+                            source, [(bi * bs, bs) for bi in to_read]
+                        )
+                        for bi, blk in zip(to_read, blocks):
+                            self._insert_block((path, bi), blk)
+                finally:
+                    with self._lock:
+                        for bi in claimed:
+                            ev = self._fills.pop((path, bi), None)
+                            if ev is not None:
+                                ev.set()
         parts = []
         for bi in idxs:
             blk = self._get_block(
-                (path, bi),
-                lambda bi=bi: (
-                    prefetched[bi] if bi in prefetched else source.read(bi * bs, bs)
-                ),
+                (path, bi), lambda bi=bi: source.read(bi * bs, bs)
             )
             parts.append(blk)
         data = b"".join(parts)
