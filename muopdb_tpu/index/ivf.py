@@ -593,6 +593,17 @@ class IvfIndex:
         point_owner=None,
     ):
         self.centroids = jnp.asarray(centroids)
+        # pow2_pad appends sentinel centroids at 1e15 (from_posting_lists);
+        # everything that ENUMERATES centroids (SPANN's navigating HNSW,
+        # probe clamping) must see only the real ones, while jitted programs
+        # keep the padded array for shape bucketing. Detect by magnitude so
+        # legacy saved indexes (no recorded count) work too.
+        c_np = np.asarray(centroids)
+        if c_np.size:
+            real_mask = ~np.any(np.abs(c_np) >= 1e14, axis=1)
+            self.num_real_centroids = int(real_mask.sum())
+        else:
+            self.num_real_centroids = 0
         self.pl_data = jnp.asarray(pl_data)
         self.pos_to_point = jnp.asarray(pos_to_point, jnp.int32)
         self.list_block_start = jnp.asarray(list_block_start, jnp.int32)
@@ -825,7 +836,9 @@ class IvfIndex:
         filter_mask: optional (num_points,) bool — boolean-filter pushdown
         (the TPU form of plan_with_ids intersection, planner.rs:45-61)."""
         q = jnp.asarray(np.asarray(queries, np.float32))
-        nprobe = min(nprobe, self.centroids.shape[0])
+        # clamp to REAL centroids: nprobe above the real count would start
+        # selecting pow2-pad sentinels (empty far-away lists) as probes
+        nprobe = min(nprobe, max(1, self.num_real_centroids))
         # Plan selection (measured on the chip, round 2): the whole-index
         # fused sweep + per-query probe mask beats the per-query block
         # gather at EVERY batch size here — PQ codes for 1M x m16 are only

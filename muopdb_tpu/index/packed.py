@@ -1,0 +1,458 @@
+"""Packed multi-user serving index: ALL small users in one device slab.
+
+The reference serves every user from its own SPANN index and loops users per
+request (rs/index/src/collection/snapshot.rs:39-106, multi_spann/index.rs:21-129).
+That shape is wrong for TPU at BASELINE config #5 scale (10k users): 10k
+per-user k-means + HNSW builds are 10k dispatch chains through the serving
+tunnel, 10k sets of per-user device arrays blow HBM with padding, and a
+request naming 30 users costs 30 dispatches.
+
+TPU-first redesign (this module):
+  * BUILD: no per-user clustering at all. Small users' points are
+    concatenated into ONE slab (vectors + optional PQ codes sharing the
+    segment's single quantizer, the same invariant the reference's per-flush
+    PQ training provides). The whole build is one PQ encode sweep — 10k
+    users build in seconds, not hours.
+  * SERVE: a request naming any subset of users becomes a host-built gather
+    list (the users' live point ranges, with hybrid boolean filters and
+    deletions already applied), padded to a pow2 bucket, and ONE fused
+    device program: gather code columns -> ADC sweep -> approx top-k ->
+    exact rerank -> top-k. Cost scales with the points the request can
+    actually see, not with the index; arbitrary user subsets share the
+    same compiled program (no per-user-set cache to thrash).
+  * Deletions and filters are HOST-side list surgery (the gather list simply
+    omits dead/filtered points) — no device mask refresh, and term-filter
+    pushdown costs zero extra device work.
+
+Per-user centroid structure only pays above a size threshold; users above it
+keep the per-user SPANN path (index/spann.py). Plan selection lives in
+MultiSpannBuilder (multi_spann.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import threading
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quantization import ProductQuantizer
+from ..ops.distance import l2_distance
+from ..ops.topk import top_k_smallest
+
+# one fused subset sweep is capped at this many gathered points; larger
+# subsets chunk the gather list and merge on host (dispatches chain async)
+_MAX_SUBSET_POINTS = int(os.environ.get("MUOPDB_PACKED_SUBSET_POINTS", 2 * 1024 * 1024))
+# score-matrix budget for one query chunk (floats): bounds (B_c, Ppad)
+_SCORE_BUDGET = 64 * 1024 * 1024
+
+
+def _pow2(n: int, minimum: int) -> int:
+    return 1 << max(minimum.bit_length() - 1, (max(n, 1) - 1).bit_length())
+
+
+def _query_chunk(b_pad: int, p_pad: int) -> int:
+    c = max(8, _SCORE_BUDGET // max(p_pad, 1))
+    c = 1 << (c.bit_length() - 1)
+    return min(b_pad, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "rerank", "chunk", "use_pallas", "distance_type", "int8_adc"),
+)
+def _packed_pq_subset(
+    q,        # (Bpad, d) f32
+    codes_t,  # (m, Npad) int32 — whole-slab transposed codes
+    codebook, # (m, ksub, dsub) f32
+    raw,      # (N, d) f32 rerank store
+    ids,      # (Ppad,) int32 global slab positions, in-range (pad = 0)
+    sel_ok,   # (Ppad,) bool — False on pad entries
+    *,
+    k: int,
+    rerank: int,
+    chunk: int,
+    use_pallas: bool,
+    distance_type: str,
+    int8_adc: bool,
+):
+    """Gather the subset's code columns, ADC-sweep, rerank exactly; one
+    program for ANY user subset of the same (Bpad, Ppad) bucket."""
+    from ..quantization.pq import _compute_lut_dot, _compute_lut_l2
+    from .ivf import _adc_scores_full
+
+    p = ids.shape[0]
+    sub = jnp.take(codes_t, ids, axis=1)  # (m, Ppad)
+    lut_fn = _compute_lut_l2 if distance_type == "L2" else _compute_lut_dot
+
+    def one(qc):
+        lut = lut_fn(qc, codebook)
+        scores = _adc_scores_full(lut, sub, p, use_pallas, int8_adc)
+        scores = jnp.where(sel_ok[None, :], scores, jnp.inf)
+        if rerank:
+            r = min(max(rerank, k), p)
+            neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
+            cand = raw[ids[ci]]  # (Bc, r, d)
+            exact = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(qc, cand)
+            exact = jnp.where(jnp.isfinite(-neg), exact, jnp.inf)
+            d, i = top_k_smallest(exact, ci.astype(jnp.int32), k)
+        else:
+            d, i = top_k_smallest(scores, jnp.arange(p, dtype=jnp.int32), k)
+        return d, jnp.where(jnp.isinf(d), -1, i)
+
+    b = q.shape[0]
+    res_d, res_i = jax.lax.map(one, q.reshape(b // chunk, chunk, -1))
+    return res_d.reshape(b, -1), res_i.reshape(b, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "use_pallas"))
+def _packed_flat_subset(q, vectors, ids, sel_ok, *, k: int, chunk: int, use_pallas: bool):
+    """Flat (unquantized) subset sweep: gather rows, exact L2, top-k."""
+    from ..ops.pallas.scan import flat_full_scan
+
+    p = ids.shape[0]
+    sub = vectors[ids]  # (Ppad, d)
+
+    def one(qc):
+        if use_pallas:
+            scores = flat_full_scan(qc, sub.astype(jnp.bfloat16))[:, :p]
+        else:
+            scores = l2_distance(qc, sub.astype(jnp.float32))
+        scores = jnp.where(sel_ok[None, :], scores, jnp.inf)
+        d, i = top_k_smallest(scores, jnp.arange(p, dtype=jnp.int32), k)
+        return d, jnp.where(jnp.isinf(d), -1, i)
+
+    b = q.shape[0]
+    res_d, res_i = jax.lax.map(one, q.reshape(b // chunk, chunk, -1))
+    return res_d.reshape(b, -1), res_i.reshape(b, -1)
+
+
+class _PackedIvfFacade:
+    """Minimal `.ivf` surface some callers expect on a per-user index
+    (segment.term_search_for_user reads spann.ivf.point_valid)."""
+
+    def __init__(self, parent: "PackedUsers", uid: int):
+        self._parent = parent
+        self._uid = uid
+
+    @property
+    def point_valid(self) -> np.ndarray:
+        s, e = self._parent._range(self._uid)
+        return self._parent.valid_host[s:e]
+
+    point_valid_host = point_valid
+
+    @property
+    def num_points(self) -> int:
+        s, e = self._parent._range(self._uid)
+        return e - s
+
+
+class PackedUserView:
+    """Per-user window over the packed slab, exposing the SpannIndex surface
+    consumed by segments and optimizers (search_doc_ids, valid_arrays,
+    iter_valid_with_pid, invalidate_*; point ids are user-local)."""
+
+    def __init__(self, parent: "PackedUsers", uid: int):
+        self._p = parent
+        self._uid = uid
+        self.ivf = _PackedIvfFacade(parent, uid)
+
+    @property
+    def num_points(self) -> int:
+        s, e = self._p._range(self._uid)
+        return e - s
+
+    @property
+    def num_valid_points(self) -> int:
+        s, e = self._p._range(self._uid)
+        return int(self._p.valid_host[s:e].sum())
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        s, e = self._p._range(self._uid)
+        return self._p.doc_ids[s:e]
+
+    def search_doc_ids(self, queries, k: int = 10, num_explored_centroids: int = 10,
+                       filter_mask=None, **kw):
+        masks = {self._uid: filter_mask} if filter_mask is not None else None
+        return self._p.search_users([self._uid], queries, k=k, filter_masks=masks)
+
+    def invalidate_doc_ids_found(self, doc_ids_u128) -> list:
+        return sorted(self._p.invalidate_found(self._uid, doc_ids_u128))
+
+    def invalidate_doc_ids(self, doc_ids_u128) -> int:
+        return len(self._p.invalidate_found(self._uid, doc_ids_u128))
+
+    def valid_arrays(self):
+        s, e = self._p._range(self._uid)
+        v = self._p.valid_host[s:e]
+        pts = np.nonzero(v)[0].astype(np.int64)
+        return pts, self._p.doc_ids[s:e][pts], self._p.vectors_host[s:e][pts]
+
+    def iter_valid_with_pid(self):
+        pts, docs, vecs = self.valid_arrays()
+        for i in range(len(pts)):
+            lo, hi = docs[i]
+            yield int(pts[i]), ((int(hi) << 64) | int(lo)), vecs[i]
+
+    def iter_valid(self):
+        for _, doc, vec in self.iter_valid_with_pid():
+            yield doc, vec
+
+
+class PackedUsers:
+    """The slab: every packed user's points concatenated in user order.
+
+    Host state is the master copy (vectors, codes, doc ids, validity);
+    device arrays are staged lazily on first search and never mutated —
+    deletions/filters act on the host-built gather list.
+    """
+
+    def __init__(self, uids: Sequence[int], starts: np.ndarray, vectors: np.ndarray,
+                 doc_ids: np.ndarray, quantizer, codes: Optional[np.ndarray] = None,
+                 distance_type: str = "L2", valid: Optional[np.ndarray] = None):
+        self.uids = [int(u) for u in uids]
+        self.slot = {u: i for i, u in enumerate(self.uids)}
+        self.starts = np.asarray(starts, np.int64)  # (U+1,)
+        self.vectors_host = np.asarray(vectors, np.float32)  # (N, d)
+        self.doc_ids = np.asarray(doc_ids, np.uint64).reshape(-1, 2)
+        self.quantizer = quantizer
+        self.codes_host = None if codes is None else np.asarray(codes)
+        self.distance_type = distance_type
+        n = len(self.vectors_host)
+        self.valid_host = (
+            np.ones(n, bool) if valid is None else np.asarray(valid, bool).copy()
+        )
+        self._lock = threading.Lock()
+        self._doc_maps: Dict[int, Dict[int, int]] = {}  # uid -> doc_u128 -> local pid
+        self._dev = None  # (codes_t int32 (m, Npad)) or (vectors f32/bf16 (Npad, d))
+        self._raw_dev = None
+
+    # -- basic accessors -------------------------------------------------
+    def has(self, uid: int) -> bool:
+        return uid in self.slot
+
+    def _range(self, uid: int) -> Tuple[int, int]:
+        i = self.slot[uid]
+        return int(self.starts[i]), int(self.starts[i + 1])
+
+    @property
+    def num_points(self) -> int:
+        return len(self.vectors_host)
+
+    @property
+    def num_valid_points(self) -> int:
+        return int(self.valid_host.sum())
+
+    def view(self, uid: int) -> PackedUserView:
+        return PackedUserView(self, uid)
+
+    def is_pq(self) -> bool:
+        return isinstance(self.quantizer, ProductQuantizer)
+
+    # -- device staging --------------------------------------------------
+    def _device(self):
+        """Stage the slab on device once: ONE upload for codes/vectors and
+        one for the rerank store (vs 10k per-user uploads through the
+        tunnel with per-user indexes)."""
+        with self._lock:
+            if self._dev is not None:
+                return self._dev, self._raw_dev
+            n = self.num_points
+            if self.is_pq():
+                npad = _pow2(n, 512)
+                ct = np.zeros((self.quantizer.num_subvectors, npad), np.int32)
+                ct[:, :n] = self.codes_host.T
+                self._dev = jnp.asarray(ct)
+                self._raw_dev = jnp.asarray(self.vectors_host)
+            else:
+                npad = _pow2(n, 1024)
+                v = np.zeros((npad, self.vectors_host.shape[1]), np.float32)
+                v[:n] = self.vectors_host
+                self._dev = jnp.asarray(v)
+                self._raw_dev = self._dev
+            return self._dev, self._raw_dev
+
+    # -- search ----------------------------------------------------------
+    def gather_list(self, uids: Sequence[int],
+                    filter_masks: Optional[Dict[int, np.ndarray]] = None) -> np.ndarray:
+        """Host-built list of live global positions the request may see:
+        deletions and boolean filters applied here, not on device."""
+        parts = []
+        for u in uids:
+            if u not in self.slot:
+                continue
+            s, e = self._range(u)
+            v = self.valid_host[s:e]
+            if filter_masks is not None and filter_masks.get(u) is not None:
+                fm = np.asarray(filter_masks[u], bool)
+                m = np.zeros(e - s, bool)
+                m[: len(fm)] = fm[: e - s]
+                v = v & m
+            parts.append(s + np.nonzero(v)[0].astype(np.int32))
+        if not parts:
+            return np.zeros(0, np.int32)
+        return np.concatenate(parts)
+
+    def search_users(self, uids: Sequence[int], queries, k: int = 10, *,
+                     rerank: int = 0, filter_masks=None) -> List[List[Tuple[int, float]]]:
+        """search_for_users semantics over packed users: per query, top-k
+        [(doc_u128, dist)] over all requested users' live+filtered points.
+        Exact over the subset (full scan + optional PQ rerank)."""
+        q = np.asarray(queries, np.float32).reshape(-1, self.vectors_host.shape[1])
+        b = len(q)
+        ids = self.gather_list(uids, filter_masks)
+        if len(ids) == 0:
+            return [[] for _ in range(b)]
+        if self.is_pq() and rerank == 0:
+            rerank = max(4 * k, 64)  # exact-rerank default restores recall
+        dev, raw = self._device()
+        bpad = _pow2(b, 8)
+        qp = np.zeros((bpad, q.shape[1]), np.float32)
+        qp[:b] = q
+        qj = jnp.asarray(qp)
+        use_pallas = jax.default_backend() not in ("cpu",)
+
+        out_d, out_pos = [], []
+        for c0 in range(0, len(ids), _MAX_SUBSET_POINTS):
+            ch = ids[c0 : c0 + _MAX_SUBSET_POINTS]
+            ppad = _pow2(len(ch), 512)
+            idp = np.zeros(ppad, np.int32)
+            idp[: len(ch)] = ch
+            ok = np.zeros(ppad, bool)
+            ok[: len(ch)] = True
+            kk = min(k, len(ch))
+            if self.is_pq():
+                d, pos = _packed_pq_subset(
+                    qj, dev, jnp.asarray(self.quantizer.codebook), raw,
+                    jnp.asarray(idp), jnp.asarray(ok),
+                    k=kk, rerank=min(rerank, len(ch)) if rerank else 0,
+                    chunk=_query_chunk(bpad, ppad), use_pallas=use_pallas,
+                    distance_type="L2" if self.distance_type in ("L2", "l2") else "dot",
+                    int8_adc=use_pallas and os.environ.get("MUOPDB_ADC_INT8", "1") != "0",
+                )
+            else:
+                d, pos = _packed_flat_subset(
+                    qj, dev, jnp.asarray(idp), jnp.asarray(ok),
+                    k=kk, chunk=_query_chunk(bpad, ppad), use_pallas=use_pallas,
+                )
+            d = np.asarray(d)[:b]
+            pos = np.asarray(pos)[:b]
+            gp = np.where(pos >= 0, idp[np.clip(pos, 0, ppad - 1)], -1)
+            out_d.append(d)
+            out_pos.append(gp)
+        all_d = np.concatenate(out_d, axis=1)
+        all_p = np.concatenate(out_pos, axis=1)
+        order = np.argsort(all_d, axis=1)[:, :k]
+        res: List[List[Tuple[int, float]]] = []
+        for r in range(b):
+            pairs = []
+            for c in order[r]:
+                dv = all_d[r, c]
+                gp = all_p[r, c]
+                if gp >= 0 and np.isfinite(dv):
+                    lo, hi = self.doc_ids[gp]
+                    pairs.append(((int(hi) << 64) | int(lo), float(dv)))
+            res.append(pairs)
+        return res
+
+    # -- deletions -------------------------------------------------------
+    def _doc_map(self, uid: int) -> Dict[int, int]:
+        m = self._doc_maps.get(uid)
+        if m is None:
+            s, e = self._range(uid)
+            d = self.doc_ids[s:e]
+            m = {
+                (int(d[i, 1]) << 64) | int(d[i, 0]): i for i in range(e - s)
+            }
+            self._doc_maps[uid] = m
+        return m
+
+    def invalidate_found(self, uid: int, doc_ids_u128: Iterable[int]) -> set:
+        if uid not in self.slot:
+            return set()
+        s, _ = self._range(uid)
+        found = set()
+        with self._lock:
+            m = self._doc_map(uid)
+            for doc in doc_ids_u128:
+                pid = m.get(int(doc))
+                if pid is not None and self.valid_host[s + pid]:
+                    self.valid_host[s + pid] = False
+                    found.add(int(doc))
+        return found
+
+    # -- persistence -----------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez(
+            os.path.join(directory, "packed.npz"),
+            starts=self.starts,
+            vectors=self.vectors_host,
+            doc_ids=self.doc_ids,
+            valid=self.valid_host,
+            **({"codes": self.codes_host} if self.codes_host is not None else {}),
+        )
+        self.quantizer.save(directory)
+        with open(os.path.join(directory, "packed.json"), "w") as f:
+            json.dump(
+                {
+                    "user_ids": [f"{u:032x}" for u in self.uids],
+                    "distance_type": self.distance_type,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, directory: str) -> "PackedUsers":
+        from ..quantization import load_dir
+        from ..utils.file_io import open_reader
+
+        z = np.load(open_reader(os.path.join(directory, "packed.npz")))
+        with open_reader(os.path.join(directory, "packed.json")) as f:
+            cfg = json.load(f)
+        return cls(
+            uids=[int(s, 16) for s in cfg["user_ids"]],
+            starts=z["starts"],
+            vectors=z["vectors"],
+            doc_ids=z["doc_ids"],
+            quantizer=load_dir(directory),
+            codes=z["codes"] if "codes" in z.files else None,
+            distance_type=cfg["distance_type"],
+            valid=z["valid"],
+        )
+
+    # -- construction ----------------------------------------------------
+    @classmethod
+    def build(cls, user_rows: List[Tuple[int, np.ndarray, np.ndarray]],
+              quantizer=None, distance_type: str = "L2") -> "PackedUsers":
+        """user_rows: [(uid, doc_pairs (n,2) uint64, vectors (n,d) f32)],
+        any order; users are laid out sorted by uid. One PQ encode sweep is
+        the only device work."""
+        from ..quantization import NoQuantizer
+
+        user_rows = sorted(user_rows, key=lambda t: t[0])
+        uids = [u for u, _, _ in user_rows]
+        sizes = [len(v) for _, _, v in user_rows]
+        starts = np.zeros(len(uids) + 1, np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        vectors = (
+            np.concatenate([v for _, _, v in user_rows])
+            if user_rows else np.zeros((0, 1), np.float32)
+        )
+        doc_ids = (
+            np.concatenate([d for _, d, _ in user_rows])
+            if user_rows else np.zeros((0, 2), np.uint64)
+        )
+        dim = vectors.shape[1]
+        quantizer = quantizer or NoQuantizer(dim=dim)
+        codes = None
+        if isinstance(quantizer, ProductQuantizer) and len(vectors):
+            codes = quantizer.quantize(vectors)
+        return cls(uids, starts, vectors, doc_ids, quantizer, codes, distance_type)

@@ -72,13 +72,19 @@ class SpannIndex:
         """spann/index.rs:211-265: HNSW ann over centroids, prune by distance
         ratio, scan the surviving posting lists."""
         q = np.asarray(queries, np.float32)
-        nc = self.centroid_hnsw.num_points
-        ne = min(num_explored_centroids, nc)
+        # New builds insert only REAL centroids into the navigating graph;
+        # legacy indexes may still carry pow2-pad sentinels in the HNSW, so
+        # clamp exploration and mask emitted probes to the real count.
+        nc = min(
+            self.centroid_hnsw.num_points,
+            getattr(self.ivf, "num_real_centroids", self.centroid_hnsw.num_points),
+        )
+        ne = min(num_explored_centroids, max(1, nc))
         ef = max(ef_search or ne, ne)
         cd, probes = self.centroid_hnsw.search(q, k=ne, ef_search=ef)
         # ratio prune (spann/index.rs:233-246)
         ok = jnp.asarray(cd) <= jnp.asarray(cd)[:, :1] * (1.0 + centroid_distance_ratio)
-        ok = ok & (jnp.asarray(probes) >= 0)
+        ok = ok & (jnp.asarray(probes) >= 0) & (jnp.asarray(probes) < nc)
         probes = jnp.clip(jnp.asarray(probes), 0, None)
         return self.ivf.search_with_probes(q, probes, ok, k=k, chunk=chunk, filter_mask=filter_mask)
 
@@ -188,7 +194,10 @@ class SpannBuilder:
 
     def build(self, quantizer=None, seed: int = 0) -> SpannIndex:
         ivf = self.ivf_builder.build(quantizer=quantizer, seed=seed)
-        centroids = np.asarray(ivf.centroids)
+        # only REAL centroids enter the navigating graph — pow2-pad sentinels
+        # (ivf.from_posting_lists) would waste build work, graph degree, and
+        # beam slots, and near-full num_explored_centroids could emit them
+        centroids = np.asarray(ivf.centroids)[: ivf.num_real_centroids]
         hb = HnswBuilder(
             HnswBuildConfig(
                 max_neighbors=self.config.centroids_max_neighbors,

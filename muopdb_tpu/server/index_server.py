@@ -200,6 +200,11 @@ class IndexServerImpl:
             k = params.top_k or 10
             ne = params.num_explored_centroids if params.HasField("num_explored_centroids") else k
             ratio = params.centroid_distance_ratio if params.centroid_distance_ratio else 0.1
+            # SearchParams.ef_construction is the reference's search-time ef
+            # knob (search_params.rs:4, consumed as the working-list bound in
+            # hnsw/block_based/index.rs:217-277): widen the centroid-HNSW beam
+            # beyond num_explored_centroids. 0/unset keeps current behavior.
+            ef = params.ef_construction or None
             where = (
                 filter_from_proto(req.where_document)
                 if req.HasField("where_document")
@@ -210,14 +215,14 @@ class IndexServerImpl:
                 with record_stats() as stats, col.get_snapshot() as snap:
                     res = snap.search_for_users(
                         user_ids, q, k=k, num_explored_centroids=ne, where=where,
-                        centroid_distance_ratio=ratio,
+                        centroid_distance_ratio=ratio, ef_search=ef,
                     )
                 pages = stats.blocks_accessed
             else:
                 with col.get_snapshot() as snap:
                     res = snap.search_for_users(
                         user_ids, q, k=k, num_explored_centroids=ne, where=where,
-                        centroid_distance_ratio=ratio,
+                        centroid_distance_ratio=ratio, ef_search=ef,
                     )
             resp = pb.SearchResponse(num_pages_accessed=pages)
             for row in res:

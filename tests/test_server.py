@@ -335,6 +335,68 @@ def test_record_metrics_reports_pages(index_server):
     assert sr.num_pages_accessed > 0
 
 
+def test_search_params_ef_is_consumed(index_server, monkeypatch):
+    """SearchParams.ef_construction is the reference's search-time recall
+    knob (search_params.rs:4 -> hnsw working-list bound): it must reach
+    SpannIndex.search as ef_search, and a wider ef must not hurt recall."""
+    from muopdb_tpu.index.spann import SpannIndex
+
+    stub = index_server["stub"]
+    req = pb.CreateCollectionRequest(
+        collection_name="cef",
+        num_features=8,
+        initial_num_centroids=32,
+        centroids_ef_construction=32,
+    )
+    stub.CreateCollection(req)
+    rng = np.random.default_rng(11)
+    # clustered data so centroid probing is selective
+    centers = rng.standard_normal((32, 8)).astype(np.float32) * 5
+    x = (centers[rng.integers(0, 32, 600)] +
+         rng.standard_normal((600, 8)).astype(np.float32) * 0.3)
+    stub.Insert(
+        pb.InsertRequest(
+            collection_name="cef",
+            doc_ids=_ids(range(600)),
+            vectors=x.reshape(-1).tolist(),
+            user_ids=_ids([1]),
+        )
+    )
+    stub.Flush(pb.FlushRequest(collection_name="cef"))
+
+    seen = []
+    orig = SpannIndex.search
+
+    def spy(self, queries, k=10, num_explored_centroids=10, **kw):
+        seen.append(kw.get("ef_search"))
+        return orig(self, queries, k, num_explored_centroids, **kw)
+
+    monkeypatch.setattr(SpannIndex, "search", spy)
+
+    def recall_at(ef):
+        hits = 0
+        for qi in range(20):
+            sr = stub.Search(
+                pb.SearchRequest(
+                    collection_name="cef",
+                    vector=x[qi].tolist(),
+                    params=pb.SearchParams(
+                        top_k=5, num_explored_centroids=2, ef_construction=ef
+                    ),
+                    user_ids=_ids([1]),
+                )
+            )
+            hits += int(any(d.low_id == qi for d in sr.doc_ids))
+        return hits / 20
+
+    r_small = recall_at(1)
+    assert seen and seen[-1] == 1  # the wire knob reached the index
+    r_big = recall_at(64)
+    assert seen[-1] == 64
+    assert r_big >= r_small
+    assert r_big >= 0.9  # ef=64 over 32 centroids is near-exhaustive probing
+
+
 def test_aggregator_partial_results_on_hung_shard(tmp_path, index_server):
     """Hardening beyond the reference: one healthy shard + one shard whose
     node address points at a black-hole port. Get must return the healthy
