@@ -158,6 +158,12 @@ class CollectionConfig:
     posting_list_block_rows: int = 256
     # dtype used for on-device scoring ("bfloat16" or "float32").
     scoring_dtype: str = "float32"
+    # Multi-user packed serving (index/packed.py): at >= packed_min_users
+    # users, users with fewer than packed_user_threshold docs skip per-user
+    # SPANN construction and concatenate into one device slab served by
+    # fused subset sweeps. 0 threshold disables packing.
+    packed_user_threshold: int = 2048
+    packed_min_users: int = 64
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)

@@ -144,6 +144,16 @@ class IvfBuilder:
     def __len__(self) -> int:
         return len(self._rows)
 
+    def staged_arrays(self):
+        """(doc_pairs (n,2) uint64, vectors (n,d) f32) of everything added —
+        the packed multi-user build path consumes staged rows directly
+        (index/packed.py) instead of running per-user clustering."""
+        pairs = (
+            np.concatenate(self._doc_pairs)
+            if self._doc_pairs else np.zeros((0, 2), np.uint64)
+        )
+        return pairs, self._rows.to_numpy()
+
     # -- clustering ------------------------------------------------------
     def _cluster(self, x: np.ndarray, seed: int = 0, xj=None) -> np.ndarray:
         """k-means with recursive splitting of oversized clusters

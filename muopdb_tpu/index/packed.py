@@ -322,7 +322,9 @@ class PackedUsers:
         out_d, out_pos = [], []
         for c0 in range(0, len(ids), _MAX_SUBSET_POINTS):
             ch = ids[c0 : c0 + _MAX_SUBSET_POINTS]
-            ppad = _pow2(len(ch), 512)
+            # kernel block constraints: ADC tiles 512 columns, the flat
+            # Pallas scan tiles 1024 rows
+            ppad = _pow2(len(ch), 512 if self.is_pq() else 1024)
             idp = np.zeros(ppad, np.int32)
             idp[: len(ch)] = ch
             ok = np.zeros(ppad, bool)

@@ -30,6 +30,9 @@ class SpannBuildConfig:
     centroids_max_neighbors: int = 10
     centroids_max_layers: int = 10
     centroids_ef_construction: int = 100
+    # multi-user packed-slab plan selection (index/packed.py)
+    packed_user_threshold: int = 2048
+    packed_min_users: int = 64
 
     @classmethod
     def from_collection_config(cls, c: CollectionConfig) -> "SpannBuildConfig":
@@ -38,6 +41,8 @@ class SpannBuildConfig:
             centroids_max_neighbors=c.centroids_max_neighbors,
             centroids_max_layers=c.centroids_max_layers,
             centroids_ef_construction=c.centroids_ef_construction,
+            packed_user_threshold=c.packed_user_threshold,
+            packed_min_users=c.packed_min_users,
         )
 
 

@@ -1,0 +1,188 @@
+"""Packed multi-user serving slab (index/packed.py): plan selection,
+result parity with per-user SPANN, filters, deletions, persistence.
+
+Reference behavior re-provided: multi-user search semantics of
+rs/index/src/collection/snapshot.rs:39-106 (per query, top-k across all
+requested users) and multi_spann/index.rs:21-129 (per-user isolation,
+invalidation) — the packed slab is the TPU-first plan for many small users.
+"""
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.index.ivf import IvfBuildConfig
+from muopdb_tpu.index.multi_spann import MultiSpannBuilder, MultiSpannIndex
+from muopdb_tpu.index.packed import PackedUsers
+from muopdb_tpu.index.spann import SpannBuildConfig
+from muopdb_tpu.quantization import ProductQuantizer
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _cfg(num_centroids=4, block_rows=8, packed_min_users=4,
+         packed_user_threshold=2048, **kw):
+    return SpannBuildConfig(
+        ivf=IvfBuildConfig(num_centroids=num_centroids, block_rows=block_rows, **kw),
+        packed_min_users=packed_min_users,
+        packed_user_threshold=packed_user_threshold,
+    )
+
+
+def _build_users(rng, d=8, n_users=6, docs=30, **cfg_kw):
+    b = MultiSpannBuilder(_cfg(**cfg_kw), dim=d)
+    data = {}
+    for uid in range(1, n_users + 1):
+        x = rng.standard_normal((docs, d)).astype(np.float32)
+        data[uid] = x
+        for i in range(docs):
+            b.insert(uid, uid * 1000 + i, x[i])
+    return b.build(), data
+
+
+def test_packed_plan_selection(rng):
+    # >= packed_min_users small users -> packed slab, no per-user spanns
+    idx, _ = _build_users(rng, n_users=6)
+    assert idx._packed is not None
+    assert len(idx._packed.uids) == 6
+    assert not idx._users
+    # below packed_min_users -> classic per-user spann
+    idx2, _ = _build_users(rng, n_users=3, packed_min_users=4)
+    assert idx2._packed is None
+    assert len(idx2._users) == 3
+    # threshold 0 disables packing entirely
+    idx3, _ = _build_users(rng, n_users=6, packed_user_threshold=0)
+    assert idx3._packed is None
+
+
+def test_packed_matches_unpacked_results(rng):
+    """Exact-scan packed serving must agree with the per-user SPANN path on
+    nearest docs (small index, full exploration)."""
+    idx_p, data = _build_users(rng, n_users=6, docs=30)
+    rng2 = np.random.default_rng(42)
+    idx_u, _ = _build_users(rng2, n_users=6, docs=30, packed_user_threshold=0)
+    q = data[3][:4]  # user 3's own vectors -> self-hits
+    res_p = idx_p.search_for_users([3], q, k=3)
+    res_u = idx_u.search_for_users([3], q, k=3, num_explored_centroids=8)
+    for row_p, row_u, qi in zip(res_p, res_u, range(4)):
+        assert row_p[0][0] == 3000 + qi
+        assert row_p[0][0] == row_u[0][0]
+    # multi-user: top-k merged across users, sorted by distance
+    res = idx_p.search_for_users([1, 2, 3], q, k=5)
+    for row in res:
+        dists = [dv for _, dv in row]
+        assert dists == sorted(dists)
+    assert res[0][0][0] == 3000  # self-hit wins across users
+
+
+def test_packed_single_user_and_view_surface(rng):
+    idx, data = _build_users(rng, n_users=5, docs=20)
+    v = idx._get(2)
+    assert v.num_points == 20
+    assert v.num_valid_points == 20
+    assert v.doc_ids.shape == (20, 2)
+    pts, docs, vecs = v.valid_arrays()
+    assert len(pts) == 20 and vecs.shape == (20, 8)
+    rows = list(v.iter_valid_with_pid())
+    assert rows[0][0] == 0 and rows[0][1] == 2000
+    res = idx.search_for_user(2, data[2][:2], k=1)
+    assert res[0][0][0] == 2000
+    assert res[1][0][0] == 2001
+
+
+def test_packed_deletions(rng):
+    idx, data = _build_users(rng, n_users=5, docs=20)
+    assert idx.invalidate(2, [2000, 2001]) == 2
+    assert idx.invalidate(2, [2000]) == 0  # already gone
+    assert idx.num_valid_docs == 5 * 20 - 2
+    res = idx.search_for_users([2], data[2][:1], k=3)
+    assert all(doc not in (2000, 2001) for doc, _ in res[0])
+    # other users unaffected
+    res = idx.search_for_users([1], data[1][:1], k=1)
+    assert res[0][0][0] == 1000
+
+
+def test_packed_filter_masks(rng):
+    idx, data = _build_users(rng, n_users=5, docs=20)
+    # only even local point ids pass for user 3
+    fm = np.zeros(20, bool)
+    fm[::2] = True
+    res = idx.search_for_users([3], data[3][:4], k=5, filter_masks={3: fm})
+    for qi, row in enumerate(res):
+        assert row, "filtered search must still return matches"
+        for doc, _ in row:
+            assert (doc - 3000) % 2 == 0
+    # query 1's nearest (3001) is filtered out -> must not appear
+    assert res[1][0][0] != 3001
+
+
+def test_packed_pq_path_reranks(rng):
+    d = 16
+    b = MultiSpannBuilder(_cfg(packed_min_users=4), dim=d)
+    data = {}
+    for uid in range(1, 7):
+        x = rng.standard_normal((40, d)).astype(np.float32)
+        data[uid] = x
+        for i in range(40):
+            b.insert(uid, uid * 1000 + i, x[i])
+    all_x = np.concatenate(list(data.values()))
+    pq = ProductQuantizer(dim=d, subvector_dim=4, num_bits=8).train(all_x, max_iter=8)
+    idx = b.build(quantizer=pq)
+    assert idx._packed is not None and idx._packed.is_pq()
+    res = idx.search_for_users([4], data[4][:6], k=3)
+    hits = sum(res[qi][0][0] == 4000 + qi for qi in range(6))
+    assert hits >= 5  # exact rerank restores self-hits through PQ
+
+
+def test_packed_save_load(tmp_path, rng):
+    idx, data = _build_users(rng, n_users=5, docs=20)
+    idx.invalidate(1, [1000])
+    idx.save(str(tmp_path))
+    loaded = MultiSpannIndex.load(str(tmp_path))
+    assert loaded._packed is not None
+    assert loaded.num_docs == 100
+    assert loaded.num_valid_docs == 99
+    res = loaded.search_for_users([1, 2], data[1][:1], k=2)
+    assert all(doc != 1000 for doc, _ in res[0])  # deleted before save
+    assert len(res[0]) == 2
+    # deletions against the loaded packed slab work
+    assert loaded.invalidate(2, [2000]) == 1
+
+
+def test_packed_mixed_with_large_spann_user(rng):
+    """A user above the threshold keeps per-user SPANN; requests naming both
+    kinds merge correctly."""
+    d = 8
+    b = MultiSpannBuilder(
+        _cfg(packed_min_users=4, packed_user_threshold=50), dim=d
+    )
+    data = {}
+    for uid in range(1, 6):
+        n = 200 if uid == 5 else 20  # user 5 is "large"
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        data[uid] = x
+        for i in range(n):
+            b.insert(uid, uid * 1000 + i, x[i])
+    idx = b.build()
+    assert idx._packed is not None and not idx._packed.has(5)
+    assert 5 in idx._users
+    q = np.concatenate([data[5][:1], data[2][:1]])
+    res = idx.search_for_users([2, 5], q, k=3, num_explored_centroids=8)
+    assert res[0][0][0] == 5000  # large user's self-hit
+    assert res[1][0][0] == 2000  # packed user's self-hit
+
+
+def test_packed_subset_chunking(rng, monkeypatch):
+    """Subsets above the per-dispatch point cap chunk and merge correctly."""
+    import muopdb_tpu.index.packed as packed_mod
+
+    monkeypatch.setattr(packed_mod, "_MAX_SUBSET_POINTS", 64)
+    idx, data = _build_users(rng, n_users=6, docs=30)
+    res = idx.search_for_users(list(range(1, 7)), data[4][:3], k=4)
+    assert res[0][0][0] == 4000
+    for row in res:
+        dists = [dv for _, dv in row]
+        assert dists == sorted(dists)
+        assert len(row) == 4
