@@ -321,77 +321,134 @@ def main():
         except Exception:
             _log("exact sweep FAILED (continuing):\n" + traceback.format_exc())
 
-    # ---- secondary: multi-user serving (BASELINE config #5, scaled) —
-    # fused cross-user program vs the per-user dispatch loop
+    # ---- secondary: multi-user serving (BASELINE config #5) — 10k users in
+    # one packed slab (index/packed.py): requests name small user subsets and
+    # become one fused gather program; hybrid boolean filters fold into the
+    # host-built gather list at zero device cost. BASELINE's 10k x 100k
+    # (= 1B points) cannot fit one chip — memory math: PQ codes m8 are
+    # 32 B/pt as staged int32 + 256 B/pt f32 rerank store at d=64, so one
+    # 16 GB v5e chip caps near ~50M resident points; docs/user is scaled to
+    # 1k (10M points, ~3.1 GB) and the remainder shards users across the
+    # mesh (parallel/sharded.py + dryrun_multichip).
     if headline_ok and os.environ.get("MUOPDB_BENCH_MULTIUSER", "1") != "0" \
             and time.time() - t_start < soft_budget:
         try:
-            from types import SimpleNamespace
-
-            from muopdb_tpu.index.ivf import IvfIndex
+            from muopdb_tpu.index.packed import PackedUsers
             from muopdb_tpu.index.multi_spann import MultiSpannIndex
             from muopdb_tpu.quantization import ProductQuantizer
 
-            n_u = int(os.environ.get("MUOPDB_BENCH_MU_USERS", 512))
-            per_u = int(os.environ.get("MUOPDB_BENCH_MU_PER_USER", 2048))
-            d2, m2, mu_batch, mu_rerank = 64, 8, 64, 50
+            n_u = int(os.environ.get("MUOPDB_BENCH_MU_USERS", 10_000))
+            per_u = int(os.environ.get("MUOPDB_BENCH_MU_PER_USER", 1000))
+            d2, m2, mu_batch, sub_users = 64, 8, 64, 16
             rng2 = np.random.Generator(np.random.SFC64(7))
+            t0 = time.time()
             xall = rng2.standard_normal((n_u * per_u, d2), dtype=np.float32)
             pq2 = ProductQuantizer(dim=d2, subvector_dim=d2 // m2, num_bits=8).train(
                 xall, max_iter=5, num_training_rows=50_000
             )
-            _log(f"multi-user: building {n_u} users x {per_u}")
-            users = {}
-            for u in range(n_u):
-                xs = xall[u * per_u : (u + 1) * per_u]
-                ivf = IvfIndex.from_posting_lists(
-                    xs, xs[:1], [np.arange(per_u)], quantizer=pq2, block_rows=512
-                )
-                users[u + 1] = SimpleNamespace(ivf=ivf, num_points=per_u)
-            ms = MultiSpannIndex(users)
-            qmu = xall[rng2.choice(len(xall), mu_batch, replace=False)]
-            uids = list(users)
+            _log(f"multi-user: packing {n_u} users x {per_u} (PQ m={m2})")
+            starts = np.arange(n_u + 1, dtype=np.int64) * per_u
+            docs = np.zeros((n_u * per_u, 2), np.uint64)
+            docs[:, 0] = np.arange(n_u * per_u, dtype=np.uint64)
+            packed = PackedUsers(
+                uids=np.arange(1, n_u + 1), starts=starts, vectors=xall,
+                doc_ids=docs, quantizer=pq2, codes=pq2.quantize(xall),
+            )
+            ms = MultiSpannIndex({}, packed=packed)
+            mu_build = time.time() - t0
+            # synthetic keyword category per doc: the hybrid-filter masks the
+            # term planner produces are exactly per-user boolean masks; the
+            # bench builds them from categories (8-way, ~12.5% selectivity)
+            cats = rng2.integers(0, 8, n_u * per_u).astype(np.int8)
 
-            def run_mu():
-                return ms.search_for_users(uids, qmu, k=k, rerank=mu_rerank)
+            def gt_subset(uids_s, qs, masks=None):
+                ids = packed.gather_list(uids_s, masks)
+                sub = xall[ids]
+                dd = ((qs[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+                nn = np.argsort(dd, axis=1)[:, :k]
+                return ids[nn]
 
-            res_mu = run_mu()  # compile+cache
-            _log("multi-user fused compiled; timing")
+            requests = []
+            for r in range(24):
+                uids_s = (1 + rng2.choice(n_u, sub_users, replace=False)).tolist()
+                base = (np.asarray(uids_s)[rng2.integers(0, sub_users, mu_batch)] - 1)
+                rows = base * per_u + rng2.integers(0, per_u, mu_batch)
+                qs = xall[rows] + 0.05 * rng2.standard_normal((mu_batch, d2), dtype=np.float32)
+                requests.append((uids_s, qs))
+            # warm pass over the whole mix: compiles every pad bucket that
+            # the timed pass will hit (subset sizes straddle pow2 boundaries)
+            for uids_s, qs in requests:
+                ms.search_for_users(uids_s, qs, k=k)
+            _log("multi-user packed compiled; timing request mix")
             t0 = time.time()
-            reps_mu = 5
-            for _ in range(reps_mu):
-                res_mu = run_mu()
-            mu_dt = (time.time() - t0) / reps_mu
-            assert res_mu[0], "fused multi-user search returned nothing"
-            # serial-dispatch comparison on a 16-user subset, extrapolated
-            sub = uids[:16]
-
-            def run_serial():
-                outs = [
-                    users[u].ivf.search_batched(qmu, k=k, rerank=mu_rerank)
-                    for u in sub
-                ]
-                jax.block_until_ready(outs[-1])  # chained: fair vs fused
-
-            run_serial()
-            t0 = time.time()
-            run_serial()
-            serial_dt_full = (time.time() - t0) / len(sub) * n_u
+            res_list = [
+                ms.search_for_users(uids_s, qs, k=k) for uids_s, qs in requests
+            ]
+            mu_dt = (time.time() - t0) / len(requests)
+            # recall vs exact subset ground truth on 4 requests
+            recs = []
+            for (uids_s, qs), res in list(zip(requests, res_list))[:4]:
+                gt_s = gt_subset(uids_s, qs)
+                got = np.asarray([[doc for doc, _ in row] + [-1] * (k - len(row))
+                                  for row in res])
+                recs.append(_recall(got, gt_s, k))
             out["multi_user_users"] = n_u
             out["multi_user_docs_per_user"] = per_u
             out["multi_user_batch"] = mu_batch
+            out["multi_user_subset_users"] = sub_users
+            out["multi_user_build_seconds"] = round(mu_build, 1)
+            out["multi_user_request_ms"] = round(mu_dt * 1000, 1)
             out["multi_user_qps"] = round(mu_batch / mu_dt, 1)
-            out["multi_user_serial_qps_est"] = round(mu_batch / serial_dt_full, 1)
-            out["multi_user_fused_speedup"] = round(serial_dt_full / mu_dt, 1)
+            out["multi_user_recall_at_10"] = round(float(np.mean(recs)), 4)
             _log(
-                f"multi-user: fused {mu_batch/mu_dt:.0f} qps vs serial-dispatch "
-                f"{mu_batch/serial_dt_full:.1f} qps est ({serial_dt_full/mu_dt:.0f}x)"
+                f"multi-user: {mu_batch/mu_dt:.0f} qps ({mu_dt*1000:.0f} ms/request)"
+                f" @ recall {np.mean(recs):.3f}"
             )
+            # hybrid-filtered mix: category-match masks per requested user
+            fil_requests = []
+            for uids_s, qs in requests[:12]:
+                cat = int(rng2.integers(0, 8))
+                masks = {
+                    u: cats[(u - 1) * per_u : u * per_u] == cat for u in uids_s
+                }
+                fil_requests.append((uids_s, qs, masks, cat))
+            for u_s, qs, m_, _ in fil_requests:  # warm every filtered bucket
+                ms.search_for_users(u_s, qs, filter_masks=m_, k=k)
+            t0 = time.time()
+            fres = [
+                ms.search_for_users(u_s, qs, filter_masks=m_, k=k)
+                for u_s, qs, m_, _ in fil_requests
+            ]
+            fil_dt = (time.time() - t0) / len(fil_requests)
+            frecs = []
+            for (u_s, qs, m_, _), res in list(zip(fil_requests, fres))[:3]:
+                gt_s = gt_subset(u_s, qs, m_)
+                got = np.asarray([[doc for doc, _ in row] + [-1] * (k - len(row))
+                                  for row in res])
+                frecs.append(_recall(got, gt_s, k))
+            out["multi_user_filtered_request_ms"] = round(fil_dt * 1000, 1)
+            out["multi_user_filtered_qps"] = round(mu_batch / fil_dt, 1)
+            out["multi_user_filtered_recall_at_10"] = round(float(np.mean(frecs)), 4)
+            _log(
+                f"multi-user filtered: {mu_batch/fil_dt:.0f} qps @ recall "
+                f"{np.mean(frecs):.3f}"
+            )
+            # serial-dispatch analog: one packed dispatch per user of one
+            # request's subset (the reference's per-user loop shape)
+            u_s, qs = requests[0]
+            t0 = time.time()
+            for u in u_s:
+                ms.search_for_users([u], qs, k=k)
+            serial_dt = time.time() - t0
+            out["multi_user_fused_speedup"] = round(serial_dt / mu_dt, 1)
+            _log(f"multi-user: fused subset program is {serial_dt/mu_dt:.1f}x "
+                 f"the per-user dispatch loop")
         except Exception:
             _log("multi-user secondary FAILED (continuing):\n" + traceback.format_exc())
 
-    # ---- optional: recall@10 vs nprobe sweep (BASELINE config #2)
-    if headline_ok and gt is not None and os.environ.get("MUOPDB_BENCH_SWEEP"):
+    # ---- recall@10 vs nprobe sweep (BASELINE config #2) — on by default
+    # (cheap: reuses the probed-path queries); disable with SWEEP=0
+    if headline_ok and gt is not None and os.environ.get("MUOPDB_BENCH_SWEEP", "1") != "0":
         try:
             sweep = {}
             for np_i in (8, 16, 32, 64, 128):

@@ -34,6 +34,9 @@ from .wal import Wal, WalEntry, WalOpType, WalWriteCoordinator
 
 # test hook mirroring the reference's TEST_SLOW_FLUSH race hook (core.rs:906-910)
 TEST_SLOW_FLUSH_ENV = "MUOPDB_TEST_SLOW_FLUSH"
+# crash-injection hook: abort run_optimizer right after the pending TOC
+# commit, leaving the on-disk state a mid-optimize crash would leave
+TEST_CRASH_AFTER_PENDING_ENV = "MUOPDB_TEST_CRASH_AFTER_PENDING"
 
 
 def _replay_deletions(segment, deletions) -> None:
@@ -169,6 +172,7 @@ class Collection:
         config = CollectionConfig.load(os.path.join(directory, "collection_config.json"))
         col = cls(name, directory, config)
         vio.cleanup_tmp(directory, "tmp_segment_")
+        vio.cleanup_tmp(directory, "tmp_built_")  # mid-optimize crash debris
         version, toc = read_latest_toc(col.versions_dir)
         if version is not None:
             col.versions_info.current_version = version
@@ -408,11 +412,16 @@ class Collection:
                 "cannot optimize a segment that is already being optimized"
             )
             ps = PendingSegment(inner, os.path.join(self.directory, pending_name), self.config)
+            ps._optimizer_active = True  # a live optimizer owns it (vs crash-rebuilt)
             # TOC version: pending segment visible (searches forward to inner),
             # with the pending map for crash recovery (core.rs:1264-1285)
             self.replace_segment(pending_name, ps, segment_names,
                                  pending_entry=[s.name for s in inner])
+        if os.environ.get(TEST_CRASH_AFTER_PENDING_ENV):
+            raise RuntimeError("test crash: after pending TOC commit")
+        return self._complete_pending(ps, pending_name, optimizer)
 
+    def _complete_pending(self, ps: PendingSegment, pending_name: str, optimizer) -> str:
         built_dir = os.path.join(self.directory, f"tmp_built_{pending_name}")
         optimizer.optimize(ps, built_dir)
         # pending_to_finalized (core.rs:1291-1337): promote the built dir to a
@@ -430,11 +439,38 @@ class Collection:
         self.replace_segment(final_name, ps._built, [pending_name])
         return final_name
 
+    def finish_pending_optimizations(self) -> List[str]:
+        """Resume optimizations that crashed between the pending TOC commit
+        and finalize. Collection.open rebuilds PendingSegments from
+        toc.pending (reader.rs:83-112); this re-runs the merge over their
+        inner segments and promotes them, converging the TOC. Called by the
+        auto-optimize loop so recovery needs no operator action."""
+        import shutil
+
+        with self._toc_lock:
+            pend = [
+                n for n in self._toc.toc
+                if isinstance(self.all_segments.get(n), PendingSegment)
+                and self.all_segments[n]._built is None
+                and not getattr(self.all_segments[n], "_optimizer_active", False)
+            ]
+        done = []
+        for pending_name in pend:
+            ps = self.all_segments.get(pending_name)
+            if ps is None:
+                continue
+            built_dir = os.path.join(self.directory, f"tmp_built_{pending_name}")
+            shutil.rmtree(built_dir, ignore_errors=True)  # partial crash debris
+            done.append(self._complete_pending(ps, pending_name, OPTIMIZERS["merge"]()))
+        return done
+
     def auto_optimize(self) -> List[str]:
         """auto_vacuum (>10% deleted) + auto_merge down to max segments
         (core.rs:1480-1562). Selection lives in plan_vacuums/plan_merge so
         scheduling is testable with MockedSegment (no real index builds)."""
         actions: List[str] = []
+        # first, converge any crash-rebuilt pending segments (reader.rs:83-112)
+        actions.extend(self.finish_pending_optimizations())
         with self._toc_lock:
             seg_items = [
                 (n, self.all_segments[n])

@@ -221,6 +221,53 @@ def test_auto_optimize_merges_down(tmp_path, rng):
     assert col.num_segments <= 2 + 1  # merged smallest down
 
 
+def test_mid_optimize_crash_recovery(tmp_path, rng, monkeypatch):
+    """Crash between the pending TOC commit and finalize (VERDICT r2 #7):
+    reopen must serve searches from the rebuilt PendingSegment's inner
+    segments (reader.rs:83-112), and resuming the optimize must converge the
+    TOC to a single finalized segment with deletions intact."""
+    path = str(tmp_path / "c")
+    col = Collection("c", path, _config())
+    xa = _insert_n(col, 40, offset=0, rng=rng)
+    col.flush()
+    xb = _insert_n(col, 40, offset=100, rng=rng)
+    col.flush()
+    col.remove(1, [5])
+    names = [s["name"] for s in col.segment_infos()]
+    monkeypatch.setenv("MUOPDB_TEST_CRASH_AFTER_PENDING", "1")
+    with pytest.raises(RuntimeError, match="test crash"):
+        col.run_optimizer(names, "merge")
+    monkeypatch.delenv("MUOPDB_TEST_CRASH_AFTER_PENDING")
+    col.close()
+
+    # "process restart": reopen from disk — the TOC's head is the pending
+    # segment, whose pending map lists the inner segments
+    col2 = Collection.open("c", path)
+    assert col2.num_segments == 1
+    with col2.get_snapshot() as snap:
+        res = snap.search_for_users([1], np.stack([xa[7], xb[3], xa[5]]),
+                                    k=1, num_explored_centroids=4)
+    assert res[0][0][0] == 7      # first flushed segment reachable
+    assert res[1][0][0] == 103    # second flushed segment reachable
+    assert res[2][0][0] != 5      # deletion survived the crash
+
+    # auto-optimize converges the crash-rebuilt pending segment
+    actions = col2.auto_optimize()
+    assert len(actions) == 1
+    assert all(
+        not s["name"].startswith("pending_segment_") for s in col2.segment_infos()
+    )
+    with col2.get_snapshot() as snap:
+        res = snap.search_for_users([1], np.stack([xa[7], xb[3], xa[5]]),
+                                    k=1, num_explored_centroids=4)
+    assert res[0][0][0] == 7
+    assert res[1][0][0] == 103
+    assert res[2][0][0] != 5
+    # converged: a second pass finds nothing to resume
+    assert col2.finish_pending_optimizations() == []
+    col2.close()
+
+
 def test_hybrid_filter_search(tmp_path, rng):
     schema = AttributeSchema({"body": AttributeType(AttributeKind.TEXT, "english")})
     col = Collection("c", str(tmp_path / "c"), _config(attribute_schema=schema))
