@@ -40,6 +40,9 @@ _T0 = time.time()
 
 import numpy as np
 
+# per-core estimate for the reference's SIMD ADC scan at the headline
+# config; derivation with literature cross-check: BASELINE.md "Derivation
+# of the 1,500-QPS Rust-CPU denominator"
 RUST_CPU_BASELINE_QPS_ESTIMATE = 1500.0
 
 
@@ -340,6 +343,8 @@ def main():
             n_u = int(os.environ.get("MUOPDB_BENCH_MU_USERS", 10_000))
             per_u = int(os.environ.get("MUOPDB_BENCH_MU_PER_USER", 1000))
             d2, m2, mu_batch, sub_users = 64, 8, 64, 16
+            mu_rerank = 256  # PQ m=8 on weakly structured data needs a deep
+            # exact rerank; the packed program fuses it, cost is one gather
             rng2 = np.random.Generator(np.random.SFC64(7))
             t0 = time.time()
             xall = rng2.standard_normal((n_u * per_u, d2), dtype=np.float32)
@@ -378,11 +383,11 @@ def main():
             # warm pass over the whole mix: compiles every pad bucket that
             # the timed pass will hit (subset sizes straddle pow2 boundaries)
             for uids_s, qs in requests:
-                ms.search_for_users(uids_s, qs, k=k)
+                ms.search_for_users(uids_s, qs, k=k, rerank=mu_rerank)
             _log("multi-user packed compiled; timing request mix")
             t0 = time.time()
             res_list = [
-                ms.search_for_users(uids_s, qs, k=k) for uids_s, qs in requests
+                ms.search_for_users(uids_s, qs, k=k, rerank=mu_rerank) for uids_s, qs in requests
             ]
             mu_dt = (time.time() - t0) / len(requests)
             # recall vs exact subset ground truth on 4 requests
@@ -404,6 +409,20 @@ def main():
                 f"multi-user: {mu_batch/mu_dt:.0f} qps ({mu_dt*1000:.0f} ms/request)"
                 f" @ recall {np.mean(recs):.3f}"
             )
+            # concurrent clients: the sequential number is bounded by the
+            # ~33 ms WAN RTT of the serving tunnel per result fetch; real
+            # serving overlaps requests. 8 threads, same mix.
+            import concurrent.futures as _cf
+
+            t0 = time.time()
+            with _cf.ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(
+                    lambda r: ms.search_for_users(r[0], r[1], k=k, rerank=mu_rerank),
+                    requests,
+                ))
+            conc_dt = (time.time() - t0) / len(requests)
+            out["multi_user_concurrent_qps"] = round(mu_batch / conc_dt, 1)
+            _log(f"multi-user concurrent(8): {mu_batch/conc_dt:.0f} qps")
             # hybrid-filtered mix: category-match masks per requested user
             fil_requests = []
             for uids_s, qs in requests[:12]:
@@ -413,10 +432,10 @@ def main():
                 }
                 fil_requests.append((uids_s, qs, masks, cat))
             for u_s, qs, m_, _ in fil_requests:  # warm every filtered bucket
-                ms.search_for_users(u_s, qs, filter_masks=m_, k=k)
+                ms.search_for_users(u_s, qs, filter_masks=m_, k=k, rerank=mu_rerank)
             t0 = time.time()
             fres = [
-                ms.search_for_users(u_s, qs, filter_masks=m_, k=k)
+                ms.search_for_users(u_s, qs, filter_masks=m_, k=k, rerank=mu_rerank)
                 for u_s, qs, m_, _ in fil_requests
             ]
             fil_dt = (time.time() - t0) / len(fil_requests)
@@ -438,7 +457,7 @@ def main():
             u_s, qs = requests[0]
             t0 = time.time()
             for u in u_s:
-                ms.search_for_users([u], qs, k=k)
+                ms.search_for_users([u], qs, k=k, rerank=mu_rerank)
             serial_dt = time.time() - t0
             out["multi_user_fused_speedup"] = round(serial_dt / mu_dt, 1)
             _log(f"multi-user: fused subset program is {serial_dt/mu_dt:.1f}x "

@@ -87,5 +87,31 @@ class EliasFano:
         return (upper << np.uint64(l)) | lower
 
     @staticmethod
+    def count(data: bytes) -> int:
+        """Element count from the header — no decode (used to order
+        AND-intersections smallest-first)."""
+        if len(data) < 8:
+            return 0
+        return int(np.frombuffer(data[:8], np.uint64)[0])
+
+    @staticmethod
+    def intersect(data: bytes, candidates: np.ndarray) -> np.ndarray:
+        """Values of the encoded sequence present in the SORTED candidate
+        array. With the native codec this streams with skip_to semantics —
+        O(1) memory over the blob, byte-level select skips, early exit
+        (the reference's and_iter.rs:47-90 access pattern over
+        block_based_decoder.rs); the Python fallback whole-decodes (the
+        behavioral spec where no compiler exists)."""
+        if len(candidates) == 0:
+            return np.zeros(0, np.uint64)
+        from .. import native
+
+        if native.available():
+            out = native.ef_intersect(data, candidates)
+            if out is not None:
+                return out
+        return np.intersect1d(EliasFano.decode(data), candidates)
+
+    @staticmethod
     def size_bytes(values: np.ndarray, universe: int | None = None) -> int:
         return len(EliasFano.encode(values, universe))

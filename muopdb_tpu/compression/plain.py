@@ -24,3 +24,22 @@ class PlainEncoding:
     def decode(data: bytes) -> np.ndarray:
         n = int(np.frombuffer(data[:8], np.uint64)[0])
         return np.frombuffer(data[8 : 8 + 8 * n], np.uint64).copy()
+
+    @staticmethod
+    def count(data: bytes) -> int:
+        if len(data) < 8:
+            return 0
+        return int(np.frombuffer(data[:8], np.uint64)[0])
+
+    @staticmethod
+    def intersect(data: bytes, candidates: np.ndarray) -> np.ndarray:
+        # plain sequences are already arrays in the blob; searchsorted
+        # membership avoids materializing a copy via decode()
+        n = int(np.frombuffer(data[:8], np.uint64)[0]) if len(data) >= 8 else 0
+        cand = np.asarray(candidates, np.uint64)
+        if n == 0 or len(cand) == 0:
+            return np.zeros(0, np.uint64)
+        seq = np.frombuffer(data[8 : 8 + 8 * n], np.uint64)
+        idx = np.searchsorted(seq, cand)
+        ok = (idx < n) & (seq[np.minimum(idx, n - 1)] == cand)
+        return cand[ok]

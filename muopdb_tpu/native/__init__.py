@@ -30,14 +30,21 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO):
+        src = os.path.join(_DIR, "native.cpp")
+        stale = (
+            not os.path.exists(_SO)
+            or (os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_SO))
+        )
+        if stale:
             try:
                 subprocess.run(
-                    ["make", "-C", _DIR], check=True, capture_output=True, timeout=120
+                    ["make", "-C", _DIR, "-B"], check=True, capture_output=True,
+                    timeout=120,
                 )
             except Exception as e:  # no compiler / build failure -> fallback
                 log.warning("native build failed, using Python fallbacks: %s", e)
-                return None
+                if not os.path.exists(_SO):
+                    return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError as e:
@@ -51,6 +58,11 @@ def _load():
         lib.ef_decode.restype = ctypes.c_int64
         lib.ef_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+        ]
+        lib.ef_intersect.restype = ctypes.c_int64
+        lib.ef_intersect.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64,
         ]
         lib.hnsw_finalize_edges.restype = None
         lib.hnsw_finalize_edges.argtypes = [
@@ -82,8 +94,14 @@ def ef_encode(values: np.ndarray, universe: int) -> bytes | None:
         return None
     vals = np.ascontiguousarray(values, np.uint64)
     n = len(vals)
-    # worst case: header + n*64 lower bits + (top + n) upper bits
-    cap = 24 + 8 * n + (int(vals[-1]) if n else 0) // 8 + n // 8 + 64
+    # capacity mirrors the encoder's sizing (not the l=0 worst case, which
+    # balloons to universe/8 bytes for sparse 2^40-scale sequences)
+    if n:
+        u = max(int(universe), int(vals[-1]) + 1)
+        l = max(0, int(np.floor(np.log2(u / n)))) if u // n > 1 else 0
+        cap = 24 + (n * l) // 8 + ((int(vals[-1]) >> l) + n) // 8 + 64
+    else:
+        cap = 24
     out = np.empty(cap, np.uint8)
     size = lib.ef_encode(
         vals.ctypes.data_as(ctypes.c_void_p), n, universe,
@@ -105,6 +123,25 @@ def ef_decode(data: bytes) -> np.ndarray | None:
     out = np.empty(max(n, 1), np.uint64)
     got = lib.ef_decode(
         buf.ctypes.data_as(ctypes.c_void_p), len(data),
+        out.ctypes.data_as(ctypes.c_void_p), len(out),
+    )
+    if got < 0:
+        return None
+    return out[:got]
+
+
+def ef_intersect(data: bytes, candidates: np.ndarray) -> np.ndarray | None:
+    """Streaming skip_to intersect: EF-sequence values present in the sorted
+    candidate array, without materializing the decoded sequence."""
+    lib = _load()
+    if lib is None or len(data) < 24:
+        return None
+    cand = np.ascontiguousarray(candidates, np.uint64)
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(max(len(cand), 1), np.uint64)
+    got = lib.ef_intersect(
+        buf.ctypes.data_as(ctypes.c_void_p), len(data),
+        cand.ctypes.data_as(ctypes.c_void_p), len(cand),
         out.ctypes.data_as(ctypes.c_void_p), len(out),
     )
     if got < 0:

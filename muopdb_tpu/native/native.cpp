@@ -118,6 +118,67 @@ int64_t ef_decode(const uint8_t* data, uint64_t len, uint64_t* out,
   return found == n ? (int64_t)n : -1;
 }
 
+// Streaming intersect with skip_to semantics: values of the EF sequence that
+// appear in the sorted candidate array. The reference iterates posting lists
+// incrementally with skip_to for AND-alignment and bounded memory
+// (elias_fano/block_based_decoder.rs, query/iters/and_iter.rs:47-90); this is
+// that access pattern over the same byte format: O(1) extra memory, byte-level
+// select skips (popcount whole upper-bit bytes that cannot contain the current
+// candidate), early exit once either side is exhausted.
+// Returns matches written to out, or -1 on malformed input.
+int64_t ef_intersect(const uint8_t* data, uint64_t len,
+                     const uint64_t* cand, uint64_t ncand,
+                     uint64_t* out, uint64_t out_cap) {
+  if (len < 24) return -1;
+  uint64_t n, u, lower_len;
+  std::memcpy(&n, data, 8);
+  std::memcpy(&u, data + 8, 8);
+  std::memcpy(&lower_len, data + 16, 8);
+  if (n == 0 || ncand == 0) return 0;
+  uint64_t l = 0;
+  if (u / n > 1) l = (uint64_t)std::floor(std::log2((double)u / (double)n));
+  const uint8_t* lower = data + 24;
+  const uint8_t* upper = data + 24 + lower_len;
+  uint64_t upper_bits = (len - 24 - lower_len) * 8;
+  uint64_t upper_bytes = (upper_bits + 7) / 8;
+  uint64_t found = 0, ci = 0, nout = 0;
+  for (uint64_t byte = 0; byte < upper_bytes; byte++) {
+    if (found >= n || ci >= ncand) break;
+    uint8_t b = upper[byte];
+    if (!b) continue;
+    // skip_to: every element wholly inside a byte that ends before
+    // (cand>>l)+found has upper < cand's upper, hence value < cand —
+    // count it with popcount, never touch its lower bits
+    uint64_t target_pos = (cand[ci] >> l) + found;
+    if (byte * 8 + 8 <= target_pos) {
+      found += (uint64_t)__builtin_popcount((unsigned)b);
+      continue;
+    }
+    for (int bit = 0; bit < 8; bit++) {
+      if (!((b >> bit) & 1)) continue;
+      uint64_t pos = byte * 8 + (uint64_t)bit;
+      if (pos >= upper_bits) break;
+      uint64_t hi = pos - found;
+      uint64_t lo = 0;
+      if (l) {
+        uint64_t base = found * l;
+        for (uint64_t bb = 0; bb < l; bb++)
+          lo |= ((uint64_t)get_bit_le(lower, base + bb)) << bb;
+      }
+      uint64_t v = (hi << l) | lo;
+      found++;
+      while (ci < ncand && cand[ci] < v) ci++;
+      if (ci >= ncand) break;
+      if (cand[ci] == v) {
+        if (nout < out_cap) out[nout++] = v;
+        ci++;
+      }
+      if (found >= n) break;
+    }
+  }
+  return (int64_t)nout;
+}
+
 // ---------------------------------------------------------------------------
 // HNSW edge finalization: bidirectional edges + distance trim
 // ---------------------------------------------------------------------------

@@ -83,15 +83,22 @@ class Planner:
         self.language = language
 
     def _contains_ids(self, attribute: str, value: str) -> np.ndarray:
+        """AND across a value's tokens, smallest posting list first: the
+        smallest list is decoded once, every other list is STREAMED against
+        it with skip_to semantics (posting_intersect), so worst-case memory
+        is O(shortest list), not O(longest) — the reference's and_iter over
+        incremental EF decoders (query/iters/and_iter.rs:47-90,
+        elias_fano/block_based_decoder.rs)."""
         toks = tokenize(value, self.language)
         if not toks:
             return np.zeros(0, np.uint64)
-        acc: Optional[np.ndarray] = None
-        for t in toks:
-            ids = self.term_index.posting_list(f"{attribute}:{t}")
-            acc = ids if acc is None else np.intersect1d(acc, ids)
+        terms = [f"{attribute}:{t}" for t in toks]
+        terms.sort(key=self.term_index.posting_count)
+        acc = self.term_index.posting_list(terms[0])
+        for t in terms[1:]:
             if len(acc) == 0:
                 break
+            acc = self.term_index.posting_intersect(t, acc)
         return acc
 
     def plan_ids(self, f: Filter) -> np.ndarray:

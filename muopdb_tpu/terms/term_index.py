@@ -109,6 +109,22 @@ class TermIndex:
             return np.zeros(0, np.uint64)
         return self._codec.decode(self._blobs[tid])
 
+    def posting_count(self, term: str) -> int:
+        """List length from the blob header — no decode (terms/index.rs
+        exposes the same via the offsets table)."""
+        tid = self.get_term_id(term)
+        if tid is None:
+            return 0
+        return self._codec.count(self._blobs[tid])
+
+    def posting_intersect(self, term: str, candidates: np.ndarray) -> np.ndarray:
+        """candidates ∩ posting_list(term) WITHOUT materializing the list:
+        streams the blob with skip_to semantics (and_iter.rs:47-90 pattern)."""
+        tid = self.get_term_id(term)
+        if tid is None:
+            return np.zeros(0, np.uint64)
+        return self._codec.intersect(self._blobs[tid], candidates)
+
     def terms(self) -> List[str]:
         return list(self._terms)
 

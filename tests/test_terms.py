@@ -40,6 +40,61 @@ def test_ef_duplicates_ok():
     np.testing.assert_array_equal(EliasFano.decode(EliasFano.encode(vals)), vals)
 
 
+@pytest.mark.parametrize("codec", [EliasFano, PlainEncoding])
+def test_codec_count_and_intersect(codec, rng):
+    vals = np.unique(rng.integers(0, 100_000, 3000)).astype(np.uint64)
+    blob = codec.encode(vals)
+    assert codec.count(blob) == len(vals)
+    # mixed candidates: half members, half not
+    members = rng.choice(vals, 200, replace=False)
+    non = np.setdiff1d(
+        rng.integers(0, 100_000, 400).astype(np.uint64), vals
+    )
+    cand = np.sort(np.unique(np.concatenate([members, non])))
+    got = codec.intersect(blob, cand)
+    np.testing.assert_array_equal(got, np.intersect1d(vals, cand))
+    # empties
+    assert len(codec.intersect(blob, np.zeros(0, np.uint64))) == 0
+    assert len(codec.intersect(codec.encode(np.zeros(0, np.uint64)), cand)) == 0
+
+
+def test_ef_intersect_edge_cases(rng):
+    # dense list (l == 0), sparse list (large l), duplicates, extremes
+    for vals in [
+        np.arange(5000, dtype=np.uint64),                      # dense
+        np.unique(rng.integers(0, 1 << 40, 1000)).astype(np.uint64),  # sparse
+        np.asarray([0, 0, 1, 1, 7, 7, 7, 1 << 30], np.uint64),  # dupes
+        np.asarray([123], np.uint64),
+    ]:
+        blob = EliasFano.encode(vals)
+        cand = np.sort(np.unique(np.concatenate([
+            vals[:: max(1, len(vals) // 50)],
+            rng.integers(0, int(vals[-1]) + 2, 100).astype(np.uint64),
+        ])))
+        np.testing.assert_array_equal(
+            EliasFano.intersect(blob, cand), np.intersect1d(vals, cand)
+        )
+
+
+def test_planner_and_streams_smallest_first(rng):
+    """The AND path must order by posting_count and stream intersections —
+    behavioral check: results equal the naive full-decode intersection."""
+    b = TermIndexBuilder()
+    big = np.arange(0, 5000, 1, dtype=np.uint64)
+    small = np.arange(0, 5000, 97, dtype=np.uint64)
+    b.add_posting("tag:alpha", big)
+    b.add_posting("tag:beta", small)
+    ti = b.build("EliasFano")
+    p = Planner(ti, 5000)
+    f = Filter.and_(Filter.contains("tag", "alpha"), Filter.contains("tag", "beta"))
+    np.testing.assert_array_equal(p.plan_ids(f), np.intersect1d(big, small))
+    assert ti.posting_count("tag:alpha") == len(big)
+    assert ti.posting_count("tag:beta") == len(small)
+    np.testing.assert_array_equal(
+        ti.posting_intersect("tag:alpha", small), small
+    )
+
+
 # -- tokenizer -----------------------------------------------------------
 
 
