@@ -347,7 +347,14 @@ def main():
             # exact rerank; the packed program fuses it, cost is one gather
             rng2 = np.random.Generator(np.random.SFC64(7))
             t0 = time.time()
-            xall = rng2.standard_normal((n_u * per_u, d2), dtype=np.float32)
+            # clustered data (same rationale as _gen_data): iid gaussians
+            # have a near-tied top-10 that PQ cannot rank (any engine's
+            # recall collapses); modes give queries a meaningful answer set
+            mu_modes = rng2.standard_normal((8192, d2), dtype=np.float32) * 1.5
+            xall = (
+                mu_modes[rng2.integers(0, 8192, n_u * per_u)]
+                + rng2.standard_normal((n_u * per_u, d2), dtype=np.float32)
+            )
             pq2 = ProductQuantizer(dim=d2, subvector_dim=d2 // m2, num_bits=8).train(
                 xall, max_iter=5, num_training_rows=50_000
             )
@@ -355,10 +362,14 @@ def main():
             starts = np.arange(n_u + 1, dtype=np.int64) * per_u
             docs = np.zeros((n_u * per_u, 2), np.uint64)
             docs[:, 0] = np.arange(n_u * per_u, dtype=np.uint64)
+            # stage once on device; quantize from the device copy, which then
+            # serves as the rerank store (no second multi-GB tunnel upload)
+            xall_j = jnp.asarray(xall)
             packed = PackedUsers(
                 uids=np.arange(1, n_u + 1), starts=starts, vectors=xall,
-                doc_ids=docs, quantizer=pq2, codes=pq2.quantize(xall),
+                doc_ids=docs, quantizer=pq2, codes=pq2.quantize(xall_j),
             )
+            packed._raw_dev = xall_j
             ms = MultiSpannIndex({}, packed=packed)
             mu_build = time.time() - t0
             # synthetic keyword category per doc: the hybrid-filter masks the

@@ -270,7 +270,8 @@ class PackedUsers:
                 ct = np.zeros((self.quantizer.num_subvectors, npad), np.int32)
                 ct[:, :n] = self.codes_host.T
                 self._dev = jnp.asarray(ct)
-                self._raw_dev = jnp.asarray(self.vectors_host)
+                if self._raw_dev is None:  # else: staged by build()
+                    self._raw_dev = jnp.asarray(self.vectors_host)
             else:
                 npad = _pow2(n, 1024)
                 v = np.zeros((npad, self.vectors_host.shape[1]), np.float32)
@@ -455,6 +456,15 @@ class PackedUsers:
         dim = vectors.shape[1]
         quantizer = quantizer or NoQuantizer(dim=dim)
         codes = None
+        vj = None
         if isinstance(quantizer, ProductQuantizer) and len(vectors):
-            codes = quantizer.quantize(vectors)
-        return cls(uids, starts, vectors, doc_ids, quantizer, codes, distance_type)
+            # stage the slab on device ONCE and quantize from the device
+            # copy: the staged array then serves as the rerank store, so the
+            # build's upload is not repeated at first search (through the
+            # serving tunnel that second upload is seconds-to-minutes)
+            vj = jnp.asarray(vectors)
+            codes = quantizer.quantize(vj)
+        inst = cls(uids, starts, vectors, doc_ids, quantizer, codes, distance_type)
+        if vj is not None:
+            inst._raw_dev = vj
+        return inst

@@ -1,1 +1,6 @@
-from .sharded import ShardedFlatIndex, ShardedIvfIndex, sharded_kmeans_step  # noqa: F401
+from .sharded import (  # noqa: F401
+    ShardedFlatIndex,
+    ShardedIvfIndex,
+    ShardedMultiUser,
+    sharded_kmeans_step,
+)

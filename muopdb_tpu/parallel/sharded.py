@@ -183,6 +183,78 @@ class ShardedIvfIndex:
 
 
 # ---------------------------------------------------------------------------
+# Sharded fused multi-user serving (BASELINE config #5's mesh dimension)
+# ---------------------------------------------------------------------------
+
+
+class ShardedMultiUser:
+    """The packed multi-user slab (index/packed.py) doc-sharded over a mesh.
+
+    Every device owns a slice of the concatenated user points plus the
+    point->user-slot map; a request's user subset becomes a tiny replicated
+    (U,) selection vector, each device scans its masked slice, and one
+    all_gather merges per-shard top-k over ICI — the mesh form of the
+    single-chip fused subset sweep (the reference shards users across gRPC
+    leaves instead, aggregator.rs)."""
+
+    def __init__(self, packed, mesh: Optional[Mesh] = None, axis: str = "shard"):
+        self.mesh = mesh or default_mesh()
+        self.axis = axis
+        self.packed = packed
+        n_shards = self.mesh.shape[axis]
+        v = np.asarray(packed.vectors_host, np.float32)
+        n = len(v)
+        slot = np.zeros(n, np.int32)
+        for i, u in enumerate(packed.uids):
+            s, e = int(packed.starts[i]), int(packed.starts[i + 1])
+            slot[s:e] = i
+        pad = (-n) % n_shards
+        sh = NamedSharding(self.mesh, P(axis))
+        self.vectors = jax.device_put(np.pad(v, ((0, pad), (0, 0))), sh)
+        self.slot = jax.device_put(np.pad(slot, (0, pad)), sh)
+        valid = np.zeros(n + pad, bool)
+        valid[:n] = packed.valid_host
+        self.valid = jax.device_put(valid, sh)
+        self.ids = jax.device_put(np.arange(n + pad, dtype=np.int32), sh)
+        self.num_users = len(packed.uids)
+
+    def search_users(self, uids, queries, k: int = 10):
+        """Per query, top-k (doc_u128, dist) over the requested users."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        user_sel = np.zeros(self.num_users, bool)
+        for u in uids:
+            i = self.packed.slot.get(u)
+            if i is not None:
+                user_sel[i] = True
+        sel = jnp.asarray(user_sel)
+        axis = self.axis
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(qq, sel_rep, vv, slot_local, valid, ids):
+            mask = valid & sel_rep[slot_local]
+            return _local_topk_merge(qq, vv, mask, ids, k, axis)
+
+        d, i = run(q, sel, self.vectors, self.slot, self.valid, self.ids)
+        d = np.asarray(d)
+        i = np.asarray(i)
+        out = []
+        for r in range(len(d)):
+            pairs = []
+            for c in range(i.shape[1]):
+                if i[r, c] >= 0 and np.isfinite(d[r, c]):
+                    lo, hi = self.packed.doc_ids[i[r, c]]
+                    pairs.append(((int(hi) << 64) | int(lo), float(d[r, c])))
+            out.append(pairs)
+        return out
+
+
+# ---------------------------------------------------------------------------
 # Data-parallel balanced k-means step (the distributed "training step")
 # ---------------------------------------------------------------------------
 

@@ -7,8 +7,15 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from muopdb_tpu.index import FlatIndex, IvfBuilder
 from muopdb_tpu.index.ivf import IvfBuildConfig
-from muopdb_tpu.parallel import ShardedFlatIndex, ShardedIvfIndex, sharded_kmeans_step
+from muopdb_tpu.index.packed import PackedUsers
+from muopdb_tpu.parallel import (
+    ShardedFlatIndex,
+    ShardedIvfIndex,
+    ShardedMultiUser,
+    sharded_kmeans_step,
+)
 from muopdb_tpu.parallel.sharded import default_mesh
+from muopdb_tpu.quantization import NoQuantizer
 
 
 def test_mesh_has_8_devices():
@@ -46,6 +53,32 @@ def test_sharded_ivf_matches_single_device(rng):
     d2, i2 = sharded.search(q, k=5, nprobe=8)
     np.testing.assert_allclose(np.sort(np.asarray(d2)), np.sort(np.asarray(d1)), rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.sort(np.asarray(i2)), np.sort(np.asarray(i1)))
+
+
+def test_sharded_multi_user_matches_single_device(rng):
+    """Doc-sharded packed multi-user search must agree with the single-chip
+    packed subset sweep (same user isolation, same top-k)."""
+    n_users, per_u, d = 10, 40, 8
+    starts = np.arange(n_users + 1, dtype=np.int64) * per_u
+    x = rng.standard_normal((n_users * per_u, d)).astype(np.float32)
+    docs = np.zeros((n_users * per_u, 2), np.uint64)
+    docs[:, 0] = np.arange(n_users * per_u, dtype=np.uint64)
+    packed = PackedUsers(np.arange(1, n_users + 1), starts, x, docs,
+                         quantizer=NoQuantizer(dim=d))
+    packed.invalidate_found(3, [2 * per_u])  # delete user 3's first doc
+    q = x[2 * per_u : 2 * per_u + 3]
+    single = packed.search_users([3, 7], q, k=4)
+    sharded = ShardedMultiUser(packed).search_users([3, 7], q, k=4)
+    for row_a, row_b in zip(single, sharded):
+        assert [doc for doc, _ in row_a] == [doc for doc, _ in row_b]
+        np.testing.assert_allclose(
+            [dv for _, dv in row_a], [dv for _, dv in row_b], rtol=1e-4, atol=1e-4
+        )
+    # deletion respected and isolation holds
+    all_docs = {doc for row in sharded for doc, _ in row}
+    assert 2 * per_u not in all_docs
+    allowed = set(range(2 * per_u, 3 * per_u)) | set(range(6 * per_u, 7 * per_u))
+    assert all_docs <= allowed
 
 
 def test_sharded_kmeans_step_matches_global(rng):
