@@ -221,6 +221,51 @@ def test_auto_optimize_merges_down(tmp_path, rng):
     assert col.num_segments <= 2 + 1  # merged smallest down
 
 
+def test_packed_users_full_collection_lifecycle(tmp_path, rng):
+    """>= packed_min_users small users ride the packed slab through the REAL
+    collection flow: flush -> search -> remove -> vacuum -> reopen (the
+    10k-user serving plan, index/packed.py, exercised end-to-end)."""
+    path = str(tmp_path / "c")
+    col = Collection("c", path, _config())
+    n_users, per_u = 70, 10
+    data = {}
+    for u in range(1, n_users + 1):
+        x = rng.standard_normal((per_u, 8)).astype(np.float32)
+        data[u] = x
+        col.insert_for_users([u], list(range(u * 100, u * 100 + per_u)), x)
+    col.flush()
+    with col.get_snapshot() as snap:
+        seg = snap.segments[0]
+    assert seg.index._packed is not None, "70 small users must pack"
+    assert len(seg.index._packed.uids) == n_users
+
+    # multi-user search across packed users
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([7, 8], data[7][:2], k=3)
+    assert res[0][0][0] == 700
+    assert res[1][0][0] == 701
+
+    # deletion + vacuum over the packed slab
+    assert col.remove(7, [700]) == 1
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([7], data[7][:1], k=3)
+    assert all(doc != 700 for doc, _ in res[0])
+    names = [s["name"] for s in col.segment_infos()]
+    col.run_optimizer(names, "vacuum")
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([7], data[7][1:2], k=1)[0][0][0] == 701
+        assert all(
+            doc != 700 for doc, _ in snap.search_for_users([7], data[7][:1], k=5)[0]
+        )
+
+    # durability: reopen and search again
+    col.close()
+    col2 = Collection.open("c", path)
+    with col2.get_snapshot() as snap:
+        assert snap.search_for_users([33, 34], data[33][:1], k=1)[0][0][0] == 3300
+    col2.close()
+
+
 def test_mid_optimize_crash_recovery(tmp_path, rng, monkeypatch):
     """Crash between the pending TOC commit and finalize (VERDICT r2 #7):
     reopen must serve searches from the rebuilt PendingSegment's inner
