@@ -35,10 +35,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distance import l2_distance
+from ..ops.distance import l2_distance, l2_distance_bf16
 from ..ops.topk import top_k_smallest
 from ..utils.ids import pack_u128s
 from ..utils.vector_storage import AppendableVectorStorage
+
+
+def _cand_l2(q, v):
+    """Candidate-generation distances on the bf16 MXU (4x the f32 rate on
+    v5e; ~2^-8 relative rounding is harmless for candidate SETS — the prune
+    re-scores in f32). Exact f32 on CPU (bf16 matmul is emulated there) or
+    with MUOPDB_KNN_BF16=0."""
+    if (
+        jax.default_backend() not in ("cpu",)
+        and os.environ.get("MUOPDB_KNN_BF16", "1") != "0"
+    ):
+        return l2_distance_bf16(q, v)
+    return l2_distance(q, v)
 
 
 @dataclass
@@ -200,7 +213,7 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
 
     @functools.partial(jax.jit, static_argnames=("kk",))
     def group_knn(pv, pool_ok, kk):
-        dd = jax.vmap(l2_distance)(pv, pv)  # (G, Pp, Pp)
+        dd = jax.vmap(_cand_l2)(pv, pv)  # (G, Pp, Pp)
         dd = jnp.where(pool_ok[:, None, :], dd, jnp.inf)
         eye = jnp.eye(pv.shape[1], dtype=bool)
         dd = jnp.where(eye[None], jnp.inf, dd)
@@ -281,7 +294,7 @@ def _nn_descent_device(xj, ids, rev, nn2_cols, k: int, chunk: int):
         cand_safe = jnp.clip(cand, 0, n - 1)
         cv = xj[cand_safe]  # (c, R, d)
         qv = xj[node_ids]
-        dd = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(qv, cv)
+        dd = jax.vmap(lambda q, vv: _cand_l2(q[None], vv)[0])(qv, cv)
         dd = jnp.where(cand == node_ids[:, None], jnp.inf, dd)
         dd = jnp.where(cand < 0, jnp.inf, dd)
         order = jnp.argsort(cand, axis=1)
@@ -360,7 +373,7 @@ def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.nd
     ids = jnp.arange(n, dtype=jnp.int32)
     for s in range(0, n, chunk):
         q = xj[s : s + chunk]
-        d = l2_distance(q, xj)
+        d = _cand_l2(q, xj)
         rows = jnp.arange(s, min(s + chunk, n))
         d = d.at[rows - s, rows].set(jnp.inf)  # exclude self
         dd, ii = top_k_smallest(d, ids, k)

@@ -37,6 +37,24 @@ def l2_distance(queries: jax.Array, vectors: jax.Array, precision=None) -> jax.A
     return jnp.maximum(d, 0.0)
 
 
+@jax.jit
+def l2_distance_bf16(queries: jax.Array, vectors: jax.Array) -> jax.Array:
+    """Squared L2 with the cross term on the bf16 MXU (4x the f32 rate on
+    v5e) and f32 norms/accumulation — ~2^-8 relative error on the cross
+    term. For CANDIDATE generation (kNN-graph pools, NN-descent), where the
+    winner sets are re-scored exactly by the prune; never for final
+    rankings."""
+    q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    x_sq = jnp.sum(vectors.astype(jnp.float32) ** 2, axis=-1)
+    cross = jax.lax.dot_general(
+        queries.astype(jnp.bfloat16),
+        vectors.astype(jnp.bfloat16),
+        (((queries.ndim - 1,), (vectors.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(q_sq + x_sq[None, :] - 2.0 * cross, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("precision",))
 def dot_distance(queries: jax.Array, vectors: jax.Array, precision=None) -> jax.Array:
     """Negated dot product matrix: (B, d) x (N, d) -> (B, N); smaller=closer."""
