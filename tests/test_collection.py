@@ -331,6 +331,41 @@ def test_hybrid_filter_search(tmp_path, rng):
         assert sorted(docs) == [i for i in range(20) if i % 2 == 1]
 
 
+def test_hybrid_filter_search_packed_users(tmp_path, rng):
+    """Hybrid text-filter + vector search against PACKED users: the term
+    planner's per-user mask folds into the packed gather list (index/packed.py
+    gather_list), and term-only search reads validity through the view."""
+    schema = AttributeSchema({"body": AttributeType(AttributeKind.TEXT, "english")})
+    col = Collection("c", str(tmp_path / "c"), _config(attribute_schema=schema))
+    n_users, per_u = 66, 12
+    data = {}
+    for u in range(1, n_users + 1):
+        x = rng.standard_normal((per_u, 8)).astype(np.float32)
+        data[u] = x
+        texts = ["red apple" if i % 2 == 0 else "green pear" for i in range(per_u)]
+        col.insert_for_users(
+            [u], list(range(u * 100, u * 100 + per_u)), x,
+            [{"body": t} for t in texts],
+        )
+    col.flush()
+    with col.get_snapshot() as snap:
+        assert snap.segments[0].index._packed is not None
+        res = snap.search_for_users([5, 6], data[5][:2], k=4,
+                                    where=Filter.contains("body", "apple"))
+        for row in res:
+            assert row
+            for doc, _ in row:
+                assert doc % 2 == 0  # only "apple" docs pass
+        # self-hit: doc 500 is even -> passes the filter and must win
+        assert res[0][0][0] == 500
+        # doc 501 is odd -> filtered out even though it's the true NN of q1
+        assert all(doc != 501 for doc, _ in res[1])
+        # term-only search through packed views
+        docs = snap.term_search_for_users([5], Filter.contains("body", "pear"), limit=50)
+        assert sorted(docs) == [500 + i for i in range(per_u) if i % 2 == 1]
+    col.close()
+
+
 def test_snapshot_pins_version(tmp_path, rng):
     col = Collection("c", str(tmp_path / "c"), _config())
     _insert_n(col, 10, rng=rng)
