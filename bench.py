@@ -133,6 +133,9 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # write EVERY entry (default threshold skips <1s compiles) — cross-
+    # process reuse on axon verified round 3 (benches/cache_key_probe.py)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     t_start = time.time()
     n = int(os.environ.get("MUOPDB_BENCH_N", 1_000_000))
     d = 128
@@ -256,73 +259,6 @@ def main():
             _log(f"CPU denominator subprocess started (N={denom_n})")
         except Exception:
             _log("denominator spawn failed:\n" + traceback.format_exc())
-
-    # ---- secondary: probed (low-latency) path
-    pbatch = min(batch, 256)
-    pqueries = queries[:pbatch] if headline_ok else None
-    if headline_ok:
-        try:
-            def run_probed():
-                return index.search(
-                    pqueries, k=k, nprobe=nprobe, chunk=pbatch, rerank=rerank
-                )
-
-            _log("timing probed path")
-            ii_p = run_probed()
-            jax.block_until_ready(ii_p)
-            t0 = time.time()
-            p_outs = [run_probed() for _ in range(3)]
-            jax.block_until_ready(p_outs[-1])
-            probed_ms = 1000 * (time.time() - t0) / 3
-            ii_p = p_outs[-1][1]
-            out["probed_path_batch"] = pbatch
-            out["probed_path_ms_per_batch"] = round(probed_ms, 2)
-            if gt is not None:
-                out["probed_path_recall_at_10"] = round(
-                    _recall(np.asarray(ii_p), gt[:pbatch], k), 4
-                )
-            _log(f"probed path {probed_ms:.1f} ms/batch")
-        except Exception:
-            _log("probed path FAILED (continuing):\n" + traceback.format_exc())
-
-    # ---- secondary: exact bf16 whole-index sweep (recall ~1.0) — the
-    # bandwidth-optimal plan when the index fits HBM uncompressed. The padded
-    # vector array is passed as a jit ARGUMENT (round 1 captured it as a
-    # constant, which embedded 512 MB into the remote-compile request and
-    # died with HTTP 413).
-    if headline_ok and time.time() - t_start < soft_budget:
-        try:
-            from muopdb_tpu.ops.pallas.scan import flat_full_scan
-            from muopdb_tpu.ops.topk import top_k_smallest as _tks
-
-            _log("staging exact-sweep vectors")
-            pad_flat = (-n) % 1024
-            xp = jnp.pad(jnp.asarray(x), ((0, pad_flat), (0, 0)))
-            jax.block_until_ready(xp)
-            _log("exact-sweep staged")
-
-            @jax.jit
-            def flat_exact(qq, vecs):
-                scores = flat_full_scan(qq, vecs)[:, :n]
-                return _tks(scores, jnp.arange(n, dtype=jnp.int32), k)
-
-            # cap the exact sweep batch: the (B, N) score matrix is B*N*4 bytes
-            fb = min(batch, 256)
-            qj2 = jnp.asarray(queries[:fb])
-            ii_f = flat_exact(qj2, xp)
-            jax.block_until_ready(ii_f)
-            _log("exact sweep compiled")
-            t0 = time.time()
-            f_outs = [flat_exact(qj2, xp) for _ in range(5)]
-            jax.block_until_ready(f_outs[-1])
-            flat_dt = (time.time() - t0) / 5
-            got_f = np.asarray(f_outs[-1][1])
-            out["flat_bf16_exact_qps"] = round(fb / flat_dt, 1)
-            if gt is not None:
-                out["flat_bf16_recall_at_10"] = round(_recall(got_f, gt[:fb], k), 4)
-            _log(f"exact sweep {fb/flat_dt:.0f} qps")
-        except Exception:
-            _log("exact sweep FAILED (continuing):\n" + traceback.format_exc())
 
     # ---- secondary: multi-user serving (BASELINE config #5) — 10k users in
     # one packed slab (index/packed.py): requests name small user subsets and
@@ -475,6 +411,73 @@ def main():
                  f"the per-user dispatch loop")
         except Exception:
             _log("multi-user secondary FAILED (continuing):\n" + traceback.format_exc())
+
+    # ---- secondary: probed (low-latency) path
+    pbatch = min(batch, 256)
+    pqueries = queries[:pbatch] if headline_ok else None
+    if headline_ok:
+        try:
+            def run_probed():
+                return index.search(
+                    pqueries, k=k, nprobe=nprobe, chunk=pbatch, rerank=rerank
+                )
+
+            _log("timing probed path")
+            ii_p = run_probed()
+            jax.block_until_ready(ii_p)
+            t0 = time.time()
+            p_outs = [run_probed() for _ in range(3)]
+            jax.block_until_ready(p_outs[-1])
+            probed_ms = 1000 * (time.time() - t0) / 3
+            ii_p = p_outs[-1][1]
+            out["probed_path_batch"] = pbatch
+            out["probed_path_ms_per_batch"] = round(probed_ms, 2)
+            if gt is not None:
+                out["probed_path_recall_at_10"] = round(
+                    _recall(np.asarray(ii_p), gt[:pbatch], k), 4
+                )
+            _log(f"probed path {probed_ms:.1f} ms/batch")
+        except Exception:
+            _log("probed path FAILED (continuing):\n" + traceback.format_exc())
+
+    # ---- secondary: exact bf16 whole-index sweep (recall ~1.0) — the
+    # bandwidth-optimal plan when the index fits HBM uncompressed. The padded
+    # vector array is passed as a jit ARGUMENT (round 1 captured it as a
+    # constant, which embedded 512 MB into the remote-compile request and
+    # died with HTTP 413).
+    if headline_ok and time.time() - t_start < soft_budget:
+        try:
+            from muopdb_tpu.ops.pallas.scan import flat_full_scan
+            from muopdb_tpu.ops.topk import top_k_smallest as _tks
+
+            _log("staging exact-sweep vectors")
+            pad_flat = (-n) % 1024
+            xp = jnp.pad(jnp.asarray(x), ((0, pad_flat), (0, 0)))
+            jax.block_until_ready(xp)
+            _log("exact-sweep staged")
+
+            @jax.jit
+            def flat_exact(qq, vecs):
+                scores = flat_full_scan(qq, vecs)[:, :n]
+                return _tks(scores, jnp.arange(n, dtype=jnp.int32), k)
+
+            # cap the exact sweep batch: the (B, N) score matrix is B*N*4 bytes
+            fb = min(batch, 256)
+            qj2 = jnp.asarray(queries[:fb])
+            ii_f = flat_exact(qj2, xp)
+            jax.block_until_ready(ii_f)
+            _log("exact sweep compiled")
+            t0 = time.time()
+            f_outs = [flat_exact(qj2, xp) for _ in range(5)]
+            jax.block_until_ready(f_outs[-1])
+            flat_dt = (time.time() - t0) / 5
+            got_f = np.asarray(f_outs[-1][1])
+            out["flat_bf16_exact_qps"] = round(fb / flat_dt, 1)
+            if gt is not None:
+                out["flat_bf16_recall_at_10"] = round(_recall(got_f, gt[:fb], k), 4)
+            _log(f"exact sweep {fb/flat_dt:.0f} qps")
+        except Exception:
+            _log("exact sweep FAILED (continuing):\n" + traceback.format_exc())
 
     # ---- recall@10 vs nprobe sweep (BASELINE config #2) — on by default
     # (cheap: reuses the probed-path queries); disable with SWEEP=0

@@ -1,0 +1,64 @@
+"""Axon persistent-compile-cache key experiment (TODO.md / VERDICT r2 #8).
+
+Round 2 observed: the persistent cache WRITES entries through the tunnel,
+but an identical re-run re-added 68 entries — suggesting a per-session
+component in the cache key under the axon backend. This probe runs ONE tiny
+jitted program with jax's cache-key component logging enabled and prints
+the component hashes; running it twice in fresh processes and diffing the
+output identifies which component varies.
+
+Usage:
+    python -m benches.cache_key_probe > /tmp/ck1.txt 2>&1
+    python -m benches.cache_key_probe > /tmp/ck2.txt 2>&1
+    diff <(grep -o 'hash of [a-z_]*: [0-9a-f]*' /tmp/ck1.txt) \
+         <(grep -o 'hash of [a-z_]*: [0-9a-f]*' /tmp/ck2.txt)
+"""
+
+import logging
+import sys
+import time
+
+
+def main():
+    logging.basicConfig(level=logging.DEBUG, stream=sys.stdout)
+    for name in ("jax._src.cache_key", "jax._src.compilation_cache",
+                 "jax._src.compiler"):
+        logging.getLogger(name).setLevel(logging.DEBUG)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.config.update("jax_explain_cache_misses", True)
+    except Exception:
+        pass
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+
+    # also compute the key directly so the component dump is deterministic
+    x = jnp.ones((256, 256), jnp.float32)
+    fn = jax.jit(lambda a: (a @ a).sum())
+    lowered = fn.lower(x)
+    try:
+        from jax._src import cache_key as ck
+        from jax._src import compiler as comp
+        from jax._src import xla_bridge
+
+        backend = xla_bridge.get_backend()
+        module = lowered.compiler_ir("stablehlo")
+        opts = comp.get_compile_options(
+            num_replicas=1, num_partitions=1,
+        )
+        key = ck.get(module, jax.devices(), opts, backend)
+        print("CACHE_KEY:", key, flush=True)
+    except Exception as e:  # version-dependent internals: logging still works
+        print("direct key computation unavailable:", e, flush=True)
+
+    t0 = time.time()
+    print("result:", fn(x), "compile+run", round(time.time() - t0, 2), "s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,9 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # write EVERY entry (default threshold skips <1s compiles) — cross-
+    # process reuse on axon verified round 3 (benches/cache_key_probe.py)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--d", type=int, default=384)

@@ -129,6 +129,10 @@ def main():
             import jax
 
             jax.config.update("jax_compilation_cache_dir", args.jax_cache_dir)
+            # persist every entry: cross-process reuse on axon verified
+            # (benches/cache_key_probe.py); the default 1s threshold skips
+            # most of the server's small per-shape programs
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         serve_index_server(
             args.port,
             args.http_port,
