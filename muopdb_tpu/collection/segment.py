@@ -342,7 +342,12 @@ class ImmutableSegment:
     def remove_batch(self, user_id: int, doc_ids) -> set:
         """Batched delete: one bloom pass, one invalidation mask update, one
         log fsync. Returns the doc ids found in this segment."""
-        cand = [d for d in doc_ids if self.may_contain(user_id, d)]
+        doc_ids = list(doc_ids)
+        if self.index.bloom is not None:
+            ok = self.index.bloom.may_contain_batch(user_id, doc_ids)
+            cand = [d for d, o in zip(doc_ids, ok) if o]
+        else:
+            cand = doc_ids
         if not cand:
             return set()
         found = self.index.invalidate_found(user_id, cand)

@@ -86,13 +86,11 @@ class MultiSpannBuilder:
             if uid in packed_uids:
                 pairs, vecs = b.ivf_builder.staged_arrays()
                 packed_rows.append((uid, pairs, vecs))
-                for lo, hi in pairs:
-                    bloom.insert(uid, (int(hi) << 64) | int(lo))
+                bloom.insert_batch(uid, pairs)
             else:
                 idx = b.build(quantizer=quantizer, seed=seed)
                 users[uid] = idx
-                for lo, hi in idx.doc_ids:
-                    bloom.insert(uid, (int(hi) << 64) | int(lo))
+                bloom.insert_batch(uid, idx.doc_ids)
         packed = None
         if packed_rows:
             packed = PackedUsers.build(

@@ -4,6 +4,12 @@ Reference: utils/src/bloom_filter/blocked_bloom_filter.rs:13-58 — one
 cache-block per key, k derived from the target false-positive rate; written
 per segment by MultiSpannWriter and used for `may_contain`-style deletion
 short-circuiting (Segment::may_contain, segment/mod.rs:24-41).
+
+Hashing is a vectorized splitmix64 mix over the (user, doc) u128 pair lanes
+so whole-segment builds insert millions of keys as a handful of numpy ops
+(the round-2 per-key blake2b loop was the multi-user build bottleneck).
+Filters persisted by older builds carry no hash tag and keep the legacy
+blake2b path on load — membership answers stay correct across versions.
 """
 
 from __future__ import annotations
@@ -15,12 +21,38 @@ import numpy as np
 
 BLOCK_BITS = 512  # one 64-byte cache block per key
 
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
 
-def _hash_pair(user_id: int, doc_id: int) -> tuple[int, int]:
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    # uint64 wraparound is the algorithm; numpy warns on SCALAR overflow only
+    with np.errstate(over="ignore"):
+        x = x + _C1
+        x = (x ^ (x >> np.uint64(30))) * _C2
+        x = (x ^ (x >> np.uint64(27))) * _C3
+        return x ^ (x >> np.uint64(31))
+
+
+def _hash_lanes(ulo, uhi, dlo, dhi):
+    """Two 64-bit hash streams from the four u64 lanes of a (user, doc)
+    u128 pair; fully vectorized."""
+    h1 = _splitmix(ulo ^ _splitmix(dlo))
+    h1 = _splitmix(h1 ^ uhi ^ _splitmix(dhi ^ _C3))
+    h2 = _splitmix(h1 ^ _C1) | np.uint64(1)  # odd stride
+    return h1, h2
+
+
+def _hash_pair_blake(user_id: int, doc_id: int) -> tuple[int, int]:
+    """Legacy per-key hash (filters persisted before the hash tag)."""
     h = hashlib.blake2b(
         user_id.to_bytes(16, "little") + doc_id.to_bytes(16, "little"), digest_size=16
     ).digest()
     return int.from_bytes(h[:8], "little"), int.from_bytes(h[8:], "little")
+
+
+_MASK64 = (1 << 64) - 1
 
 
 class BlockedBloomFilter:
@@ -31,16 +63,52 @@ class BlockedBloomFilter:
         self.num_blocks = max(1, (total_bits + BLOCK_BITS - 1) // BLOCK_BITS)
         self.k = max(1, round(0.693 * bits_per_key))
         self.bits = np.zeros((self.num_blocks, BLOCK_BITS // 8), np.uint8)
+        self.hash_kind = "splitmix"
 
+    # -- hashing ---------------------------------------------------------
+    def _hashes(self, user_id: int, doc_id: int) -> tuple[int, int]:
+        if self.hash_kind == "blake2b":
+            return _hash_pair_blake(user_id, doc_id)
+        h1, h2 = _hash_lanes(
+            np.uint64(user_id & _MASK64),
+            np.uint64((user_id >> 64) & _MASK64),
+            np.uint64(doc_id & _MASK64),
+            np.uint64((doc_id >> 64) & _MASK64),
+        )
+        return int(h1), int(h2)
+
+    # -- mutation --------------------------------------------------------
     def insert(self, user_id: int, doc_id: int) -> None:
-        h1, h2 = _hash_pair(user_id, doc_id)
+        h1, h2 = self._hashes(user_id, doc_id)
         block = h1 % self.num_blocks
         for i in range(self.k):
             bit = (h1 + i * h2) % BLOCK_BITS
             self.bits[block, bit // 8] |= 1 << (bit % 8)
 
+    def insert_batch(self, user_id: int, doc_pairs: np.ndarray) -> None:
+        """Insert every (user_id, doc) of a (n, 2) uint64 (lo, hi) doc-pair
+        array — a handful of vectorized ops, no per-key Python."""
+        pairs = np.asarray(doc_pairs, np.uint64).reshape(-1, 2)
+        n = len(pairs)
+        if n == 0:
+            return
+        if self.hash_kind == "blake2b":  # legacy filters: per-key path
+            for lo, hi in pairs:
+                self.insert(user_id, (int(hi) << 64) | int(lo))
+            return
+        ulo = np.full(n, user_id & _MASK64, np.uint64)
+        uhi = np.full(n, (user_id >> 64) & _MASK64, np.uint64)
+        h1, h2 = _hash_lanes(ulo, uhi, pairs[:, 0], pairs[:, 1])
+        block = (h1 % np.uint64(self.num_blocks)).astype(np.int64)
+        strides = np.arange(self.k, dtype=np.uint64)
+        bitpos = (h1[:, None] + strides[None, :] * h2[:, None]) % np.uint64(BLOCK_BITS)
+        byte_idx = block[:, None] * (BLOCK_BITS // 8) + (bitpos >> np.uint64(3)).astype(np.int64)
+        vals = (np.uint8(1) << (bitpos & np.uint64(7)).astype(np.uint8))
+        np.bitwise_or.at(self.bits.reshape(-1), byte_idx.ravel(), vals.ravel())
+
+    # -- queries ---------------------------------------------------------
     def may_contain(self, user_id: int, doc_id: int) -> bool:
-        h1, h2 = _hash_pair(user_id, doc_id)
+        h1, h2 = self._hashes(user_id, doc_id)
         block = h1 % self.num_blocks
         for i in range(self.k):
             bit = (h1 + i * h2) % BLOCK_BITS
@@ -48,8 +116,33 @@ class BlockedBloomFilter:
                 return False
         return True
 
+    def may_contain_batch(self, user_id: int, doc_ids_u128) -> np.ndarray:
+        """(n,) bool — vectorized membership for batched deletes."""
+        docs = list(doc_ids_u128)
+        n = len(docs)
+        if n == 0:
+            return np.zeros(0, bool)
+        if self.hash_kind == "blake2b":
+            return np.asarray([self.may_contain(user_id, d) for d in docs])
+        pairs = np.zeros((n, 2), np.uint64)
+        for i, d in enumerate(docs):
+            pairs[i, 0] = d & _MASK64
+            pairs[i, 1] = (d >> 64) & _MASK64
+        ulo = np.full(n, user_id & _MASK64, np.uint64)
+        uhi = np.full(n, (user_id >> 64) & _MASK64, np.uint64)
+        h1, h2 = _hash_lanes(ulo, uhi, pairs[:, 0], pairs[:, 1])
+        block = (h1 % np.uint64(self.num_blocks)).astype(np.int64)
+        strides = np.arange(self.k, dtype=np.uint64)
+        bitpos = (h1[:, None] + strides[None, :] * h2[:, None]) % np.uint64(BLOCK_BITS)
+        byte_idx = block[:, None] * (BLOCK_BITS // 8) + (bitpos >> np.uint64(3)).astype(np.int64)
+        vals = (np.uint8(1) << (bitpos & np.uint64(7)).astype(np.uint8))
+        got = self.bits.reshape(-1)[byte_idx]
+        return ((got & vals) == vals).all(axis=1)
+
+    # -- persistence -----------------------------------------------------
     def save(self, path: str) -> None:
-        np.savez(path, bits=self.bits, k=np.int64(self.k))
+        np.savez(path, bits=self.bits, k=np.int64(self.k),
+                 hash_kind=np.bytes_(self.hash_kind.encode()))
 
     @classmethod
     def load(cls, path: str) -> "BlockedBloomFilter":
@@ -60,4 +153,8 @@ class BlockedBloomFilter:
         f.bits = z["bits"]
         f.num_blocks = f.bits.shape[0]
         f.k = int(z["k"])
+        # filters persisted before the hash tag were built with blake2b
+        f.hash_kind = (
+            bytes(z["hash_kind"]).decode() if "hash_kind" in z.files else "blake2b"
+        )
         return f
