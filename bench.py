@@ -285,10 +285,18 @@ def main():
             t0 = time.time()
             # clustered data (same rationale as _gen_data): iid gaussians
             # have a near-tied top-10 that PQ cannot rank (any engine's
-            # recall collapses); modes give queries a meaningful answer set
+            # recall collapses). Users are topically coherent — each draws
+            # its docs from 8 of 8192 modes — matching multi-tenant reality
+            # and giving a query's mode enough in-subset mass that the
+            # top-10 is a meaningful answer set.
             mu_modes = rng2.standard_normal((8192, d2), dtype=np.float32) * 1.5
+            user_modes = rng2.integers(0, 8192, (n_u, 8))
+            doc_mode = user_modes[
+                np.repeat(np.arange(n_u), per_u),
+                rng2.integers(0, 8, n_u * per_u),
+            ]
             xall = (
-                mu_modes[rng2.integers(0, 8192, n_u * per_u)]
+                mu_modes[doc_mode]
                 + rng2.standard_normal((n_u * per_u, d2), dtype=np.float32)
             )
             pq2 = ProductQuantizer(dim=d2, subvector_dim=d2 // m2, num_bits=8).train(

@@ -451,7 +451,7 @@ class Collection:
             pend = [
                 n for n in self._toc.toc
                 if isinstance(self.all_segments.get(n), PendingSegment)
-                and self.all_segments[n]._built is None
+                and getattr(self.all_segments[n], "_built", None) is None
                 and not getattr(self.all_segments[n], "_optimizer_active", False)
             ]
         done = []

@@ -233,6 +233,9 @@ def test_auto_optimize_skips_pending_segments(tmp_path, monkeypatch):
 
     fake = FakePending()
     fake.__class__ = type("P", (FakePending, PendingSegment), {})
+    # run_optimizer marks live pendings; only crash-rebuilt ones (no flag)
+    # are resumed by finish_pending_optimizations
+    fake._optimizer_active = True
     col.all_segments["p"] = fake
     col._toc.toc.append("p")
 
