@@ -306,11 +306,16 @@ class PackedUsers:
         """search_for_users semantics over packed users: per query, top-k
         [(doc_u128, dist)] over all requested users' live+filtered points.
         Exact over the subset (full scan + optional PQ rerank)."""
+        from ..utils import search_stats
+
         q = np.asarray(queries, np.float32).reshape(-1, self.vectors_host.shape[1])
         b = len(q)
         ids = self.gather_list(uids, filter_masks)
         if len(ids) == 0:
             return [[] for _ in range(b)]
+        # pages-accessed parity (utils.rs:9-66): one "page" per 512-point
+        # gathered block the fused sweep actually scans
+        search_stats.add_blocks(-(-len(ids) // 512))
         if self.is_pq() and rerank == 0:
             rerank = max(4 * k, 64)  # exact-rerank default restores recall
         dev, raw = self._device()
