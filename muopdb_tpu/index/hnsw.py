@@ -157,12 +157,13 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         sel = np.random.default_rng(seed).choice(n, 200_000, replace=False)
         sample = xj[jnp.asarray(np.sort(sel))]
     cents = kmeans(sample, nc, key=jax.random.key(seed), max_iter=10, penalty=1.0).centroids
-    # top-2 partitions per point (chunked)
-    top2 = np.empty((n, 2), np.int32)
+    # top-2 partitions per point: enqueue every chunk, fetch once (a
+    # per-chunk np.asarray pays one tunnel RTT each — 16 RTTs/tree at 1M)
+    pend_t2 = []
     for s0 in range(0, n, 65536):
-        dd = l2_distance(xj[s0 : s0 + 65536], cents)
-        _, ii = jax.lax.top_k(-dd, 2)
-        top2[s0 : s0 + 65536] = np.asarray(ii)
+        dd = _cand_l2(xj[s0 : s0 + 65536], cents)
+        pend_t2.append(jax.lax.top_k(-dd, 2)[1])
+    top2 = np.concatenate([np.asarray(ii) for ii in pend_t2]).astype(np.int32)
     # pool of each partition = members (top1) + visitors (top2). kNN is
     # computed for EVERY pool row (members and visitors alike) so each point
     # collects neighbor rows from BOTH of its assigned partitions — scoring
