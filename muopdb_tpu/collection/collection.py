@@ -417,9 +417,14 @@ class Collection:
             # with the pending map for crash recovery (core.rs:1264-1285)
             self.replace_segment(pending_name, ps, segment_names,
                                  pending_entry=[s.name for s in inner])
-        if os.environ.get(TEST_CRASH_AFTER_PENDING_ENV):
-            raise RuntimeError("test crash: after pending TOC commit")
-        return self._complete_pending(ps, pending_name, optimizer)
+        try:
+            if os.environ.get(TEST_CRASH_AFTER_PENDING_ENV):
+                raise RuntimeError("test crash: after pending TOC commit")
+            return self._complete_pending(ps, pending_name, optimizer)
+        finally:
+            # a failed optimize must leave the pending resumable by
+            # finish_pending_optimizations (it filters on this flag)
+            ps._optimizer_active = False
 
     def _complete_pending(self, ps: PendingSegment, pending_name: str, optimizer) -> str:
         built_dir = os.path.join(self.directory, f"tmp_built_{pending_name}")
@@ -448,20 +453,31 @@ class Collection:
         import shutil
 
         with self._toc_lock:
-            pend = [
-                n for n in self._toc.toc
-                if isinstance(self.all_segments.get(n), PendingSegment)
-                and getattr(self.all_segments[n], "_built", None) is None
-                and not getattr(self.all_segments[n], "_optimizer_active", False)
-            ]
+            # claim under the lock so overlapping auto_optimize calls cannot
+            # double-resume the same pending segment
+            pend = []
+            for n in self._toc.toc:
+                ps = self.all_segments.get(n)
+                if (
+                    isinstance(ps, PendingSegment)
+                    and getattr(ps, "_built", None) is None
+                    and not getattr(ps, "_optimizer_active", False)
+                ):
+                    ps._optimizer_active = True
+                    pend.append(n)
         done = []
         for pending_name in pend:
             ps = self.all_segments.get(pending_name)
             if ps is None:
                 continue
-            built_dir = os.path.join(self.directory, f"tmp_built_{pending_name}")
-            shutil.rmtree(built_dir, ignore_errors=True)  # partial crash debris
-            done.append(self._complete_pending(ps, pending_name, OPTIMIZERS["merge"]()))
+            try:
+                built_dir = os.path.join(self.directory, f"tmp_built_{pending_name}")
+                shutil.rmtree(built_dir, ignore_errors=True)  # partial crash debris
+                done.append(
+                    self._complete_pending(ps, pending_name, OPTIMIZERS["merge"]())
+                )
+            finally:
+                ps._optimizer_active = False
         return done
 
     def auto_optimize(self) -> List[str]:

@@ -163,7 +163,9 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     for s0 in range(0, n, 65536):
         dd = _cand_l2(xj[s0 : s0 + 65536], cents)
         pend_t2.append(jax.lax.top_k(-dd, 2)[1])
-    top2 = np.concatenate([np.asarray(ii) for ii in pend_t2]).astype(np.int32)
+    # concatenate ON DEVICE so the host fetch is ONE roundtrip, not one
+    # ~33 ms tunnel RTT per chunk
+    top2 = np.asarray(jnp.concatenate(pend_t2)).astype(np.int32)
     # pool of each partition = members (top1) + visitors (top2). kNN is
     # computed for EVERY pool row (members and visitors alike) so each point
     # collects neighbor rows from BOTH of its assigned partitions — scoring

@@ -52,8 +52,9 @@ _MAX_SUBSET_POINTS = int(os.environ.get("MUOPDB_PACKED_SUBSET_POINTS", 2 * 1024 
 _SCORE_BUDGET = 64 * 1024 * 1024
 
 
-def _pow2(n: int, minimum: int) -> int:
-    return 1 << max(minimum.bit_length() - 1, (max(n, 1) - 1).bit_length())
+# shared pow2 shape bucketing (program-cache sharing across the fused-group
+# and packed paths depends on identical pads)
+from .multi_search import _pad_pow2 as _pow2
 
 
 def _query_chunk(b_pad: int, p_pad: int) -> int:

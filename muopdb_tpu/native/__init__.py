@@ -47,41 +47,48 @@ def _load():
                     return None
         try:
             lib = ctypes.CDLL(_SO)
-        except OSError as e:
-            log.warning("native load failed: %s", e)
+            _bind(lib)
+        except (OSError, AttributeError) as e:
+            # AttributeError: a stale .so (kept because rebuild failed —
+            # e.g. no compiler) may lack newer symbols; fall back to Python
+            # rather than crash every caller
+            log.warning("native load failed, using Python fallbacks: %s", e)
             return None
-        lib.ef_encode.restype = ctypes.c_int64
-        lib.ef_encode.argtypes = [
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
-            ctypes.c_void_p, ctypes.c_uint64,
-        ]
-        lib.ef_decode.restype = ctypes.c_int64
-        lib.ef_decode.argtypes = [
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
-        ]
-        lib.ef_intersect.restype = ctypes.c_int64
-        lib.ef_intersect.argtypes = [
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
-            ctypes.c_void_p, ctypes.c_uint64,
-        ]
-        lib.hnsw_finalize_edges.restype = None
-        lib.hnsw_finalize_edges.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
-        ]
-        lib.io_engine_create.restype = ctypes.c_void_p
-        lib.io_engine_create.argtypes = [ctypes.c_int]
-        lib.io_engine_submit.restype = ctypes.c_int64
-        lib.io_engine_submit.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
-            ctypes.c_uint64, ctypes.c_void_p,
-        ]
-        lib.io_engine_wait.restype = ctypes.c_int64
-        lib.io_engine_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-        lib.io_engine_destroy.restype = None
-        lib.io_engine_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    lib.ef_encode.restype = ctypes.c_int64
+    lib.ef_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_uint64,
+    ]
+    lib.ef_decode.restype = ctypes.c_int64
+    lib.ef_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+    ]
+    lib.ef_intersect.restype = ctypes.c_int64
+    lib.ef_intersect.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_uint64,
+    ]
+    lib.hnsw_finalize_edges.restype = None
+    lib.hnsw_finalize_edges.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.io_engine_create.restype = ctypes.c_void_p
+    lib.io_engine_create.argtypes = [ctypes.c_int]
+    lib.io_engine_submit.restype = ctypes.c_int64
+    lib.io_engine_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_void_p,
+    ]
+    lib.io_engine_wait.restype = ctypes.c_int64
+    lib.io_engine_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.io_engine_destroy.restype = None
+    lib.io_engine_destroy.argtypes = [ctypes.c_void_p]
 
 
 def available() -> bool:

@@ -232,6 +232,7 @@ class BlockCache:
         first = offset // bs
         last = (offset + length - 1) // bs if length else first
         idxs = list(range(first, last + 1))
+        prefetched: Dict[int, bytes] = {}
         if len(idxs) > 1:
             # Claim the missing blocks in _fills BEFORE issuing the parallel
             # prefetch so a concurrent reader of the same range waits on the
@@ -259,6 +260,7 @@ class BlockCache:
                         )
                         for bi, blk in zip(to_read, blocks):
                             self._insert_block((path, bi), blk)
+                            prefetched[bi] = blk
                 finally:
                     with self._lock:
                         for bi in claimed:
@@ -267,9 +269,14 @@ class BlockCache:
                                 ev.set()
         parts = []
         for bi in idxs:
-            blk = self._get_block(
-                (path, bi), lambda bi=bi: source.read(bi * bs, bs)
-            )
+            # prefetched blocks are served directly: their miss was counted
+            # by _insert_block, and routing them through _get_block would
+            # also count a bogus hit for the same logical access
+            blk = prefetched.get(bi)
+            if blk is None:
+                blk = self._get_block(
+                    (path, bi), lambda bi=bi: source.read(bi * bs, bs)
+                )
             parts.append(blk)
         data = b"".join(parts)
         start = offset - first * bs
