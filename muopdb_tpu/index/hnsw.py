@@ -76,9 +76,12 @@ class HnswBuildConfig:
     nn_descent_rounds: int = 3
     # Vamana-style self-search refinement passes (n > 200k only): search the
     # built graph for every node's neighbors with the batched beam search,
-    # merge into the candidate lists, re-prune. Searched recall is far above
-    # raw kNN-graph recall, so one pass lifts the graph to search quality.
-    refine_rounds: int = 1
+    # merge into the candidate lists, re-prune. Default 0 since round 3:
+    # with routing-scan navigation the refine pass buys 0.0004 recall@10 at
+    # 1M x 384 (0.9913 -> 0.9917 @ ef64, measured) for ~2x the build
+    # wall-clock — graph quality stopped being the recall bottleneck once
+    # navigation was fixed. Set 1 to restore the round-2 behavior.
+    refine_rounds: int = 0
     refine_ef: int = 100
     # Random candidates appended per node before each prune. On clustered
     # data at scale the kNN candidates are all intra-cluster, the prune then
