@@ -223,7 +223,10 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         dd = jnp.where(pool_ok[:, None, :], dd, jnp.inf)
         eye = jnp.eye(pv.shape[1], dtype=bool)
         dd = jnp.where(eye[None], jnp.inf, dd)
-        nd, ni = jax.lax.top_k(-dd, kk)
+        # approx selection: full lax.top_k sorts every 4096-wide row on the
+        # VPU and dominates the partition stage; these are candidate SETS
+        # (merged across trees + repaired by NN-descent), not final edges
+        nd, ni = jax.lax.approx_max_k(-dd, kk, recall_target=0.95)
         return -nd, ni
 
     # two row buffers per point: its member-partition row and its
