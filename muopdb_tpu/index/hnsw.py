@@ -264,6 +264,14 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         ids2[pool_idx[visitor]] = row_ids[visitor]
         d2[pool_idx[visitor]] = cd[visitor]
 
+    # gather pools from a bf16 copy on accelerators: the pool gathers are
+    # the stage's HBM traffic, and _cand_l2 rounds to bf16 anyway
+    xg = (
+        xj.astype(jnp.bfloat16)
+        if jax.default_backend() not in ("cpu",)
+        and os.environ.get("MUOPDB_KNN_BF16", "1") != "0"
+        else xj
+    )
     for g0 in range(0, len(jobs), g_fixed):
         chunk_items = jobs[g0 : g0 + g_fixed]
         pool_idx = np.zeros((g_fixed, pp), np.int64)
@@ -271,7 +279,7 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         for gi, (pool, _) in enumerate(chunk_items):
             pool_idx[gi, : len(pool)] = pool
             pool_ok[gi, : len(pool)] = True
-        pv = xj[jnp.asarray(pool_idx)]  # (G, Pp, d)
+        pv = xg[jnp.asarray(pool_idx)]  # (G, Pp, d)
         cd, ci = group_knn(pv, jnp.asarray(pool_ok), kk)
         inflight.append((chunk_items, pool_idx, pool_ok, cd, ci))
         if len(inflight) >= 4:
@@ -365,8 +373,16 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
     ids_p = np.pad(ids, ((0, pad), (0, 0)), constant_values=-1)
     rev_p = np.pad(rev, ((0, pad), (0, 0)), constant_values=-1)
     cols_p = np.pad(nn2_cols, ((0, pad), (0, 0)))
+    # candidate gathers from a bf16 copy on accelerators (HBM-bound stage;
+    # the distance kernel rounds to bf16 anyway)
+    xg = (
+        xj.astype(jnp.bfloat16)
+        if jax.default_backend() not in ("cpu",)
+        and os.environ.get("MUOPDB_KNN_BF16", "1") != "0"
+        else xj
+    )
     out_i, out_d = _nn_descent_device(
-        xj, jnp.asarray(ids_p), jnp.asarray(rev_p), jnp.asarray(cols_p),
+        xg, jnp.asarray(ids_p), jnp.asarray(rev_p), jnp.asarray(cols_p),
         k=k, chunk=chunk,
     )
     return np.asarray(out_i)[:n], np.asarray(out_d)[:n]
