@@ -313,6 +313,44 @@ def test_mid_optimize_crash_recovery(tmp_path, rng, monkeypatch):
     col2.close()
 
 
+def test_failed_optimize_stays_resumable(tmp_path, rng, monkeypatch):
+    """An optimize that fails AFTER the pending TOC commit must leave the
+    pending segment resumable (the active flag is cleared on unwind), and
+    the next auto-optimize converges it."""
+    from muopdb_tpu.collection import optimizers as opt_mod
+
+    col = Collection("c", str(tmp_path / "c"), _config())
+    xa = _insert_n(col, 30, offset=0, rng=rng)
+    col.flush()
+    _insert_n(col, 30, offset=100, rng=rng)
+    col.flush()
+    names = [s["name"] for s in col.segment_infos()]
+
+    calls = {"n": 0}
+    orig = opt_mod.MergeOptimizer.optimize
+
+    def flaky(self, pending, out_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient failure mid-optimize")
+        return orig(self, pending, out_dir)
+
+    monkeypatch.setattr(opt_mod.MergeOptimizer, "optimize", flaky)
+    with pytest.raises(OSError):
+        col.run_optimizer(names, "merge")
+    # searches still served through the pending segment's inner forwards
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([1], xa[7:8], k=1,
+                                     num_explored_centroids=4)[0][0][0] == 7
+    # the in-process retry path: auto_optimize resumes and converges
+    actions = col.auto_optimize()
+    assert len(actions) == 1 and calls["n"] == 2
+    assert all(
+        not s["name"].startswith("pending_segment_") for s in col.segment_infos()
+    )
+    col.close()
+
+
 def test_hybrid_filter_search(tmp_path, rng):
     schema = AttributeSchema({"body": AttributeType(AttributeKind.TEXT, "english")})
     col = Collection("c", str(tmp_path / "c"), _config(attribute_schema=schema))
