@@ -368,6 +368,12 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
     nn2_cols = rng.integers(0, k * k, size=(n, min(2 * k, k * k))).astype(np.int32)
     rev = _reverse_lists(ids, k)
 
+    # bound the per-chunk candidate gather (chunk x R x d) to ~1.5 GB —
+    # the fixed 8192 chunk OOMs at GIST dims (960) on a 16 GB chip
+    r_cand = 2 * k + min(2 * k, k * k)
+    d_dim = int(xj.shape[1])
+    budget_rows = max(1024, int(1.5e9 / max(r_cand * d_dim * 2, 1)))
+    chunk = min(chunk, 1 << (budget_rows.bit_length() - 1))
     chunk = min(chunk, n)
     pad = (-n) % chunk
     ids_p = np.pad(ids, ((0, pad), (0, 0)), constant_values=-1)
