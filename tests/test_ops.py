@@ -25,6 +25,23 @@ def test_l2_matches_numpy(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_l2_bf16_close_and_nonnegative(rng):
+    from muopdb_tpu.ops.distance import l2_distance_bf16
+
+    q = rng.standard_normal((7, 64)).astype(np.float32) * 3
+    x = rng.standard_normal((50, 64)).astype(np.float32) * 3
+    got = np.asarray(l2_distance_bf16(q, x))
+    want = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    assert (got >= 0).all()
+    # bf16 cross-term: ~2^-8 relative on the cross term -> a few % of d
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=2.0)
+    # candidate ORDERING largely preserved: top-10 of each row overlaps
+    for r in range(len(q)):
+        a = set(np.argsort(got[r])[:10].tolist())
+        b = set(np.argsort(want[r])[:10].tolist())
+        assert len(a & b) >= 8
+
+
 def test_dot_matches_numpy(rng):
     q = rng.standard_normal((3, 16)).astype(np.float32)
     x = rng.standard_normal((20, 16)).astype(np.float32)
