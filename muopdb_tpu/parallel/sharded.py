@@ -208,7 +208,8 @@ class ShardedMultiUser:
         for i, u in enumerate(packed.uids):
             s, e = int(packed.starts[i]), int(packed.starts[i + 1])
             slot[s:e] = i
-        pad = (-n) % n_shards
+        # per-shard slices must also satisfy the ADC block width (512)
+        pad = (-n) % (n_shards * (512 if packed.is_pq() else 1))
         sh = NamedSharding(self.mesh, P(axis))
         self.vectors = jax.device_put(np.pad(v, ((0, pad), (0, 0))), sh)
         self.slot = jax.device_put(np.pad(slot, (0, pad)), sh)
@@ -217,8 +218,16 @@ class ShardedMultiUser:
         self.valid = jax.device_put(valid, sh)
         self.ids = jax.device_put(np.arange(n + pad, dtype=np.int32), sh)
         self.num_users = len(packed.uids)
+        self.codes = None
+        if packed.is_pq():
+            # codes shard along the point axis next to the vectors; each
+            # shard ADC-sweeps + exactly reranks ITS slice, the merge then
+            # compares exact distances across shards
+            ct = np.zeros((packed.quantizer.num_subvectors, n + pad), np.int32)
+            ct[:, :n] = packed.codes_host.T
+            self.codes = jax.device_put(ct, NamedSharding(self.mesh, P(None, axis)))
 
-    def search_users(self, uids, queries, k: int = 10):
+    def search_users(self, uids, queries, k: int = 10, rerank: int = 0):
         """Per query, top-k (doc_u128, dist) over the requested users."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         user_sel = np.zeros(self.num_users, bool)
@@ -228,19 +237,63 @@ class ShardedMultiUser:
                 user_sel[i] = True
         sel = jnp.asarray(user_sel)
         axis = self.axis
+        is_pq = self.codes is not None
+        if is_pq and rerank == 0:
+            rerank = max(4 * k, 64)
 
-        @functools.partial(
-            jax.shard_map,
-            mesh=self.mesh,
-            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        def run(qq, sel_rep, vv, slot_local, valid, ids):
-            mask = valid & sel_rep[slot_local]
-            return _local_topk_merge(qq, vv, mask, ids, k, axis)
+        if not is_pq:
 
-        d, i = run(q, sel, self.vectors, self.slot, self.valid, self.ids)
+            @functools.partial(
+                jax.shard_map,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            def run(qq, sel_rep, vv, slot_local, valid, ids):
+                mask = valid & sel_rep[slot_local]
+                return _local_topk_merge(qq, vv, mask, ids, k, axis)
+
+            d, i = run(q, sel, self.vectors, self.slot, self.valid, self.ids)
+        else:
+            from ..index.ivf import _adc_scores_full
+            from ..quantization.pq import _compute_lut_dot, _compute_lut_l2
+
+            cb = jnp.asarray(self.packed.quantizer.codebook)
+            lut_fn = (
+                _compute_lut_l2
+                if self.packed.distance_type in ("L2", "l2")
+                else _compute_lut_dot
+            )
+            use_pallas = jax.default_backend() not in ("cpu",)
+
+            @functools.partial(
+                jax.shard_map,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(None, axis), P(axis), P(axis),
+                          P(axis), P(axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            def run_pq(qq, sel_rep, cbk, codes_local, vv, slot_local, valid, ids):
+                nl = vv.shape[0]
+                lut = lut_fn(qq, cbk)
+                scores = _adc_scores_full(lut, codes_local, nl, use_pallas, False)
+                mask = valid & sel_rep[slot_local]
+                scores = jnp.where(mask[None, :], scores, jnp.inf)
+                r = min(max(rerank, k), nl)
+                neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
+                exact = jax.vmap(
+                    lambda one_q, cand: l2_distance(one_q[None], cand)[0]
+                )(qq, vv[ci])
+                exact = jnp.where(jnp.isfinite(-neg), exact, jnp.inf)
+                ld, li = top_k_smallest(exact, ids[ci], k)
+                gd = jax.lax.all_gather(ld, axis, axis=1, tiled=True)
+                gi = jax.lax.all_gather(li, axis, axis=1, tiled=True)
+                return top_k_smallest(gd, gi, k)
+
+            d, i = run_pq(q, sel, cb, self.codes, self.vectors, self.slot,
+                          self.valid, self.ids)
         d = np.asarray(d)
         i = np.asarray(i)
         out = []

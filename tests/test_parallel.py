@@ -81,6 +81,29 @@ def test_sharded_multi_user_matches_single_device(rng):
     assert all_docs <= allowed
 
 
+def test_sharded_multi_user_pq_reranks(rng):
+    """PQ packed slab sharded over the mesh: per-shard ADC + local exact
+    rerank + ICI merge must surface the true self-hits."""
+    from muopdb_tpu.quantization import ProductQuantizer
+
+    n_users, per_u, d = 8, 64, 16
+    starts = np.arange(n_users + 1, dtype=np.int64) * per_u
+    x = rng.standard_normal((n_users * per_u, d)).astype(np.float32)
+    docs = np.zeros((n_users * per_u, 2), np.uint64)
+    docs[:, 0] = np.arange(n_users * per_u, dtype=np.uint64)
+    pq = ProductQuantizer(dim=d, subvector_dim=4, num_bits=8).train(x, max_iter=8)
+    packed = PackedUsers(np.arange(1, n_users + 1), starts, x, docs,
+                         quantizer=pq, codes=pq.quantize(x))
+    sharded = ShardedMultiUser(packed)
+    assert sharded.codes is not None
+    q = x[3 * per_u : 3 * per_u + 4]
+    res = sharded.search_users([4, 6], q, k=3)
+    for qi, row in enumerate(res):
+        assert row[0][0] == 3 * per_u + qi  # exact-reranked self-hit
+    allowed = set(range(3 * per_u, 4 * per_u)) | set(range(5 * per_u, 6 * per_u))
+    assert {doc for row in res for doc, _ in row} <= allowed
+
+
 def test_sharded_kmeans_step_matches_global(rng):
     mesh = default_mesh()
     x = rng.standard_normal((256, 8)).astype(np.float32)
