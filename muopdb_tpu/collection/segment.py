@@ -152,10 +152,17 @@ class MutableSegment:
         term_builders: Dict[int, TermIndexBuilder] = {}
         with self._lock:
             rows_snapshot = {u: [r for r in rows if not r[3]] for u, rows in self._rows.items()}
+        from ..utils.ids import pack_u128s
+
         for user_id, rows in rows_snapshot.items():
             tb = term_builders.setdefault(user_id, TermIndexBuilder())
+            if rows:
+                # one vectorized append per user (a per-doc Python loop is
+                # minutes of host time at multi-million-doc flushes)
+                pairs = pack_u128s(r[0] for r in rows)
+                vecs = np.stack([r[1] for r in rows])
+                msb.insert_batch_pairs(user_id, pairs, vecs)
             for pid, (doc_id, vec, terms, _) in enumerate(rows):
-                msb.insert(user_id, doc_id, vec)
                 if terms:
                     tb.add_terms(pid, terms)
 
