@@ -277,7 +277,11 @@ def main():
             from muopdb_tpu.quantization import ProductQuantizer
 
             n_u = int(os.environ.get("MUOPDB_BENCH_MU_USERS", 10_000))
-            per_u = int(os.environ.get("MUOPDB_BENCH_MU_PER_USER", 1000))
+            # 500 docs/user keeps the 10k-user capability evidence while
+            # fitting the 840 s bench budget next to the 1M headline + the
+            # 300k HNSW secondary (the slab scales to ~50M points/chip —
+            # see the memory math above)
+            per_u = int(os.environ.get("MUOPDB_BENCH_MU_PER_USER", 500))
             d2, m2, mu_batch, sub_users = 64, 8, 64, 16
             mu_rerank = 256  # PQ m=8 on weakly structured data needs a deep
             # exact rerank; the packed program fuses it, cost is one gather
