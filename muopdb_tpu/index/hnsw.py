@@ -153,6 +153,11 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     # grows much faster than the flop bill — and big matmuls are exactly
     # what the hardware wants. Measured at 20k x 64: sqrt(n) partitions give
     # 1-tree kNN recall 0.37, n/1024 partitions 0.8+.
+    import logging as _logging
+    import time as _time
+
+    _plog = _logging.getLogger(__name__)
+    _t0 = _time.time()
     nc = num_clusters or max(4, n // 1024)
     xj = jnp.asarray(x) if xj is None else xj
     sample = xj
@@ -160,6 +165,9 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         sel = np.random.default_rng(seed).choice(n, 200_000, replace=False)
         sample = xj[jnp.asarray(np.sort(sel))]
     cents = kmeans(sample, nc, key=jax.random.key(seed), max_iter=10, penalty=1.0).centroids
+    jax.block_until_ready(cents)
+    _t_kmeans = _time.time() - _t0
+    _t0 = _time.time()
     # top-2 partitions per point: enqueue every chunk, fetch once (a
     # per-chunk np.asarray pays one tunnel RTT each — 16 RTTs/tree at 1M)
     pend_t2 = []
@@ -169,6 +177,8 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     # concatenate ON DEVICE so the host fetch is ONE roundtrip, not one
     # ~33 ms tunnel RTT per chunk
     top2 = np.asarray(jnp.concatenate(pend_t2)).astype(np.int32)
+    _t_top2 = _time.time() - _t0
+    _t0 = _time.time()
     # pool of each partition = members (top1) + visitors (top2). kNN is
     # computed for EVERY pool row (members and visitors alike) so each point
     # collects neighbor rows from BOTH of its assigned partitions — scoring
@@ -286,6 +296,10 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
             drain_one()
     while inflight:
         drain_one()
+    _plog.info(
+        "approx_knn tree: kmeans %.1fs, top2 %.1fs, %d pool jobs %.1fs",
+        _t_kmeans, _t_top2, len(jobs), _time.time() - _t0,
+    )
     return _merge_knn(ids1, d1, ids2, d2, k)
 
 
