@@ -475,16 +475,21 @@ def _heuristic_prune(
     if k == 0:  # single-point index: nothing to prune
         return out
     alpha_sq = float(alpha) * float(alpha)  # distances are squared L2
+    # enqueue all chunk programs first (async), fetch afterwards — a
+    # per-chunk np.asarray pays one tunnel RTT each (245 at 1M)
+    pending = []
     for s in range(0, n, chunk):
         cid = cand_ids[s : s + chunk]  # (c, k)
         cdist = cand_d[s : s + chunk]
         valid = cid >= 0
         cv = xj[jnp.asarray(np.clip(cid, 0, None))]  # device gather
-        keep = np.asarray(
-            _prune_chunk_device(
-                cv, jnp.asarray(cdist), jnp.asarray(valid), m, alpha_sq
-            )
-        )
+        pending.append((s, cid, valid, _prune_chunk_device(
+            cv, jnp.asarray(cdist), jnp.asarray(valid), m, alpha_sq
+        )))
+        if len(pending) > 8:  # bound in-flight gather buffers
+            pending[-8][3].block_until_ready()
+    for s, cid, valid, keep_dev in pending:
+        keep = np.asarray(keep_dev)
         c = cid.shape[0]
         if keep_pruned:
             # kept first, then valid pruned (nearest-first), then pads
