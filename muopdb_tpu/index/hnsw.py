@@ -416,12 +416,18 @@ def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.nd
     ids_out = np.empty((n, k), np.int32)
     d_out = np.empty((n, k), np.float32)
     ids = jnp.arange(n, dtype=jnp.int32)
+    # enqueue all chunks, fetch after (per-chunk syncs pay one tunnel RTT
+    # each); the window bounds the (chunk, n) score buffers alive on device
+    pending = []
     for s in range(0, n, chunk):
         q = xj[s : s + chunk]
         d = _cand_l2(q, xj)
         rows = jnp.arange(s, min(s + chunk, n))
         d = d.at[rows - s, rows].set(jnp.inf)  # exclude self
-        dd, ii = top_k_smallest(d, ids, k)
+        pending.append((s, *top_k_smallest(d, ids, k)))
+        if len(pending) > 4:
+            pending[-4][1].block_until_ready()
+    for s, dd, ii in pending:
         ids_out[s : s + chunk] = np.asarray(ii)
         d_out[s : s + chunk] = np.asarray(dd)
     return ids_out, d_out
