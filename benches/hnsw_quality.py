@@ -132,14 +132,30 @@ def main():
                     help="save each built index here (search-stage experiments reload it)")
     ap.add_argument("--load-dir", type=str, default=None,
                     help="skip the build and load a saved index")
+    ap.add_argument("--gt-cache", type=str, default="/tmp/hnswq_gt",
+                    help="directory for cached exact ground truth (data is "
+                         "seeded, so GT is reusable across runs; '' disables)")
     args = ap.parse_args()
 
     from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
 
     _log(f"generating n={args.n} d={args.d}")
     x, queries = gen_data(args.n, args.d, args.nq, args.seed)
-    _log("computing ground truth")
-    gt = ground_truth(x, queries, args.k)
+    gt = None
+    gt_path = None
+    if args.gt_cache:
+        import os
+
+        os.makedirs(args.gt_cache, exist_ok=True)
+        gt_path = f"{args.gt_cache}/gt_{args.n}_{args.d}_{args.nq}_{args.k}_{args.seed}.npy"
+        if os.path.exists(gt_path):
+            gt = np.load(gt_path)
+            _log(f"ground truth loaded from {gt_path}")
+    if gt is None:
+        _log("computing ground truth")
+        gt = ground_truth(x, queries, args.k)
+        if gt_path:
+            np.save(gt_path, gt)
     _log("ground truth done")
 
     efs = [int(e) for e in args.efs.split(",")]
