@@ -1060,6 +1060,8 @@ class HnswBuilder:
         # up to 200k points, IVF-partitioned approximate graph beyond.
         # One device copy of the vectors serves every stage.
         xj = jnp.asarray(x)
+        jax.block_until_ready(xj)
+        _stage("staged vectors")  # 1.5 GB at 1M x 384 — WAN-bound via tunnel
         k0 = min(max(cfg.ef_construction // 2, 2 * m), max(n - 1, 1))
 
         diag = os.environ.get("MUOPDB_HNSW_DIAG") == "1"
