@@ -98,11 +98,7 @@ class HnswBuildConfig:
 # ---------------------------------------------------------------------------
 
 
-def _merge_knn(ids_a, d_a, ids_b, d_b, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Merge two kNN candidate lists per node (exact stored distances),
-    dropping duplicates, keeping the k nearest. Host numpy; O(n k log k)."""
-    ids = np.concatenate([ids_a, ids_b], axis=1)
-    d = np.concatenate([d_a, d_b], axis=1)
+def _merge_knn_block(ids, d, k):
     d = np.where(ids < 0, np.inf, d)
     # dedup per row: stable-sort by id, inf-out repeats, then rank by dist
     order = np.argsort(ids, axis=1, kind="stable")
@@ -115,11 +111,45 @@ def _merge_knn(ids_a, d_a, ids_b, d_b, k: int) -> tuple[np.ndarray, np.ndarray]:
     sel = np.argsort(d_s, axis=1, kind="stable")[:, :k]
     out_d = d_s[rows, sel]
     out_i = np.where(np.isfinite(out_d), ids_s[rows, sel], -1)
-    return out_i.astype(ids_a.dtype), out_d.astype(d_a.dtype)
+    return out_i, out_d
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_knn_dev(ids_a, d_a, ids_b, d_b, k: int):
+    """Device form of _merge_knn: the build pipeline keeps candidate lists
+    resident and merges on device (this host has ONE core — a (1M, 100)
+    numpy argsort costs ~70 s, and the pipeline merges five times)."""
+    ids = jnp.concatenate([ids_a, ids_b], axis=1)
+    d = jnp.concatenate([d_a, d_b], axis=1)
+    d = jnp.where(ids < 0, jnp.inf, d)
+    n, w = ids.shape
+    order = jnp.argsort(ids, axis=1, stable=True)
+    ids_s = jnp.take_along_axis(ids, order, 1)
+    d_s = jnp.take_along_axis(d, order, 1)
+    dup = jnp.concatenate(
+        [jnp.zeros((n, 1), bool), (ids_s[:, 1:] == ids_s[:, :-1]) & (ids_s[:, 1:] >= 0)],
+        axis=1,
+    )
+    d_s = jnp.where(dup, jnp.inf, d_s)
+    sel = jnp.argsort(d_s, axis=1, stable=True)[:, :k]
+    out_d = jnp.take_along_axis(d_s, sel, 1)
+    out_i = jnp.where(
+        jnp.isfinite(out_d), jnp.take_along_axis(ids_s, sel, 1), -1
+    )
+    return out_i.astype(ids_a.dtype), out_d
+
+
+def _merge_knn(ids_a, d_a, ids_b, d_b, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host-interface merge (small arrays / refine path): runs the device
+    kernel and fetches — semantics defined by _merge_knn_block."""
+    out_i, out_d = _merge_knn_dev(
+        jnp.asarray(ids_a), jnp.asarray(d_a), jnp.asarray(ids_b), jnp.asarray(d_b), k
+    )
+    return np.asarray(out_i), np.asarray(out_d).astype(np.float32)
 
 
 def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=None,
-                trees: int = 3) -> tuple[np.ndarray, np.ndarray]:
+                trees: int = 3, as_device: bool = False):
     """Multi-tree IVF-partitioned approximate kNN graph for large n.
 
     Exact all-pairs kNN reads the whole vector array once per query tile —
@@ -135,13 +165,21 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     from the init. Coverage compounds across trees (~1-(1-c)^T).
     """
     if trees > 1:
-        ids, d = _approx_knn(x, k, num_clusters, seed, xj=xj, trees=1)
+        # device-resident across trees: per-tree lists stay on device and
+        # merge there; ONE fetch at the end (host merges are ~70 s each on
+        # this 1-core host; device transfers through the tunnel cost more)
+        ids, d = _approx_knn(
+            x, k, num_clusters, seed, xj=xj, trees=1, as_device=True
+        )
         for t in range(1, trees):
             ids_t, d_t = _approx_knn(
-                x, k, num_clusters, seed + 7919 * t, xj=xj, trees=1
+                x, k, num_clusters, seed + 7919 * t, xj=xj, trees=1,
+                as_device=True,
             )
-            ids, d = _merge_knn(ids, d, ids_t, d_t, k)
-        return ids, d
+            ids, d = _merge_knn_dev(ids, d, ids_t, d_t, k)
+        if as_device:
+            return ids, d
+        return np.asarray(ids), np.asarray(d).astype(np.float32)
     import jax
     import jax.numpy as jnp
 
@@ -240,39 +278,34 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         return -nd, ni
 
     # two row buffers per point: its member-partition row and its
-    # visitor-partition row, merged at the end
-    ids1 = np.full((n, kk), -1, np.int32)
-    d1 = np.full((n, kk), np.inf, np.float32)
-    ids2 = np.full((n, kk), -1, np.int32)
-    d2 = np.full((n, kk), np.inf, np.float32)
+    # visitor-partition row, merged at the end. The buffers LIVE ON DEVICE
+    # and every pool batch scatters into them there (donated, so no copies)
+    # — the host scatter this replaces fetched (G, Pp, kk) results per
+    # batch and ran numpy fancy-indexing on a 1-core host.
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def scatter_batch(i1, dd1, i2, dd2, pool_idx, pool_ok, member, cd, ci):
+        g = pool_idx.shape[0]
+        # pool-local neighbor positions -> global ids (+ -1 for invalid)
+        row_ids = jnp.take_along_axis(
+            pool_idx, ci.reshape(g, -1), axis=1
+        ).reshape(ci.shape)
+        ok_n = jnp.take_along_axis(
+            pool_ok, ci.reshape(g, -1), axis=1
+        ).reshape(ci.shape)
+        row_ids = jnp.where(ok_n, row_ids, -1).astype(jnp.int32)
+        # destination row per pool slot; OOB (=n) drops pads/non-targets
+        tgt_m = jnp.where(member, pool_idx, n)
+        tgt_v = jnp.where(pool_ok & ~member, pool_idx, n)
+        i1 = i1.at[tgt_m].set(row_ids, mode="drop")
+        dd1 = dd1.at[tgt_m].set(cd, mode="drop")
+        i2 = i2.at[tgt_v].set(row_ids, mode="drop")
+        dd2 = dd2.at[tgt_v].set(cd, mode="drop")
+        return i1, dd1, i2, dd2
 
-    # Bounded-window pipelining: keep a few group dispatches in flight so the
-    # per-fetch tunnel RTT overlaps device compute (enqueues are async), while
-    # the window bounds the device memory pinned by queued inputs. The scatter
-    # back into the per-point row buffers is fully vectorized (the per-job
-    # Python loop used to dominate the partition stage at 500k+).
-    import collections as _collections
-
-    inflight = _collections.deque()
-
-    def drain_one():
-        chunk_items, pool_idx, pool_ok, cd, ci = inflight.popleft()
-        g = len(chunk_items)  # last chunk may be shorter than the pad
-        cd = np.asarray(cd)[:g]
-        ci = np.asarray(ci)[:g]  # (g, Pp, kk) pool-local neighbor positions
-        pool_idx = pool_idx[:g]
-        pool_ok = pool_ok[:g]
-        rows_g = np.arange(g)[:, None, None]
-        row_ids = pool_idx[rows_g, ci].astype(np.int32)  # global neighbor ids
-        row_ids[~pool_ok[rows_g, ci]] = -1
-        nm_arr = np.array([nm for _, nm in chunk_items])
-        slot = np.arange(pp)[None, :]
-        member = (slot < nm_arr[:, None]) & pool_ok
-        visitor = (slot >= nm_arr[:, None]) & pool_ok
-        ids1[pool_idx[member]] = row_ids[member]
-        d1[pool_idx[member]] = cd[member]
-        ids2[pool_idx[visitor]] = row_ids[visitor]
-        d2[pool_idx[visitor]] = cd[visitor]
+    ids1 = jnp.full((n, kk), -1, jnp.int32)
+    d1 = jnp.full((n, kk), jnp.inf, jnp.float32)
+    ids2 = jnp.full((n, kk), -1, jnp.int32)
+    d2 = jnp.full((n, kk), jnp.inf, jnp.float32)
 
     # gather pools from a bf16 copy on accelerators: the pool gathers are
     # the stage's HBM traffic, and _cand_l2 rounds to bf16 anyway
@@ -284,23 +317,33 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     )
     for g0 in range(0, len(jobs), g_fixed):
         chunk_items = jobs[g0 : g0 + g_fixed]
-        pool_idx = np.zeros((g_fixed, pp), np.int64)
+        pool_idx = np.full((g_fixed, pp), n, np.int32)  # pad rows drop
         pool_ok = np.zeros((g_fixed, pp), bool)
-        for gi, (pool, _) in enumerate(chunk_items):
+        nm_arr = np.zeros(g_fixed, np.int32)
+        for gi, (pool, nm) in enumerate(chunk_items):
             pool_idx[gi, : len(pool)] = pool
             pool_ok[gi, : len(pool)] = True
-        pv = xg[jnp.asarray(pool_idx)]  # (G, Pp, d)
+            nm_arr[gi] = nm
+        member = (np.arange(pp)[None, :] < nm_arr[:, None]) & pool_ok
+        pool_idx_j = jnp.asarray(np.where(pool_ok, pool_idx, 0))
+        pv = xg[pool_idx_j]  # (G, Pp, d)
         cd, ci = group_knn(pv, jnp.asarray(pool_ok), kk)
-        inflight.append((chunk_items, pool_idx, pool_ok, cd, ci))
-        if len(inflight) >= 4:
-            drain_one()
-    while inflight:
-        drain_one()
+        ids1, d1, ids2, d2 = scatter_batch(
+            ids1, d1, ids2, d2,
+            jnp.asarray(pool_idx), jnp.asarray(pool_ok), jnp.asarray(member),
+            cd, ci,
+        )
+        if (g0 // g_fixed) % 8 == 7:  # bound in-flight queued batches
+            jax.block_until_ready(ids1)
+    out = _merge_knn_dev(ids1, d1, ids2, d2, k)
+    jax.block_until_ready(out[0])
     _plog.info(
         "approx_knn tree: kmeans %.1fs, top2 %.1fs, %d pool jobs %.1fs",
         _t_kmeans, _t_top2, len(jobs), _time.time() - _t0,
     )
-    return _merge_knn(ids1, d1, ids2, d2, k)
+    if as_device:
+        return out
+    return np.asarray(out[0]), np.asarray(out[1]).astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -353,6 +396,26 @@ def _nn_descent_device(xj, ids, rev, nn2_cols, k: int, chunk: int):
     return out_i.reshape(n, k), out_d.reshape(n, k)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _reverse_lists_dev(ids, cap: int):
+    """Device form of _reverse_lists (the host argsort over n*k entries is
+    ~20 s per descent round on this 1-core host)."""
+    n, k = ids.shape
+    flat_dst = ids.reshape(-1)
+    flat_src = jnp.repeat(jnp.arange(n, dtype=ids.dtype), k)
+    dst_key = jnp.where(flat_dst < 0, n, flat_dst)  # invalid sorts last
+    order = jnp.argsort(dst_key, stable=True)
+    rev_dst = dst_key[order]
+    rev_src = flat_src[order]
+    bounds = jnp.searchsorted(rev_dst, jnp.arange(n + 1))
+    pos_within = jnp.arange(n * k) - bounds[jnp.clip(rev_dst, 0, n - 1)]
+    keep = (rev_dst < n) & (pos_within < cap)
+    row = jnp.where(keep, rev_dst, n)  # OOB row drops
+    col = jnp.where(keep, pos_within, 0)
+    rev = jnp.full((n, cap), -1, ids.dtype)
+    return rev.at[row, col].set(jnp.where(keep, rev_src, -1), mode="drop")
+
+
 def _reverse_lists(ids: np.ndarray, cap: int) -> np.ndarray:
     """Reverse-neighbor lists via grouped scatter: for each node, up to `cap`
     nodes that list it as a neighbor. (n, k) -1-padded -> (n, cap) -1-padded."""
@@ -376,11 +439,15 @@ def _reverse_lists(ids: np.ndarray, cap: int) -> np.ndarray:
 
 def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
                       chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
-    """One NN-descent improvement round (see _nn_descent_device)."""
+    """One NN-descent improvement round (see _nn_descent_device). Inputs
+    and outputs are DEVICE arrays (np accepted); the whole round — reverse
+    lists, candidate sampling, re-rank — runs without a host round-trip."""
     n, k = ids.shape
-    rng = np.random.default_rng(seed)
-    nn2_cols = rng.integers(0, k * k, size=(n, min(2 * k, k * k))).astype(np.int32)
-    rev = _reverse_lists(ids, k)
+    ids_j = jnp.asarray(ids)
+    rev = _reverse_lists_dev(ids_j, k)
+    nn2_cols = jax.random.randint(
+        jax.random.key(seed), (n, min(2 * k, k * k)), 0, k * k, dtype=jnp.int32
+    )
 
     # bound the per-chunk candidate gather (chunk x R x d) to ~1.5 GB —
     # the fixed 8192 chunk OOMs at GIST dims (960) on a 16 GB chip
@@ -390,9 +457,9 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
     chunk = min(chunk, 1 << (budget_rows.bit_length() - 1))
     chunk = min(chunk, n)
     pad = (-n) % chunk
-    ids_p = np.pad(ids, ((0, pad), (0, 0)), constant_values=-1)
-    rev_p = np.pad(rev, ((0, pad), (0, 0)), constant_values=-1)
-    cols_p = np.pad(nn2_cols, ((0, pad), (0, 0)))
+    ids_p = jnp.pad(ids_j, ((0, pad), (0, 0)), constant_values=-1)
+    rev_p = jnp.pad(rev, ((0, pad), (0, 0)), constant_values=-1)
+    cols_p = jnp.pad(nn2_cols, ((0, pad), (0, 0)))
     # candidate gathers from a bf16 copy on accelerators (HBM-bound stage;
     # the distance kernel rounds to bf16 anyway)
     xg = (
@@ -402,10 +469,9 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
         else xj
     )
     out_i, out_d = _nn_descent_device(
-        xg, jnp.asarray(ids_p), jnp.asarray(rev_p), jnp.asarray(cols_p),
-        k=k, chunk=chunk,
+        xg, ids_p, rev_p, cols_p, k=k, chunk=chunk,
     )
-    return np.asarray(out_i)[:n], np.asarray(out_d)[:n]
+    return out_i[:n], out_d[:n]
 
 
 def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.ndarray, np.ndarray]:
@@ -1089,13 +1155,17 @@ class HnswBuilder:
             knn_ids, knn_d = _exact_knn(x, k0, xj=xj)
             _stage("exact knn")
         else:
-            knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj)
+            # partition trees -> merges -> descent rounds all stay DEVICE-
+            # resident; the single fetch below is the only host round-trip
+            knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj, as_device=True)
             _stage("partitioned knn (3 trees)")
-            _diag_knn_recall(knn_ids, "partition")
+            _diag_knn_recall(np.asarray(knn_ids), "partition")
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
             for r in range(cfg.nn_descent_rounds):
                 knn_ids, knn_d = _nn_descent_round(knn_ids, knn_d, xj, seed=cfg.seed + r)
+            knn_ids = np.asarray(knn_ids)
+            knn_d = np.asarray(knn_d).astype(np.float32)
             _stage(f"nn-descent x{cfg.nn_descent_rounds}")
             _diag_knn_recall(knn_ids, f"descent x{cfg.nn_descent_rounds}")
         def prune_layer0(cand_ids, cand_d, seed_r):

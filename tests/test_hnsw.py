@@ -109,6 +109,43 @@ def test_approx_knn_graph_quality(rng):
     assert not any(i in ids_a[i] for i in range(0, 3000, 101))
 
 
+def test_device_pipeline_matches_host_spec(rng):
+    """_merge_knn_dev / _reverse_lists_dev must match their host-numpy
+    specifications (_merge_knn_block / _reverse_lists) — the 1M build keeps
+    these on device because the host has one core."""
+    import jax.numpy as jnp
+
+    from muopdb_tpu.index.hnsw import (
+        _merge_knn_block,
+        _merge_knn_dev,
+        _reverse_lists,
+        _reverse_lists_dev,
+    )
+
+    n, k = 500, 8
+    ia = rng.integers(-1, n, (n, 2 * k)).astype(np.int32)
+    da = np.where(ia >= 0, rng.random((n, 2 * k)).astype(np.float32), np.inf)
+    ib = rng.integers(-1, n, (n, 2 * k)).astype(np.int32)
+    db = np.where(ib >= 0, rng.random((n, 2 * k)).astype(np.float32), np.inf)
+    want_i, want_d = _merge_knn_block(
+        np.concatenate([ia, ib], 1), np.concatenate([da, db], 1), k
+    )
+    got_i, got_d = _merge_knn_dev(
+        jnp.asarray(ia), jnp.asarray(da), jnp.asarray(ib), jnp.asarray(db), k
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-6)
+
+    ids = rng.integers(-1, n, (n, k)).astype(np.int32)
+    rev_host = _reverse_lists(ids, k)
+    rev_dev = np.asarray(_reverse_lists_dev(jnp.asarray(ids), k))
+    # same reverse-neighbor SETS per node (order within a row may differ)
+    for i in range(0, n, 17):
+        assert set(rev_host[i][rev_host[i] >= 0].tolist()) == set(
+            rev_dev[i][rev_dev[i] >= 0].tolist()
+        )
+
+
 def test_nn_descent_improves_graph(rng):
     import jax.numpy as jnp
 
@@ -121,10 +158,12 @@ def test_nn_descent_improves_graph(rng):
     ids = rng.integers(0, 2000, (2000, k)).astype(np.int32)
     d0 = np.full((2000, k), np.inf, np.float32)
     for r in range(7):
-        ids, d0 = _nn_descent_round(ids, d0, xj, seed=r)
+        ids, d0 = _nn_descent_round(ids, d0, xj, seed=r)  # device-resident
+    ids = np.asarray(ids)
     exact_ids, _ = _exact_knn(x, k)
     overlap = np.mean(
-        [len(set(ids[i]) & set(exact_ids[i])) / k for i in range(0, 2000, 29)]
+        [len(set(ids[i].tolist()) & set(exact_ids[i].tolist())) / k
+         for i in range(0, 2000, 29)]
     )
     assert overlap >= 0.5, overlap
 
