@@ -10,8 +10,10 @@ TPU-first role: this layer feeds *pinned host buffers* that become device
 transfers — the analog of the reference's page-level reads feeding SIMD
 scans. Lazy per-user index opens (multi_spann) route through it. io_uring
 has no portable analog here (and no tokio); CachedStandard covers its role
-with the block cache absorbing re-reads. ObjectStore (S3) is represented by
-a gated stub: zero-egress environments cannot reach object storage.
+with the block cache absorbing re-reads. ObjectStore (S3) is a real
+SigV4-signed REST client (utils/s3.py) — reads ride the block cache like
+the reference's (env.rs:97-117); in zero-egress environments it is
+exercised against a local S3-compatible endpoint (tests/test_s3.py).
 """
 
 from __future__ import annotations
@@ -284,11 +286,14 @@ class BlockCache:
 
 
 class CachedFileIO(FileIO):
-    """Routes reads through a shared BlockCache (cached_file.rs analog)."""
+    """Routes reads through a shared BlockCache (cached_file.rs analog).
+    `inner` defaults to a local StandardFileIO; object-store handles pass
+    their own source (env.rs:97-117 caches ObjectStore like
+    CachedStandard — the remote round-trip is the expensive fill)."""
 
-    def __init__(self, path: str, cache: BlockCache):
+    def __init__(self, path: str, cache: BlockCache, inner: Optional[FileIO] = None):
         self._path = path
-        self._inner = StandardFileIO(path)
+        self._inner = inner if inner is not None else StandardFileIO(path)
         self._cache = cache
 
     def read(self, offset: int, length: int) -> bytes:
@@ -342,12 +347,20 @@ def configure_object_store(scheme: str, client: ObjectStoreClient) -> None:
 
 class ObjectStoreFileIO(FileIO):
     """Object-store reads (object_store_file.rs:14-60): URL -> registered
-    client. 's3://' stays gated until a client is configured — this
-    environment has zero egress."""
+    client. 's3://' auto-builds an S3Client from the standard AWS_* env
+    vars on first use (AmazonS3Builder::from_env analog,
+    object_store_file.rs:41); without credentials it raises — this image
+    has zero egress, but a local S3-compatible endpoint
+    (AWS_ENDPOINT_URL) exercises the real protocol (tests/test_s3.py)."""
 
     def __init__(self, url: str):
         scheme, rest = url.split("://", 1)
         client = _OBJECT_STORES.get(scheme)
+        if client is None and scheme == "s3":
+            from .s3 import S3Client  # raises NotImplementedError w/o creds
+
+            client = S3Client()
+            configure_object_store("s3", client)
         if client is None:
             raise NotImplementedError(
                 f"no object-store client registered for scheme {scheme!r}; "
@@ -425,7 +438,7 @@ class Env:
                 self._open.move_to_end(path)
                 return f
         if "://" in path or self.file_type == self.OBJECT_STORE:
-            f = ObjectStoreFileIO(path)
+            f = CachedFileIO(path, self.cache, inner=ObjectStoreFileIO(path))
         elif self.file_type == self.MMAP:
             f = MMapFileIO(path)
         else:

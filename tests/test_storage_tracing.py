@@ -1,5 +1,6 @@
 """Storage engine (Env/FileIO/BlockCache) + tracing tests."""
 
+import os
 import threading
 
 import numpy as np
@@ -195,6 +196,9 @@ def test_object_store_local_dir_and_s3_gate(tmp_path):
     assert f.read(4, 6) == b"456789"
     env = fio.Env(fio.Env.MMAP)
     assert env.open("mock://bucket/blob.bin").read(0, 4) == b"0123"
+    for var in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+        os.environ.pop(var, None)
+    fio._OBJECT_STORES.pop("s3", None)
     with pytest.raises(NotImplementedError):
         fio.ObjectStoreFileIO("s3://bucket/key")
 
