@@ -512,7 +512,8 @@ def main():
     # bench budget; 1M-scale numbers are recorded in BENCHES.md from
     # standalone benches/hnsw_quality.py runs)
     if headline_ok and os.environ.get("MUOPDB_BENCH_HNSW", "1") != "0" \
-            and time.time() - t_start < soft_budget - 180:
+            and time.time() - t_start < float(
+                os.environ.get("MUOPDB_BENCH_HNSW_GATE_S", 560)):
         try:
             from benches.hnsw_quality import gen_data as _hq_gen
             from benches.hnsw_quality import ground_truth as _hq_gt
