@@ -1134,9 +1134,13 @@ class HnswBuilder:
 
         def _diag_knn_recall(ids, what, sample=2048):
             """Sampled kNN-graph recall vs exact (diagnosis only). Top-k
-            stays on device; only (sample, 11) ids come back to host."""
+            stays on device; only (sample, 11) ids come back to host.
+            `ids` may be a device array — it is only fetched when diag is
+            on (an unconditional np.asarray at a call site would pay a
+            full (n, k0) device->host tunnel fetch on every build)."""
             if not diag:
                 return
+            ids = np.asarray(ids)
             sel = np.random.default_rng(1).choice(n, min(sample, n), replace=False)
             true_parts = []
             for s0 in range(0, len(sel), 256):
@@ -1159,7 +1163,7 @@ class HnswBuilder:
             # resident; the single fetch below is the only host round-trip
             knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj, as_device=True)
             _stage("partitioned knn (3 trees)")
-            _diag_knn_recall(np.asarray(knn_ids), "partition")
+            _diag_knn_recall(knn_ids, "partition")
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
             for r in range(cfg.nn_descent_rounds):

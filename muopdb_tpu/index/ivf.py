@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CollectionConfig
-from ..ops.distance import l2_distance
+from ..ops.distance import l2_distance, pairwise_distance, rerank_scores
 from ..ops.kmeans import kmeans
 from ..ops.topk import top_k_smallest
 from ..quantization import NoQuantizer, ProductQuantizer
@@ -304,14 +304,21 @@ class IvfBuilder:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "centroid_distance_ratio"))
-def _probe(queries, centroids, *, nprobe: int, centroid_distance_ratio: float = -1.0):
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "centroid_distance_ratio", "distance_type")
+)
+def _probe(queries, centroids, *, nprobe: int, centroid_distance_ratio: float = -1.0,
+           distance_type: str = "L2"):
     """Top-`nprobe` centroids per query with SPANN-style ratio pruning
     (spann/index.rs:233-246): drop probes whose centroid distance exceeds
-    nearest * (1 + ratio). ratio < 0 disables. Returns (probe, probe_ok)."""
-    cdist = l2_distance(queries, centroids)  # (B, C)
+    nearest * (1 + ratio). ratio < 0 disables. Returns (probe, probe_ok).
+    Dot-metric probing selects by inner product; ratio pruning is an
+    L2-only notion (scores can be negative) and is skipped for dot."""
+    cdist = pairwise_distance(queries, centroids, distance_type)  # (B, C)
     probe_d, probe = jax.lax.top_k(-cdist, nprobe)
     probe_d = -probe_d  # (B, nprobe)
+    if distance_type not in ("L2", "l2"):
+        return probe, jnp.ones_like(probe, dtype=bool)
     if centroid_distance_ratio >= 0.0:
         lim = probe_d[:, :1] * (1.0 + centroid_distance_ratio)
         probe_ok = probe_d <= lim
@@ -346,7 +353,9 @@ def _expand_probes_to_blocks(probe, probe_ok, list_block_start, *, p_cap: int, m
     return sel_blocks, sel_ok
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "chunk", "dedup"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_rows", "chunk", "dedup", "distance_type")
+)
 def _scan_flat(
     queries,  # (B, d) f32
     blocks,  # (B, P) int32 block ids to scan (clamped in-range)
@@ -359,6 +368,7 @@ def _scan_flat(
     block_rows: int,
     chunk: int,
     dedup: bool = False,
+    distance_type: str = "L2",
 ):
     """Scan the given blocks: static-shape gather + one distance matmul +
     masked top-k per query chunk. Returns (dists (B,k), point_ids (B,k))."""
@@ -378,7 +388,9 @@ def _scan_flat(
             & point_valid[jnp.clip(pts, 0, point_valid.shape[0] - 1)]
         )
         vflat = vecs.reshape(cb, P * block_rows, d)
-        dist = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(q_c, vflat)
+        dist = jax.vmap(
+            lambda qq, vv: pairwise_distance(qq[None], vv, distance_type)[0]
+        )(q_c, vflat)
         dist = jnp.where(cand_valid.reshape(cb, -1), dist, jnp.inf)
         ids = pts.reshape(cb, -1)
         if dedup:
@@ -474,7 +486,7 @@ def _adc_scores_full(lut, codes_t_padded, n, use_pallas: bool, int8_adc: bool):
     return adc_full_scan_xla(lut, codes_t_padded)[:, :n]
 
 
-def _finish(q, scores, raw_vectors, k: int, rerank: int):
+def _finish(q, scores, raw_vectors, k: int, rerank: int, distance_type: str = "L2"):
     n = scores.shape[1]
     ids = jnp.arange(n, dtype=jnp.int32)
     if rerank:
@@ -482,7 +494,7 @@ def _finish(q, scores, raw_vectors, k: int, rerank: int):
         neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
         cd = -neg
         cand_vecs = raw_vectors[ci]
-        exact = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(q, cand_vecs)
+        exact = rerank_scores(q, cand_vecs, distance_type)
         exact = jnp.where(jnp.isfinite(cd), exact, jnp.inf)
         d, i = top_k_smallest(exact, ci.astype(jnp.int32), k)
     else:
@@ -490,13 +502,20 @@ def _finish(q, scores, raw_vectors, k: int, rerank: int):
     return d, jnp.where(jnp.isinf(d), -1, i)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
-def _fused_flat_batched(q, vectors_padded, valid, *, k: int, use_pallas: bool):
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas", "distance_type"))
+def _fused_flat_batched(q, vectors_padded, valid, *, k: int, use_pallas: bool,
+                        distance_type: str = "L2"):
     """Whole-index flat scan + topk as one program."""
     from ..ops.pallas.scan import flat_full_scan
 
     n = valid.shape[0]
-    if use_pallas:
+    if distance_type not in ("L2", "l2"):
+        # dot: one negated matmul — bf16 storage keeps the MXU rate, f32
+        # accumulation via preferred_element_type inside dot_distance
+        scores = pairwise_distance(
+            q.astype(vectors_padded.dtype), vectors_padded, distance_type
+        )[:, :n]
+    elif use_pallas:
         scores = flat_full_scan(q, vectors_padded)[:, :n]
     else:
         scores = l2_distance(q, vectors_padded[:n].astype(jnp.float32))
@@ -506,19 +525,25 @@ def _fused_flat_batched(q, vectors_padded, valid, *, k: int, use_pallas: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "centroid_distance_ratio", "use_pallas")
+    jax.jit, static_argnames=("k", "nprobe", "centroid_distance_ratio", "use_pallas",
+                              "distance_type")
 )
 def _fused_flat_probed_masked(q, vectors_padded, valid, centroids, point_owner, *,
                               k: int, nprobe: int, centroid_distance_ratio: float,
-                              use_pallas: bool):
+                              use_pallas: bool, distance_type: str = "L2"):
     """Probed flat search as full-sweep + probe mask, one program."""
     from ..ops.pallas.scan import flat_full_scan
 
     n = valid.shape[0]
     probe, probe_ok = _probe(
-        q, centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
+        q, centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio,
+        distance_type=distance_type,
     )
-    if use_pallas:
+    if distance_type not in ("L2", "l2"):
+        scores = pairwise_distance(
+            q.astype(vectors_padded.dtype), vectors_padded, distance_type
+        )[:, :n]
+    elif use_pallas:
         scores = flat_full_scan(q, vectors_padded)[:, :n]
     else:
         scores = l2_distance(q, vectors_padded[:n].astype(jnp.float32))
@@ -544,7 +569,7 @@ def _fused_pq_batched(q, codes_t_padded, codebook, raw_vectors, valid, *,
     n = valid.shape[0]
     scores = _adc_scores_full(lut, codes_t_padded, n, use_pallas, int8_adc)
     scores = jnp.where(valid[None, :], scores, jnp.inf)
-    return _finish(q, scores, raw_vectors, k, rerank)
+    return _finish(q, scores, raw_vectors, k, rerank, distance_type)
 
 
 @functools.partial(
@@ -560,7 +585,8 @@ def _fused_pq_probed_masked(q, codes_t_padded, codebook, raw_vectors, valid,
     from ..quantization.pq import _compute_lut_dot, _compute_lut_l2
 
     probe, probe_ok = _probe(
-        q, centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
+        q, centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio,
+        distance_type=distance_type,
     )
     lut = (_compute_lut_l2 if distance_type == "L2" else _compute_lut_dot)(q, codebook)
     n = valid.shape[0]
@@ -571,7 +597,7 @@ def _fused_pq_probed_masked(q, codes_t_padded, codebook, raw_vectors, valid,
     ].set(probe_ok)
     point_probed = probe_sel[:, point_owner]
     scores = jnp.where(point_probed & valid[None, :], scores, jnp.inf)
-    return _finish(q, scores, raw_vectors, k, rerank)
+    return _finish(q, scores, raw_vectors, k, rerank, distance_type)
 
 
 class IvfIndex:
@@ -871,6 +897,7 @@ class IvfIndex:
                 nprobe=nprobe,
                 centroid_distance_ratio=centroid_distance_ratio,
                 use_pallas=jax.default_backend() not in ("cpu",),
+                distance_type=self._dt,
             )
         if isinstance(self.quantizer, ProductQuantizer) and rerank >= 0:
             return _fused_pq_probed_masked(
@@ -886,13 +913,19 @@ class IvfIndex:
                 nprobe=nprobe,
                 centroid_distance_ratio=centroid_distance_ratio,
                 use_pallas=jax.default_backend() not in ("cpu",),
-                distance_type="L2" if self.distance_type in ("L2", "l2") else "dot",
+                distance_type=self._dt,
                 int8_adc=ADC_INT8 and jax.default_backend() not in ("cpu",),
             )
         probe, probe_ok = _probe(
-            q, self.centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio
+            q, self.centroids, nprobe=nprobe,
+            centroid_distance_ratio=centroid_distance_ratio, distance_type=self._dt,
         )
         return self.search_with_probes(q, probe, probe_ok, k=k, chunk=chunk, filter_mask=filter_mask)
+
+    @property
+    def _dt(self) -> str:
+        """Normalized static distance-type key shared by every jitted plan."""
+        return "L2" if self.distance_type in ("L2", "l2") else "dot"
 
     def _merged_valid(self, filter_mask):
         valid = self.point_valid[: self.num_points]
@@ -961,6 +994,7 @@ class IvfIndex:
                 block_rows=self.block_rows,
                 chunk=chunk,
                 dedup=self.needs_dedup,
+                distance_type=self._dt,
             )
         return d, jnp.where(jnp.isinf(d), -1, i)
 
@@ -993,13 +1027,13 @@ class IvfIndex:
                 k=k,
                 rerank=rerank if self.raw_vectors is not None else 0,
                 use_pallas=use_pallas,
-                distance_type="L2" if self.distance_type in ("L2", "l2") else "dot",
+                distance_type=self._dt,
                 int8_adc=ADC_INT8 and use_pallas,
             )
         assert self.raw_vectors is not None
         return _fused_flat_batched(
             q, self._vectors_padded(), self._merged_valid(None), k=k,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, distance_type=self._dt,
         )
 
     def _vectors_padded(self):

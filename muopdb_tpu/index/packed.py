@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..quantization import ProductQuantizer
-from ..ops.distance import l2_distance
+from ..ops.distance import l2_distance, pairwise_distance, rerank_scores
 from ..ops.topk import top_k_smallest
 
 # one fused subset sweep is capped at this many gathered points; larger
@@ -99,7 +99,7 @@ def _packed_pq_subset(
             r = min(max(rerank, k), p)
             neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
             cand = raw[ids[ci]]  # (Bc, r, d)
-            exact = jax.vmap(lambda qq, vv: l2_distance(qq[None], vv)[0])(qc, cand)
+            exact = rerank_scores(qc, cand, distance_type)
             exact = jnp.where(jnp.isfinite(-neg), exact, jnp.inf)
             d, i = top_k_smallest(exact, ci.astype(jnp.int32), k)
         else:
@@ -111,16 +111,23 @@ def _packed_pq_subset(
     return res_d.reshape(b, -1), res_i.reshape(b, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "use_pallas"))
-def _packed_flat_subset(q, vectors, ids, sel_ok, *, k: int, chunk: int, use_pallas: bool):
-    """Flat (unquantized) subset sweep: gather rows, exact L2, top-k."""
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "use_pallas", "distance_type"))
+def _packed_flat_subset(q, vectors, ids, sel_ok, *, k: int, chunk: int,
+                        use_pallas: bool, distance_type: str = "L2"):
+    """Flat (unquantized) subset sweep: gather rows, exact scores, top-k."""
     from ..ops.pallas.scan import flat_full_scan
 
     p = ids.shape[0]
     sub = vectors[ids]  # (Ppad, d)
 
     def one(qc):
-        if use_pallas:
+        if distance_type not in ("L2", "l2"):
+            scores = pairwise_distance(
+                qc.astype(jnp.bfloat16) if use_pallas else qc,
+                sub.astype(jnp.bfloat16 if use_pallas else jnp.float32),
+                distance_type,
+            )
+        elif use_pallas:
             scores = flat_full_scan(qc, sub.astype(jnp.bfloat16))[:, :p]
         else:
             scores = l2_distance(qc, sub.astype(jnp.float32))
@@ -350,6 +357,7 @@ class PackedUsers:
                 d, pos = _packed_flat_subset(
                     qj, dev, jnp.asarray(idp), jnp.asarray(ok),
                     k=kk, chunk=_query_chunk(bpad, ppad), use_pallas=use_pallas,
+                    distance_type="L2" if self.distance_type in ("L2", "l2") else "dot",
                 )
             d = np.asarray(d)[:b]
             pos = np.asarray(pos)[:b]

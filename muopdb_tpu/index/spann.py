@@ -85,6 +85,23 @@ class SpannIndex:
             getattr(self.ivf, "num_real_centroids", self.centroid_hnsw.num_points),
         )
         ne = min(num_explored_centroids, max(1, nc))
+        if getattr(self.ivf, "distance_type", "L2") not in ("L2", "l2"):
+            # Dot-metric collections: the navigating HNSW (L2, like the
+            # reference's hardwired L2DistanceCalculator centroid graph,
+            # spann/index.rs:19) probes lists whose centroid is L2-NEAR,
+            # which systematically misses the high-norm lists that win on
+            # inner product. Centroid counts are ~sqrt(n), so probe them
+            # EXACTLY by dot in one matmul + top_k instead; ratio pruning
+            # is an L2-only notion and is skipped (_probe handles both).
+            from .ivf import _probe
+
+            probes, ok = _probe(
+                jnp.asarray(q), self.ivf.centroids[:nc], nprobe=ne,
+                distance_type="dot",
+            )
+            return self.ivf.search_with_probes(
+                q, probes, ok, k=k, chunk=chunk, filter_mask=filter_mask
+            )
         ef = max(ef_search or ne, ne)
         cd, probes = self.centroid_hnsw.search(q, k=ne, ef_search=ef)
         # ratio prune (spann/index.rs:233-246)

@@ -67,6 +67,22 @@ def dot_distance(queries: jax.Array, vectors: jax.Array, precision=None) -> jax.
     )
 
 
+def rerank_scores(queries, cand_vecs, distance_type: str = "L2"):
+    """Exact per-candidate re-scoring: (B, d) x (B, R, d) -> (B, R) in the
+    smaller-is-better convention (negated inner product for dot — the same
+    sign _compute_lut_dot uses), so the rerank ranks by the SAME metric the
+    ADC/scan stage selected candidates with."""
+    if distance_type in ("L2", "l2"):
+        return jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(
+            queries, cand_vecs
+        )
+    if distance_type in ("DotProduct", "dot", "ip"):
+        return -jnp.einsum(
+            "bd,brd->br", queries, cand_vecs, preferred_element_type=jnp.float32
+        )
+    raise ValueError(f"unknown distance type {distance_type}")
+
+
 def pairwise_distance(queries, vectors, distance_type: str = "L2", valid_mask=None):
     """Distance matrix with optional validity masking.
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.distance import l2_distance
+from ..ops.distance import l2_distance, pairwise_distance, rerank_scores
 from ..ops.topk import top_k_smallest
 
 
@@ -38,9 +38,9 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
 # ---------------------------------------------------------------------------
 
 
-def _local_topk_merge(queries, vectors, valid, ids, k, axis):
+def _local_topk_merge(queries, vectors, valid, ids, k, axis, distance_type="L2"):
     """Per-device scan + cross-device merge. Runs inside shard_map."""
-    d = l2_distance(queries, vectors)
+    d = pairwise_distance(queries, vectors, distance_type)
     d = jnp.where(valid[None, :], d, jnp.inf)
     ld, li = top_k_smallest(d, ids, k)  # local top-k
     # merge across the mesh: all_gather the per-shard candidates (k per shard,
@@ -53,9 +53,11 @@ def _local_topk_merge(queries, vectors, valid, ids, k, axis):
 class ShardedFlatIndex:
     """Exact search with documents sharded across a device mesh."""
 
-    def __init__(self, vectors: np.ndarray, mesh: Optional[Mesh] = None, axis: str = "shard"):
+    def __init__(self, vectors: np.ndarray, mesh: Optional[Mesh] = None,
+                 axis: str = "shard", distance_type: str = "L2"):
         self.mesh = mesh or default_mesh()
         self.axis = axis
+        self.distance_type = "L2" if distance_type in ("L2", "l2") else "dot"
         n_shards = self.mesh.shape[axis]
         n, dim = vectors.shape
         pad = (-n) % n_shards
@@ -86,7 +88,7 @@ class ShardedFlatIndex:
             check_vma=False,
         )
         def run(qq, vv, valid, ids):
-            return _local_topk_merge(qq, vv, valid, ids, k, axis)
+            return _local_topk_merge(qq, vv, valid, ids, k, axis, self.distance_type)
 
         return run(q, self.vectors, self.valid, self.ids)
 
@@ -131,6 +133,9 @@ class ShardedIvfIndex:
         self.num_blocks_padded = nb + pad
         self.n_shards = n_shards
         self.doc_ids = ivf_index.doc_ids
+        self.distance_type = (
+            "L2" if ivf_index.distance_type in ("L2", "l2") else "dot"
+        )
 
     def search(self, queries, k: int = 10, nprobe: int = 10):
         q = jnp.asarray(np.asarray(queries, np.float32))
@@ -150,7 +155,7 @@ class ShardedIvfIndex:
         def run(qq, pl_local, pos_local, starts, valid):
             shard_id = jax.lax.axis_index(axis)
             base = shard_id * blocks_per_shard
-            cdist = l2_distance(qq, self.centroids)
+            cdist = pairwise_distance(qq, self.centroids, self.distance_type)
             _, probe = jax.lax.top_k(-cdist, nprobe)
             b = qq.shape[0]
             # global block indices for each probe
@@ -171,7 +176,11 @@ class ShardedIvfIndex:
                 & valid[jnp.clip(pts, 0, valid.shape[0] - 1)]
             )
             vflat = vecs.reshape(b, flat.shape[1] * br, vecs.shape[-1])
-            dist = jax.vmap(lambda one_q, vv: l2_distance(one_q[None], vv)[0])(qq, vflat)
+            dist = jax.vmap(
+                lambda one_q, vv: pairwise_distance(
+                    one_q[None], vv, self.distance_type
+                )[0]
+            )(qq, vflat)
             dist = jnp.where(ok.reshape(b, -1), dist, jnp.inf)
             ld, li = top_k_smallest(dist, pts.reshape(b, -1), k_)
             gd = jax.lax.all_gather(ld, axis, axis=1, tiled=True)
@@ -252,7 +261,10 @@ class ShardedMultiUser:
             )
             def run(qq, sel_rep, vv, slot_local, valid, ids):
                 mask = valid & sel_rep[slot_local]
-                return _local_topk_merge(qq, vv, mask, ids, k, axis)
+                return _local_topk_merge(
+                    qq, vv, mask, ids, k, axis,
+                    "L2" if self.packed.distance_type in ("L2", "l2") else "dot",
+                )
 
             d, i = run(q, sel, self.vectors, self.slot, self.valid, self.ids)
         else:
@@ -283,9 +295,10 @@ class ShardedMultiUser:
                 scores = jnp.where(mask[None, :], scores, jnp.inf)
                 r = min(max(rerank, k), nl)
                 neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
-                exact = jax.vmap(
-                    lambda one_q, cand: l2_distance(one_q[None], cand)[0]
-                )(qq, vv[ci])
+                exact = rerank_scores(
+                    qq, vv[ci],
+                    "L2" if self.packed.distance_type in ("L2", "l2") else "dot",
+                )
                 exact = jnp.where(jnp.isfinite(-neg), exact, jnp.inf)
                 ld, li = top_k_smallest(exact, ids[ci], k)
                 gd = jax.lax.all_gather(ld, axis, axis=1, tiled=True)

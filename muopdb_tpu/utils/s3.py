@@ -240,12 +240,19 @@ class S3Client:
         payload_hash = hashlib.sha256(body).hexdigest() if body else _EMPTY_SHA256
         host_hdr = host if port in (80, 443) else f"{host}:{port}"
         last_exc: Optional[BaseException] = None
+        # The wire target must be byte-identical to what was signed: the
+        # canonical percent-encoded path (spaces, '$', '?', non-ASCII in
+        # keys) and the canonical sorted query encoding (S3 ignores query
+        # order; '+'-for-space urlencode would break the signature).
+        wire_path = _uri_encode(path, encode_slash=False) or "/"
+        qs = "&".join(
+            f"{_uri_encode(k)}={_uri_encode(v)}" for k, v in sorted(query)
+        )
+        url = wire_path + ("?" + qs if qs else "")
         for attempt in range(self.config.max_retries + 1):
             signed = self._signer.signed_headers(
                 method, host_hdr, path, query, dict(headers or {}), payload_hash
             )
-            qs = urllib.parse.urlencode(query)
-            url = path + ("?" + qs if qs else "")
             try:
                 conn = self._conn(scheme, host, port)
                 conn.request(method, url, body=body or None, headers=signed)

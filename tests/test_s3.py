@@ -128,7 +128,9 @@ class _FakeS3Handler(http.server.BaseHTTPRequestHandler):
             self.headers["x-amz-date"], "%Y%m%dT%H%M%SZ"
         ).replace(tzinfo=datetime.timezone.utc)
         expect = self.server.signer.signed_headers(
-            self.command, self.headers["Host"], u.path, list(query),
+            self.command, self.headers["Host"],
+            urllib.parse.unquote(u.path),  # decode wire path, as S3 does
+            list(query),
             {k: v for k, v in headers.items()
              if k not in ("x-amz-content-sha256", "x-amz-date")},
             payload_hash, now=now,
@@ -137,7 +139,7 @@ class _FakeS3Handler(http.server.BaseHTTPRequestHandler):
 
     def _object(self):
         u = urllib.parse.urlsplit(self.path)
-        parts = u.path.lstrip("/").split("/", 1)
+        parts = urllib.parse.unquote(u.path).lstrip("/").split("/", 1)
         bucket = parts[0]
         key = parts[1] if len(parts) > 1 else ""
         return bucket, key, dict(
@@ -243,6 +245,16 @@ def test_s3_round_trip(fake_s3):
         ("users/1/vectors.bin", 16), ("users/2/vectors.bin", 2)]
     client.delete_object("idx", "users/2/vectors.bin")
     assert list(client.list_objects("idx", prefix="users/2/")) == []
+
+
+def test_s3_special_character_keys(fake_s3):
+    """Keys with spaces/'$'/'?'/non-ASCII: the wire path must be the same
+    percent-encoded form the signature covers."""
+    srv, client = fake_s3
+    for key in ("my file.npy", "test$file.text", "a?b=c", "héllo/wörld.bin"):
+        client.put_object("b", key, key.encode())
+        assert client.get_object("b", key) == key.encode()
+        assert client.length("b", key) == len(key.encode())
 
 
 def test_s3_retry_on_503(fake_s3):
