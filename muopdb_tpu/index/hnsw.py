@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distance import l2_distance, l2_distance_bf16
+from ..ops.distance import dot_distance, l2_distance, l2_distance_bf16
 from ..ops.topk import top_k_smallest
 from ..utils.ids import pack_u128s
 from ..utils.vector_storage import AppendableVectorStorage
@@ -52,6 +52,29 @@ def _cand_l2(q, v):
     ):
         return l2_distance_bf16(q, v)
     return l2_distance(q, v)
+
+
+def _cand_dist(q, v, dt: str = "L2"):
+    """Metric-dispatched candidate distances (smaller = closer). `dt` is a
+    STATIC key: "L2" -> (bf16-MXU) squared L2, "dot" -> negated inner
+    product. Dot-metric graphs are built/searched natively on inner-product
+    scores (ip-NSW style; the reference instantiates its whole builder with
+    DotProductDistanceCalculator, index_writer.rs:433-445)."""
+    if dt in ("L2", "l2"):
+        return _cand_l2(q, v)
+    if (
+        jax.default_backend() not in ("cpu",)
+        and os.environ.get("MUOPDB_KNN_BF16", "1") != "0"
+    ):
+        return dot_distance(q.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+    return dot_distance(q.astype(jnp.float32), v.astype(jnp.float32))
+
+
+def _exact_dist(q, v, dt: str = "L2"):
+    """Exact f32 metric dispatch for final rankings."""
+    if dt in ("L2", "l2"):
+        return l2_distance(q, v)
+    return dot_distance(q.astype(jnp.float32), v.astype(jnp.float32))
 
 
 @dataclass
@@ -149,7 +172,7 @@ def _merge_knn(ids_a, d_a, ids_b, d_b, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=None,
-                trees: int = 3, as_device: bool = False):
+                trees: int = 3, as_device: bool = False, dt: str = "L2"):
     """Multi-tree IVF-partitioned approximate kNN graph for large n.
 
     Exact all-pairs kNN reads the whole vector array once per query tile —
@@ -169,12 +192,12 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         # merge there; ONE fetch at the end (host merges are ~70 s each on
         # this 1-core host; device transfers through the tunnel cost more)
         ids, d = _approx_knn(
-            x, k, num_clusters, seed, xj=xj, trees=1, as_device=True
+            x, k, num_clusters, seed, xj=xj, trees=1, as_device=True, dt=dt
         )
         for t in range(1, trees):
             ids_t, d_t = _approx_knn(
                 x, k, num_clusters, seed + 7919 * t, xj=xj, trees=1,
-                as_device=True,
+                as_device=True, dt=dt,
             )
             ids, d = _merge_knn_dev(ids, d, ids_t, d_t, k)
         if as_device:
@@ -265,9 +288,14 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     g_fixed = max(1, min(32, int(768e6 / (pp * pp * 4 + pp * d * 4))))
     kk = min(k, pp - 1)
 
+    # NOTE: partition assignment (top-2 above) stays L2 even for dot —
+    # positional k-means is the BUCKETING heuristic (a dot assignment
+    # would pile everything onto the largest-norm centroid); within-pool
+    # scoring below uses the real metric, and NN-descent repairs across
+    # buckets.
     @functools.partial(jax.jit, static_argnames=("kk",))
     def group_knn(pv, pool_ok, kk):
-        dd = jax.vmap(_cand_l2)(pv, pv)  # (G, Pp, Pp)
+        dd = jax.vmap(lambda a, b: _cand_dist(a, b, dt))(pv, pv)  # (G, Pp, Pp)
         dd = jnp.where(pool_ok[:, None, :], dd, jnp.inf)
         eye = jnp.eye(pv.shape[1], dtype=bool)
         dd = jnp.where(eye[None], jnp.inf, dd)
@@ -346,8 +374,8 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     return np.asarray(out[0]), np.asarray(out[1]).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def _nn_descent_device(xj, ids, rev, nn2_cols, k: int, chunk: int):
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "dt"))
+def _nn_descent_device(xj, ids, rev, nn2_cols, k: int, chunk: int, dt: str = "L2"):
     """One NN-descent round as a single compiled program.
 
     Candidates per node = current neighbors + reverse neighbors + sampled
@@ -368,7 +396,7 @@ def _nn_descent_device(xj, ids, rev, nn2_cols, k: int, chunk: int):
         cand_safe = jnp.clip(cand, 0, n - 1)
         cv = xj[cand_safe]  # (c, R, d)
         qv = xj[node_ids]
-        dd = jax.vmap(lambda q, vv: _cand_l2(q[None], vv)[0])(qv, cv)
+        dd = jax.vmap(lambda q, vv: _cand_dist(q[None], vv, dt)[0])(qv, cv)
         dd = jnp.where(cand == node_ids[:, None], jnp.inf, dd)
         dd = jnp.where(cand < 0, jnp.inf, dd)
         order = jnp.argsort(cand, axis=1)
@@ -438,7 +466,7 @@ def _reverse_lists(ids: np.ndarray, cap: int) -> np.ndarray:
 
 
 def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
-                      chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
+                      chunk: int = 8192, dt: str = "L2") -> tuple[np.ndarray, np.ndarray]:
     """One NN-descent improvement round (see _nn_descent_device). Inputs
     and outputs are DEVICE arrays (np accepted); the whole round — reverse
     lists, candidate sampling, re-rank — runs without a host round-trip."""
@@ -469,12 +497,13 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
         else xj
     )
     out_i, out_d = _nn_descent_device(
-        xg, ids_p, rev_p, cols_p, k=k, chunk=chunk,
+        xg, ids_p, rev_p, cols_p, k=k, chunk=chunk, dt=dt,
     )
     return out_i[:n], out_d[:n]
 
 
-def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.ndarray, np.ndarray]:
+def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None,
+               dt: str = "L2") -> tuple[np.ndarray, np.ndarray]:
     """Exact kNN graph (self excluded) via chunked device matmuls."""
     n = x.shape[0]
     k = min(k, n - 1)
@@ -487,7 +516,7 @@ def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.nd
     pending = []
     for s in range(0, n, chunk):
         q = xj[s : s + chunk]
-        d = _cand_l2(q, xj)
+        d = _cand_dist(q, xj, dt)
         rows = jnp.arange(s, min(s + chunk, n))
         d = d.at[rows - s, rows].set(jnp.inf)  # exclude self
         pending.append((s, *top_k_smallest(d, ids, k)))
@@ -499,8 +528,9 @@ def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None) -> tuple[np.nd
     return ids_out, d_out
 
 
-@functools.partial(jax.jit, static_argnames=("m", "alpha_sq"))
-def _prune_chunk_device(cv, cdist, valid, m: int, alpha_sq: float = 1.0):
+@functools.partial(jax.jit, static_argnames=("m", "alpha_sq", "dt"))
+def _prune_chunk_device(cv, cdist, valid, m: int, alpha_sq: float = 1.0,
+                        dt: str = "L2"):
     """Greedy distance-dominance selection for one chunk, fully on device.
 
     cv: (c, k, d) candidate vectors; cdist: (c, k) candidate->node distance;
@@ -509,7 +539,10 @@ def _prune_chunk_device(cv, cdist, valid, m: int, alpha_sq: float = 1.0):
     alpha_sq: squared relaxation factor (distances are squared L2) — c is
     dominated only if alpha_sq * d2(c, s) < d2(c, node) for a kept s.
     """
-    cc = jax.vmap(l2_distance)(cv, cv)  # (c, k, k) candidate-candidate
+    # candidate-candidate scores in the graph metric (for dot: c dominated
+    # by kept s iff <c,s> > <c,node> — the ip-NSW form of the dominance
+    # test; alpha stays 1.0 for dot since scores can be negative)
+    cc = jax.vmap(lambda a, b: _exact_dist(a, b, dt))(cv, cv)  # (c, k, k)
     c, kk = cdist.shape
 
     def body(j, carry):
@@ -527,6 +560,7 @@ def _prune_chunk_device(cv, cdist, valid, m: int, alpha_sq: float = 1.0):
 def _heuristic_prune(
     x: np.ndarray, cand_ids: np.ndarray, cand_d: np.ndarray, m: int,
     chunk: int = 4096, xj=None, alpha: float = 1.0, keep_pruned: bool = False,
+    dt: str = "L2",
 ) -> np.ndarray:
     """Vectorized distance-dominance neighbor selection.
 
@@ -556,7 +590,7 @@ def _heuristic_prune(
         valid = cid >= 0
         cv = xj[jnp.asarray(np.clip(cid, 0, None))]  # device gather
         pending.append((s, cid, valid, _prune_chunk_device(
-            cv, jnp.asarray(cdist), jnp.asarray(valid), m, alpha_sq
+            cv, jnp.asarray(cdist), jnp.asarray(valid), m, alpha_sq, dt=dt
         )))
         if len(pending) > 8:  # bound in-flight gather buffers
             pending[-8][3].block_until_ready()
@@ -580,17 +614,21 @@ def _heuristic_prune(
     return out
 
 
-def _add_reverse_edges(edges: np.ndarray, x: np.ndarray, m_max: int) -> np.ndarray:
+def _add_reverse_edges(edges: np.ndarray, x: np.ndarray, m_max: int,
+                       dt: str = "L2") -> np.ndarray:
     """Make edges bidirectional, trimming overflow by distance
     (hnsw/builder.rs:258-295's insert+trim, batched).
 
     Uses the native C++ pass when available (muopdb_tpu/native); the Python
-    loop below is the fallback and the behavioral spec."""
+    loop below is the fallback and the behavioral spec. The C++ pass is
+    L2-only; dot-metric layers (small upper-layer subsets) take the
+    fallback with inner-product trim scores."""
     from .. import native
 
-    out = native.hnsw_finalize_edges(edges, x, m_max)
-    if out is not None:
-        return out
+    if dt in ("L2", "l2"):
+        out = native.hnsw_finalize_edges(edges, x, m_max)
+        if out is not None:
+            return out
     n = edges.shape[0]
     adj = [set(row[row >= 0].tolist()) for row in edges]
     for src in range(n):
@@ -601,14 +639,17 @@ def _add_reverse_edges(edges: np.ndarray, x: np.ndarray, m_max: int) -> np.ndarr
     for i in range(n):
         nb = np.fromiter(adj[i], np.int32, len(adj[i]))
         if len(nb) > m_max:
-            d = ((x[nb] - x[i]) ** 2).sum(1)
+            if dt in ("L2", "l2"):
+                d = ((x[nb] - x[i]) ** 2).sum(1)
+            else:
+                d = -(x[nb] @ x[i])
             nb = nb[np.argsort(d)[:m_max]]
         out[i, : len(nb)] = nb
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _cand_rank_device(xj, cand, chunk: int):
+@functools.partial(jax.jit, static_argnames=("chunk", "dt"))
+def _cand_rank_device(xj, cand, chunk: int, dt: str = "L2"):
     """Score + sort candidate lists nearest-first, one compiled program.
 
     cand: (n, R) int32 ids, -1 padded. Self edges and duplicates get +inf.
@@ -624,7 +665,7 @@ def _cand_rank_device(xj, cand, chunk: int):
         safe = jnp.clip(cd, 0, nn - 1)
         cv = xj[safe]  # (c, R, d)
         qv = xj[jnp.clip(node_ids, 0, nn - 1)]
-        dd = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(qv, cv)
+        dd = jax.vmap(lambda q, vv: _exact_dist(q[None], vv, dt)[0])(qv, cv)
         dd = jnp.where(cd < 0, jnp.inf, dd)
         dd = jnp.where(cd == node_ids[:, None], jnp.inf, dd)
         order = jnp.argsort(cd, axis=1)
@@ -648,31 +689,34 @@ def _cand_rank_device(xj, cand, chunk: int):
     return out_d.reshape(n, r), out_i.reshape(n, r)
 
 
-def _rank_candidates(cand: np.ndarray, xj, chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
+def _rank_candidates(cand: np.ndarray, xj, chunk: int = 8192,
+                     dt: str = "L2") -> tuple[np.ndarray, np.ndarray]:
     """Rank arbitrary candidate lists nearest-first on device (dedup + self
     masked). cand: (n, R) int32 ids -> (ids (n, R), dists (n, R)) host."""
     n = cand.shape[0]
     c = min(chunk, n)
     pad = (-n) % c
     cand_p = np.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
-    d, ids = _cand_rank_device(xj, jnp.asarray(cand_p), chunk=c)
+    d, ids = _cand_rank_device(xj, jnp.asarray(cand_p), chunk=c, dt=dt)
     d = np.asarray(d)[:n]
     ids = np.asarray(ids)[:n]
     return np.where(np.isfinite(d), ids, -1).astype(np.int32), d
 
 
-def _augment_random(ids: np.ndarray, xj, num_rand: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+def _augment_random(ids: np.ndarray, xj, num_rand: int, seed: int,
+                    dt: str = "L2") -> tuple[np.ndarray, np.ndarray]:
     """Append `num_rand` random candidate ids per node and re-rank (see
     HnswBuildConfig.num_random_candidates for why)."""
     n = ids.shape[0]
     rng = np.random.default_rng(seed)
     rnd = rng.integers(0, n, size=(n, num_rand)).astype(np.int32)
-    return _rank_candidates(np.concatenate([ids, rnd], axis=1), xj)
+    return _rank_candidates(np.concatenate([ids, rnd], axis=1), xj, dt=dt)
 
 
 def _finalize_edges_heuristic(
     fw: np.ndarray, x: np.ndarray, m_max: int, xj=None,
     alpha: float = 1.0, keep_pruned: bool = True, chunk: int = 8192,
+    dt: str = "L2",
 ) -> np.ndarray:
     """Bidirectional finalize with heuristic (not distance-only) trim.
 
@@ -690,12 +734,12 @@ def _finalize_edges_heuristic(
     c = min(chunk, n)
     pad = (-n) % c
     cand_p = np.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
-    d, ids = _cand_rank_device(xj, jnp.asarray(cand_p), chunk=c)
+    d, ids = _cand_rank_device(xj, jnp.asarray(cand_p), chunk=c, dt=dt)
     d = np.asarray(d)[:n]
     ids = np.asarray(ids)[:n]
     ids = np.where(np.isfinite(d), ids, -1).astype(np.int32)
     return _heuristic_prune(
-        x, ids, d, m_max, xj=xj, alpha=alpha, keep_pruned=keep_pruned
+        x, ids, d, m_max, xj=xj, alpha=alpha, keep_pruned=keep_pruned, dt=dt
     )
 
 
@@ -705,7 +749,7 @@ def _finalize_edges_heuristic(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ef", "k", "max_hops", "expand_width")
+    jax.jit, static_argnames=("ef", "k", "max_hops", "expand_width", "dt")
 )
 def _beam_search(
     queries,  # (B, d)
@@ -719,6 +763,7 @@ def _beam_search(
     k: int,
     max_hops: int,
     expand_width: int = 1,
+    dt: str = "L2",
 ):
     """Batched-frontier best-first search on one graph layer.
 
@@ -738,7 +783,7 @@ def _beam_search(
 
     def dist_to(ids):  # ids (B, t) -> (B, t)
         v = vectors[jnp.clip(ids, 0, n - 1)].astype(jnp.float32)  # (B, t, d)
-        dd = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(queries, v)
+        dd = jax.vmap(lambda q, vv: _exact_dist(q[None], vv, dt)[0])(queries, v)
         return jnp.where(ids >= 0, dd, jnp.inf)
 
     beam_ids = jnp.full((b, ef), -1, jnp.int32)
@@ -811,7 +856,7 @@ def _beam_search(
     # emit top-k among valid nodes only
     if vectors_exact is not None:
         ev = vectors_exact[jnp.clip(beam_ids, 0, n - 1)]  # (B, ef, d) f32
-        beam_d = jax.vmap(lambda q, vv: l2_distance(q[None], vv)[0])(queries, ev)
+        beam_d = jax.vmap(lambda q, vv: _exact_dist(q[None], vv, dt)[0])(queries, ev)
     emit_d = jnp.where(
         (beam_ids >= 0) & valid[jnp.clip(beam_ids, 0, n - 1)], beam_d, jnp.inf
     )
@@ -927,6 +972,7 @@ class HnswIndex:
         q = jnp.asarray(np.asarray(queries, np.float32))
         b = q.shape[0]
         n = self.num_points
+        dt = "L2" if self.distance_type in ("L2", "l2") else "dot"
         max_hops = max_hops or max(8, 4 * ef_search // max(expand_width, 1))
         sv = self._search_vectors()
         e_desc = max(1, descent_ef)
@@ -941,7 +987,7 @@ class HnswIndex:
             and int(self._routing_members().shape[0]) > 0
         ):
             rid, rv = self._routing()
-            dd = l2_distance(q, rv)
+            dd = _exact_dist(q, rv, dt)
             _, sel = jax.lax.top_k(-dd, min(e_desc, int(rv.shape[0])))
             entry = rid[sel]  # (B, e_desc) exact best routing members
         else:
@@ -965,10 +1011,11 @@ class HnswIndex:
                     k=e_desc,
                     max_hops=64,
                     expand_width=2,
+                    dt=dt,
                 )
                 entry = jnp.where(entry < 0, self.entry_point, entry)
         ef = max(ef_search, k)
-        return _beam_search(
+        d, i = _beam_search(
             q,
             sv,
             self.layer_edges[0],
@@ -979,7 +1026,9 @@ class HnswIndex:
             k=k,
             max_hops=max_hops,
             expand_width=expand_width,
+            dt=dt,
         )
+        return d, i
 
     def reindex_bfs(self) -> "HnswIndex":
         """Reorder point ids by BFS from the entry point so graph-adjacent
@@ -1108,6 +1157,15 @@ class HnswBuilder:
         assert len(self._rows)
         cfg = self.config
         x = self._rows.to_numpy()
+        # Native metric threading: every candidate/prune/search stage below
+        # takes the static `dt` key and scores by negated inner product for
+        # dot-metric builds (ip-NSW-style graph — the reference reaches the
+        # same via DotProductDistanceCalculator, index_writer.rs:433-445).
+        # The exact MIPS->L2 augmentation was tried first and REJECTED:
+        # order-preserving for query->point, but the augmented coordinate
+        # distorts point<->point geometry, and the graph it builds searched
+        # at 0.66 recall@10 where the native-dot graph reaches 0.99.
+        dt = "L2" if cfg.distance_type in ("L2", "l2") else "dot"
         n = x.shape[0]
         m = cfg.max_neighbors
         rng = np.random.default_rng(cfg.seed)
@@ -1145,7 +1203,7 @@ class HnswBuilder:
             true_parts = []
             for s0 in range(0, len(sel), 256):
                 q = xj[jnp.asarray(sel[s0 : s0 + 256])]
-                dd = l2_distance(q, xj)
+                dd = _exact_dist(q, xj, dt)
                 _, ti = jax.lax.top_k(-dd, 11)  # 10 + possible self
                 true_parts.append(np.asarray(ti))
             got = ids[sel][:, :10]
@@ -1156,18 +1214,22 @@ class HnswBuilder:
             log.info("hnsw diag: knn recall@10 after %s = %.4f", what, float(np.mean(hits)))
 
         if n <= 200_000:
-            knn_ids, knn_d = _exact_knn(x, k0, xj=xj)
+            knn_ids, knn_d = _exact_knn(x, k0, xj=xj, dt=dt)
             _stage("exact knn")
         else:
             # partition trees -> merges -> descent rounds all stay DEVICE-
             # resident; the single fetch below is the only host round-trip
-            knn_ids, knn_d = _approx_knn(x, k0, seed=cfg.seed, xj=xj, as_device=True)
+            knn_ids, knn_d = _approx_knn(
+                x, k0, seed=cfg.seed, xj=xj, as_device=True, dt=dt
+            )
             _stage("partitioned knn (3 trees)")
             _diag_knn_recall(knn_ids, "partition")
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
             for r in range(cfg.nn_descent_rounds):
-                knn_ids, knn_d = _nn_descent_round(knn_ids, knn_d, xj, seed=cfg.seed + r)
+                knn_ids, knn_d = _nn_descent_round(
+                    knn_ids, knn_d, xj, seed=cfg.seed + r, dt=dt
+                )
             knn_ids = np.asarray(knn_ids)
             knn_d = np.asarray(knn_d).astype(np.float32)
             _stage(f"nn-descent x{cfg.nn_descent_rounds}")
@@ -1175,14 +1237,15 @@ class HnswBuilder:
         def prune_layer0(cand_ids, cand_d, seed_r):
             if cfg.num_random_candidates:
                 cand_ids, cand_d = _augment_random(
-                    cand_ids, xj, cfg.num_random_candidates, seed_r
+                    cand_ids, xj, cfg.num_random_candidates, seed_r, dt=dt
                 )
             fw_ = _heuristic_prune(
                 x, cand_ids, cand_d, m, xj=xj,
-                alpha=cfg.alpha, keep_pruned=cfg.keep_pruned,
+                alpha=cfg.alpha, keep_pruned=cfg.keep_pruned, dt=dt,
             )
             return _finalize_edges_heuristic(
-                fw_, x, 2 * m, xj=xj, alpha=cfg.alpha, keep_pruned=cfg.keep_pruned
+                fw_, x, 2 * m, xj=xj, alpha=cfg.alpha,
+                keep_pruned=cfg.keep_pruned, dt=dt,
             )
 
         layers = [prune_layer0(knn_ids, knn_d, cfg.seed + 101)]
@@ -1198,7 +1261,7 @@ class HnswBuilder:
                 sub = x[members]
                 kk = min(max(m * 2, 2), len(members) - 1)
                 subj = jnp.asarray(sub)
-                sids, sd = _exact_knn(sub, kk, xj=subj)
+                sids, sd = _exact_knn(sub, kk, xj=subj, dt=dt)
                 # Random candidates for upper layers too: they exist purely
                 # for navigation, and on clustered data their exact-kNN
                 # candidates are all intra-cluster at scale — without long
@@ -1207,7 +1270,8 @@ class HnswBuilder:
                 # failure mode; see HnswBuildConfig.num_random_candidates).
                 if cfg.num_random_candidates and len(members) > 256:
                     sids, sd = _augment_random(
-                        sids, subj, cfg.num_random_candidates, cfg.seed + 307 + l
+                        sids, subj, cfg.num_random_candidates, cfg.seed + 307 + l,
+                        dt=dt,
                     )
                 # upper layers exist purely for navigation: filling their
                 # degree budget with near-duplicate pruned candidates
@@ -1216,9 +1280,10 @@ class HnswBuilder:
                 # with keep_pruned applied here), so the dominance test runs
                 # strict regardless of the layer-0 setting
                 sfw = _heuristic_prune(
-                    sub, sids, sd, m, xj=subj, alpha=cfg.alpha, keep_pruned=False
+                    sub, sids, sd, m, xj=subj, alpha=cfg.alpha,
+                    keep_pruned=False, dt=dt,
                 )
-                sbi = _add_reverse_edges(sfw, sub, m)
+                sbi = _add_reverse_edges(sfw, sub, m, dt=dt)
                 glob = np.where(sbi >= 0, members[np.clip(sbi, 0, None)], -1)
                 e_global[members] = glob
             layers.append(e_global)

@@ -144,6 +144,46 @@ def test_spann_dot_exact_centroid_probe():
     assert _recall(got4, gt) >= oracle - 0.05
 
 
+def test_hnsw_dot_native_build(tmp_path):
+    """Dot-metric HNSW built natively on inner-product scores (ip-NSW
+    style; the reference instantiates the whole builder with
+    DotProductDistanceCalculator, index_writer.rs:433-445): search must
+    rank by inner product, report negated-dot scores, and survive
+    save/load + reindex_bfs."""
+    from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
+
+    x, q = _data(n=3000, d=32, nq=16)
+    b = HnswBuilder(
+        HnswBuildConfig(max_neighbors=16, ef_construction=100,
+                        distance_type="dot"),
+        dim=32,
+    )
+    b.add_batch(np.arange(len(x)), x)
+    idx = b.build()
+    gt = _dot_gt(x, q, 10)
+    d, i = idx.search(q, k=10, ef_search=128)
+    rec = _recall(np.asarray(i), gt)
+    assert rec >= 0.95, rec
+    # scores are exact negated dots of the returned ids
+    got = np.asarray(i)
+    np.testing.assert_allclose(
+        np.asarray(d)[:, 0], -(q * x[got[:, 0]]).sum(1), rtol=1e-3, atol=1e-3
+    )
+    # save/load keeps the metric
+    idx.save(str(tmp_path / "h"))
+    from muopdb_tpu.index.hnsw import HnswIndex
+
+    idx2 = HnswIndex.load(str(tmp_path / "h"))
+    d2, i2 = idx2.search(q, k=10, ef_search=128)
+    np.testing.assert_array_equal(np.asarray(i2), got)
+    # reindex preserves the metric (point ids are remapped; map back
+    # through doc_ids, which carry the original ids in the low u64)
+    idx3 = idx.reindex_bfs()
+    _, i3 = idx3.search(q, k=10, ef_search=128)
+    remapped = np.asarray(idx3.doc_ids)[np.asarray(i3).clip(0)][:, :, 0]
+    assert _recall(remapped, gt) >= 0.95
+
+
 def _user_rows(rng, n_users, n, d):
     rows, gt = [], {}
     q = rng.standard_normal((4, d)).astype(np.float32)
