@@ -86,13 +86,18 @@ class SpannIndex:
         )
         ne = min(num_explored_centroids, max(1, nc))
         if getattr(self.ivf, "distance_type", "L2") not in ("L2", "l2"):
-            # Dot-metric collections: the navigating HNSW (L2, like the
-            # reference's hardwired L2DistanceCalculator centroid graph,
-            # spann/index.rs:19) probes lists whose centroid is L2-NEAR,
-            # which systematically misses the high-norm lists that win on
-            # inner product. Centroid counts are ~sqrt(n), so probe them
-            # EXACTLY by dot in one matmul + top_k instead; ratio pruning
-            # is an L2-only notion and is skipped (_probe handles both).
+            # Dot-metric collections probe centroids EXACTLY by dot in one
+            # matmul + top_k: centroid counts are ~sqrt(n), so the exact
+            # scan is one small fused program and strictly dominates a graph
+            # walk on quality. (The centroid HNSW is itself natively
+            # dot-built now — HnswBuilder threads the metric through every
+            # stage — so a graph route would also be correct; revisit only
+            # if centroid counts outgrow a single-matmul scan. Legacy
+            # dot indexes whose centroid graph predates the native-dot
+            # builder are L2 graphs, another reason the exact probe stays
+            # the default.) Ratio pruning is an L2-only notion and is
+            # skipped; the reference hardwires L2 centroid navigation
+            # (spann/index.rs:19) and has no dot-correct probe at all.
             from .ivf import _probe
 
             probes, ok = _probe(
