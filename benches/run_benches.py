@@ -93,13 +93,16 @@ def bench_deletion_vacuum():
         col.run_optimizer([name], "vacuum")
         dt = time.time() - t0
         # steady state: the cold number is ~entirely XLA compilation (22
-        # compiles, measured). Vacuum #2 rebuilds at a smaller pow2 bucket
-        # (8192 -> 4096) so it still compiles once; vacuum #3 (also 4096)
-        # is the true warm path.
+        # compiles, measured). Warm iterations remove 500 rows each so the
+        # rebuilt row count stays inside the SAME pow2 build bucket (4000 ->
+        # 3500 -> 3000 all pad to 4096): vacuum #2 compiles the 4096-bucket
+        # programs once (8192 -> 4096), vacuum #3 is the true warm path.
+        # (Removing 1000/iter crossed into the 2048 bucket on vacuum #3 and
+        # silently re-measured a full compile as "warm".)
         dt_warm = None
-        for lo in (1_000, 2_000):
+        for lo in (1_000, 1_500):
             t0 = time.time()
-            col.remove(0, list(range(lo, lo + 1_000)))
+            col.remove(0, list(range(lo, lo + 500)))
             [name] = [s["name"] for s in col.segment_infos()]
             col.run_optimizer([name], "vacuum")
             dt_warm = time.time() - t0

@@ -722,9 +722,16 @@ class IvfIndex:
             doc_ids = np.stack([doc_ids.astype(np.uint64), np.zeros(n, np.uint64)], 1)
 
         is_pq = isinstance(quantizer, ProductQuantizer)
-        # quantize from the device copy when available (avoids re-transfer)
+        # quantize from the device copy when available (avoids re-transfer),
+        # then materialize ONCE on host: the block packing below fancy-
+        # indexes the payload into numpy arrays, and doing that against a
+        # device array compiles a fresh exact-shape gather program per
+        # (rows, picks) combination — ~0.4 s per tiny XLA compile on this
+        # 1-core host, and 10-100 s through the remote-compile tunnel. The
+        # transferred bytes are the same either way (the packed rows end up
+        # on host regardless).
         payload_src = vectors_device if vectors_device is not None else vectors
-        payload = quantizer.quantize(payload_src)  # (N, d) f32 or (N, m) u8
+        payload = np.asarray(quantizer.quantize(payload_src))  # (N, d) f32 or (N, m) u8
         payload_width = payload.shape[1]
 
         # vectorized block packing: one fancy-index write for all lists
@@ -791,11 +798,15 @@ class IvfIndex:
         if len(point_ids) == 0:
             return
         ids = np.asarray(point_ids, np.int32)
-        with self._inval_lock:  # .at[].set is a copy: serialize read-modify-write
-            self.point_valid = self.point_valid.at[jnp.asarray(ids)].set(False)
-            # host shadow so cross-user concat plans can rebuild their merged
-            # mask without a device round trip per user
+        with self._inval_lock:  # serialize read-modify-write
+            # host mask is the master; the device copy is re-uploaded whole.
+            # (.at[].set compiled a fresh exact-(N, deletes) scatter program
+            # per combination — a plain device_put of N bool bytes compiles
+            # nothing and costs ~1 MB/M-points through the tunnel.)
             self.point_valid_host[ids] = False
+            # .copy(): the CPU backend can zero-copy-alias numpy buffers,
+            # and the device array must stay an immutable snapshot
+            self.point_valid = jnp.asarray(self.point_valid_host.copy())
 
     def invalidate_doc_ids(self, doc_ids_u128) -> int:
         """Invalidate by u128 doc ids; returns number found."""
@@ -829,12 +840,16 @@ class IvfIndex:
         """All live points as arrays: (point_ids (V,), doc_id_pairs (V, 2)
         uint64, vectors (V, d) f32). Vectorized feed for merge/vacuum
         (the batch form of SpannIter, spann/iter.rs:8-47)."""
-        valid = np.asarray(self.point_valid)[: self.num_points]
+        valid = self.point_valid_host[: self.num_points]
         pts = np.nonzero(valid)[0].astype(np.int64)
         docs = self.doc_ids[pts]
         if self.raw_vectors is not None:
-            # gather on device, transfer only the live rows
-            vecs = np.asarray(self.raw_vectors[jnp.asarray(pts)], np.float32)
+            # fetch the whole store and gather on HOST: a device gather with
+            # an exact-(rows, picks) shape compiles a fresh program per
+            # segment size (vacuum feeds hit a new shape every rebuild);
+            # vacuum/merge read >= 90% of rows anyway, so whole-store
+            # transfer costs <= ~11% extra bytes and zero compiles
+            vecs = np.asarray(self.raw_vectors, np.float32)[: self.num_points][pts]
         else:
             pos = np.asarray(self.pos_to_point).reshape(-1)
             data = np.asarray(self.pl_data).reshape(pos.shape[0], -1)
