@@ -1,0 +1,227 @@
+"""10M-vector IVF-PQ on ONE chip: device-resident build + serve.
+
+The reference's own scale demonstration is 1M x 768 bulk-inserted from HDF5
+(rs/demo/src/main.rs:26-79). This harness runs the engine at 10x that point
+count entirely on device: data generation, k-means clustering, posting-list
+assignment, PQ encoding, exact ground truth, and serving all execute on the
+TPU — the host (and the WAN tunnel) only ever sees PQ codes and layout
+metadata (~0.4 GB of transfers instead of the 5.1 GB raw vector store).
+
+Memory math at n=10M, d=128, m=16 on a 16 GB chip:
+  raw f32 store (rerank)   5.12 GB
+  fused ADC score matrix   B x N f32 -> queries chunked at 64 (2.6 GB)
+  PQ codes (uint8, transposed + packed blocks)  ~0.35 GB
+The uint8 device code layout is what makes the sweep feasible here — the
+older int32 form would add 1.3 GB and 4x the staging upload.
+
+Stages and transfers are logged to stderr; one JSON line per measurement on
+stdout. Runs standalone (not part of bench.py: a full 10M build does not fit
+the driver's 840 s alarm beside the 1M headline).
+
+Usage: python benches/scale10m.py [--n 10000000] [--out results.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+_T0 = time.time()
+
+
+def _log(msg):
+    print(f"[scale10m +{time.time()-_T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--rerank", type=int, default=128)
+    ap.add_argument("--nprobe", type=int, default=64)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from muopdb_tpu.index.ivf import IvfBuildConfig, IvfBuilder, IvfIndex
+    from muopdb_tpu.quantization.pq import ProductQuantizer
+
+    n, d, m = args.n, args.d, args.m
+    results = []
+
+    def emit(row):
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # ---- data generation, on device (SIFT-like weakly separated modes —
+    # the same distribution bench.py uses at 1M, produced by jax PRNG so the
+    # raw store never crosses the tunnel)
+    t0 = time.time()
+    n_modes = 4096
+    key = jax.random.key(0)
+    k_modes, k_loop = jax.random.split(key)
+    modes = jax.random.normal(k_modes, (n_modes, d), jnp.float32) * 1.5
+
+    chunk = 625_000
+    assert n % chunk == 0, "n must be a multiple of 625k"
+
+    @jax.jit
+    def gen_chunk(k):
+        ka, kb = jax.random.split(k)
+        assign = jax.random.randint(ka, (chunk,), 0, n_modes)
+        return modes[assign] + jax.random.normal(kb, (chunk, d), jnp.float32)
+
+    xj = jnp.concatenate([gen_chunk(k) for k in jax.random.split(k_loop, n // chunk)])
+    kq1, kq2 = jax.random.split(jax.random.key(7))
+    qsel = jax.random.randint(kq1, (args.batch,), 0, n)
+    qj = xj[qsel] + 0.1 * jax.random.normal(kq2, (args.batch, d), jnp.float32)
+    jax.block_until_ready(qj)
+    _log(f"generated {n} x {d} on device in {time.time()-t0:.1f}s")
+
+    # ---- PQ training: only the training sample crosses the tunnel
+    t0 = time.time()
+    sample = np.asarray(xj[:: max(1, n // 131_072)][:131_072])
+    pq = ProductQuantizer(dim=d, subvector_dim=d // m).train(sample, max_iter=15)
+    _log(f"PQ trained on {len(sample)} rows in {time.time()-t0:.1f}s")
+
+    # ---- IVF build against the device-resident store. The builder's staged
+    # host path exists for the durable WAL->flush pipeline; here the vectors
+    # were born on device, so hand the device array straight to the
+    # clustering/assignment/packing stages (they only use the host array for
+    # its shape when a device copy is supplied).
+    t_build = time.time()
+    cfg = IvfBuildConfig(
+        num_centroids=args.nlist,
+        num_data_points_for_clustering=131_072,
+        max_iterations=15,
+        kmeans_unbalanced_penalty=1.0,
+        max_posting_list_size=max(16_384, 4 * n // args.nlist),
+        block_rows=1024,
+    )
+    builder = IvfBuilder(cfg, d)
+    x_shape_only = np.broadcast_to(np.zeros((1, d), np.float32), (n, d))
+    t0 = time.time()
+    centroids = builder._cluster(x_shape_only, seed=0, xj=xj)
+    _log(f"clustered k={len(centroids)} in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    posting_lists, owner = builder._assign(x_shape_only, centroids, xj=xj)
+    _log(f"assigned posting lists in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    idx = IvfIndex.from_posting_lists(
+        x_shape_only,
+        centroids,
+        posting_lists,
+        block_rows=cfg.block_rows,
+        quantizer=pq,
+        vectors_device=xj,
+        point_owner=owner,
+    )
+    _log(f"packed + staged device layout in {time.time()-t0:.1f}s")
+    build_s = time.time() - t_build
+    emit({"bench": "scale10m_build", "n": n, "d": d, "m": m,
+          "nlist": args.nlist, "value": round(build_s, 1), "unit": "seconds"})
+
+    # ---- exact ground truth, on device (f32, chunked, chained dispatches)
+    t0 = time.time()
+    gt_chunk = 125_000  # divides n exactly (one program shape, no tail compile)
+
+    @jax.jit
+    def gt_step(xc):
+        dist = (
+            -2.0 * qj @ xc.T
+            + jnp.sum(xc * xc, axis=1)[None, :]
+            + jnp.sum(qj * qj, axis=1)[:, None]
+        )
+        nd, ni = jax.lax.top_k(-dist, args.k)
+        return -nd, ni
+
+    parts = []
+    for s in range(0, n, gt_chunk):
+        dd, ii = gt_step(xj[s : s + gt_chunk])
+        parts.append((dd, ii + s))
+    # one sync at the end (per-rep blocking pays a WAN RTT each time)
+    host = [(np.asarray(dd), np.asarray(ii)) for dd, ii in parts]
+    all_d = np.concatenate([p[0] for p in host], axis=1)
+    all_i = np.concatenate([p[1] for p in host], axis=1)
+    sel = np.argsort(all_d, axis=1)[:, : args.k]
+    truth = np.take_along_axis(all_i, sel, axis=1)
+    _log(f"exact ground truth in {time.time()-t0:.1f}s")
+
+    def recall(ids):
+        ids = np.asarray(ids)
+        return float(np.mean([
+            len(set(ids[r].tolist()) & set(truth[r].tolist())) / args.k
+            for r in range(len(ids))
+        ]))
+
+    # ---- fused whole-index ADC sweep (queries chunked so the (B, N) score
+    # matrix stays ~2.6 GB)
+    qb = 64
+    q_host = np.asarray(qj)
+
+    def run_fused():
+        outs = []
+        for s in range(0, args.batch, qb):
+            outs.append(idx.search_batched(qj[s : s + qb], k=args.k, rerank=args.rerank))
+        jax.block_until_ready(outs)
+        return outs
+
+    t0 = time.time()
+    outs = run_fused()
+    _log(f"fused sweep compile+first run {time.time()-t0:.1f}s")
+    ids = np.concatenate([np.asarray(i) for _, i in outs])
+    r_fused = recall(ids)
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        outs = run_fused()
+    dt = time.time() - t0
+    emit({"bench": "scale10m_fused_sweep", "value": round(args.batch * reps / dt, 1),
+          "unit": "qps", "recall@10": round(r_fused, 4), "batch": args.batch,
+          "rerank": args.rerank})
+
+    # ---- probed gather plan (scan only nprobe lists per query — the
+    # low-latency plan; at 10M it touches ~nprobe/nlist of the index)
+    from muopdb_tpu.index.ivf import _probe
+
+    def run_probed():
+        probe, probe_ok = _probe(qj, idx.centroids, nprobe=args.nprobe,
+                                 distance_type="L2")
+        out = idx.search_with_probes(qj, probe, probe_ok, k=args.k, chunk=8)
+        jax.block_until_ready(out)
+        return out
+
+    t0 = time.time()
+    dd, ii = run_probed()
+    _log(f"probed gather compile+first run {time.time()-t0:.1f}s")
+    r_probed = recall(np.asarray(ii))
+    t0 = time.time()
+    for _ in range(reps):
+        run_probed()
+    dt = time.time() - t0
+    emit({"bench": "scale10m_probed", "value": round(args.batch * reps / dt, 1),
+          "unit": "qps", "recall@10": round(r_probed, 4), "nprobe": args.nprobe,
+          "batch": args.batch})
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for row in results:
+                f.write(json.dumps(row) + "\n")
+    _log("done")
+
+
+if __name__ == "__main__":
+    main()

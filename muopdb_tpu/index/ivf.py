@@ -627,6 +627,7 @@ class IvfIndex:
         block_rows: int = 256,
         raw_vectors=None,
         point_owner=None,
+        codes_t_host=None,
     ):
         self.centroids = jnp.asarray(centroids)
         # pow2_pad appends sentinel centroids at 1e15 (from_posting_lists);
@@ -664,18 +665,26 @@ class IvfIndex:
             self.raw_vectors = raw_vectors.astype(jnp.float32)
         else:
             self.raw_vectors = jnp.asarray(np.asarray(raw_vectors, np.float32))
-        # point-order transposed codes for the fused whole-index ADC sweep
-        self._codes_t = None
+        # point-order transposed codes for the fused whole-index ADC sweep,
+        # stored uint8 on device (4x less HBM and 4x less tunnel upload than
+        # the int32 form; the ADC kernels upcast per-block in VMEM)
+        self._codes_t_padded = None
         if isinstance(self.quantizer, ProductQuantizer) and num_points > 0:
-            codes = np.zeros((num_points, self.quantizer.num_subvectors), np.int32)
-            pos = np.asarray(self.pos_to_point).reshape(-1)
-            data = np.asarray(self.pl_data).reshape(pos.shape[0], -1)
-            sel = pos >= 0
-            codes[pos[sel]] = data[sel].astype(np.int32)
+            if codes_t_host is None:
+                # reconstruction path (load()): scatter point-order codes from
+                # the HOST copies of the packed blocks — never fetch back the
+                # arrays that were just uploaded
+                pos = np.asarray(pos_to_point).reshape(-1)
+                data = np.asarray(pl_data).reshape(pos.shape[0], -1)
+                codes = np.zeros((num_points, self.quantizer.num_subvectors), np.uint8)
+                sel = pos >= 0
+                codes[pos[sel]] = data[sel].astype(np.uint8)
+                codes_t_host = codes.T
             block_r = 512
             padn = (-num_points) % block_r
-            self._codes_t = jnp.asarray(codes.T)  # (m, N)
-            self._codes_t_padded = jnp.pad(self._codes_t, ((0, 0), (0, padn)))
+            ct = np.zeros((codes_t_host.shape[0], num_points + padn), np.uint8)
+            ct[:, :num_points] = codes_t_host
+            self._codes_t_padded = jnp.asarray(ct)  # (m, Npad) uint8, ONE upload
         # owning posting list per point — lets the probed plan run as
         # full-scan + probe mask at large batch sizes. When the builder knows
         # each point's nearest (first) assignment it passes it in; the layout
@@ -788,6 +797,9 @@ class IvfIndex:
             block_rows=block_rows,
             raw_vectors=vectors_device if vectors_device is not None else vectors,
             point_owner=point_owner,
+            # PQ payload is already the point-order code table: hand it to
+            # __init__ so it never reconstructs codes by re-fetching blocks
+            codes_t_host=payload.T if is_pq else None,
         )
 
     # -- mutation (deletions only; the index itself is immutable) --------
@@ -938,6 +950,14 @@ class IvfIndex:
         return self.search_with_probes(q, probe, probe_ok, k=k, chunk=chunk, filter_mask=filter_mask)
 
     @property
+    def _codes_t(self):
+        """(m, N) uint8 device codes — unpadded view of `_codes_t_padded`,
+        sliced on demand (the fused-group builder concatenates these)."""
+        if self._codes_t_padded is None:
+            return None
+        return self._codes_t_padded[:, : self.num_points]
+
+    @property
     def _dt(self) -> str:
         """Normalized static distance-type key shared by every jitted plan."""
         return "L2" if self.distance_type in ("L2", "l2") else "dot"
@@ -1032,7 +1052,7 @@ class IvfIndex:
         n = self.num_points
         use_pallas = jax.default_backend() not in ("cpu",)
         if isinstance(self.quantizer, ProductQuantizer):
-            assert self._codes_t is not None
+            assert self._codes_t_padded is not None
             return _fused_pq_batched(
                 q,
                 self._codes_t_padded,

@@ -107,7 +107,7 @@ def build_group(spanns: List[Tuple[int, object]]) -> Optional[FusedUserGroup]:
             npad = _pad_pow2(n, 512)
             codes = jnp.concatenate(
                 [ivf._codes_t for _, ivf in group]
-                + ([jnp.zeros((q0.num_subvectors, npad - n), jnp.int32)] if npad > n else []),
+                + ([jnp.zeros((q0.num_subvectors, npad - n), jnp.uint8)] if npad > n else []),
                 axis=1,
             )
             raw = None

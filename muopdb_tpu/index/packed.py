@@ -69,7 +69,7 @@ def _query_chunk(b_pad: int, p_pad: int) -> int:
 )
 def _packed_pq_subset(
     q,        # (Bpad, d) f32
-    codes_t,  # (m, Npad) int32 — whole-slab transposed codes
+    codes_t,  # (m, Npad) uint8 — whole-slab transposed codes
     codebook, # (m, ksub, dsub) f32
     raw,      # (N, d) f32 rerank store
     ids,      # (Ppad,) int32 global slab positions, in-range (pad = 0)
@@ -239,7 +239,7 @@ class PackedUsers:
         )
         self._lock = threading.Lock()
         self._doc_maps: Dict[int, Dict[int, int]] = {}  # uid -> doc_u128 -> local pid
-        self._dev = None  # (codes_t int32 (m, Npad)) or (vectors f32/bf16 (Npad, d))
+        self._dev = None  # (codes_t uint8 (m, Npad)) or (vectors f32/bf16 (Npad, d))
         self._raw_dev = None
 
     # -- basic accessors -------------------------------------------------
@@ -275,7 +275,7 @@ class PackedUsers:
             n = self.num_points
             if self.is_pq():
                 npad = _pow2(n, 512)
-                ct = np.zeros((self.quantizer.num_subvectors, npad), np.int32)
+                ct = np.zeros((self.quantizer.num_subvectors, npad), np.uint8)
                 ct[:, :n] = self.codes_host.T
                 self._dev = jnp.asarray(ct)
                 if self._raw_dev is None:  # else: staged by build()

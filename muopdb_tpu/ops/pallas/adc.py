@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _adc_kernel(lut_ref, codes_ref, out_ref, *, m: int, ksub: int, r: int):
-    codes = codes_ref[:]  # (m, R) int32
+    codes = codes_ref[:].astype(jnp.int32)  # (m, R), uint8 or int32 input
     iota = jax.lax.broadcasted_iota(jnp.int32, (m, ksub, r), 1)
     onehot = (codes[:, None, :] == iota).astype(jnp.bfloat16).reshape(m * ksub, r)
     out_ref[:] = jax.lax.dot_general(
@@ -45,7 +45,7 @@ def _adc_kernel(lut_ref, codes_ref, out_ref, *, m: int, ksub: int, r: int):
 @functools.partial(jax.jit, static_argnames=("block_r", "block_b", "interpret"))
 def adc_full_scan(
     lut: jax.Array,  # (B, m, ksub) f32 ADC tables
-    codes_t: jax.Array,  # (m, N) int32 transposed codes, N multiple of block_r
+    codes_t: jax.Array,  # (m, N) uint8/int32 transposed codes, N multiple of block_r
     *,
     block_r: int = 512,
     block_b: int = 256,
@@ -80,7 +80,7 @@ def adc_full_scan(
         out_shape=jax.ShapeDtypeStruct((lut_flat.shape[0], n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * m * ksub * n,
-            bytes_accessed=4 * m * n + 2 * b * m * ksub + 4 * b * n,
+            bytes_accessed=codes_t.dtype.itemsize * m * n + 2 * b * m * ksub + 4 * b * n,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -89,7 +89,7 @@ def adc_full_scan(
 
 
 def _adc_kernel_i8(lut_ref, codes_ref, out_ref, *, m: int, ksub: int, r: int):
-    codes = codes_ref[:]  # (m, R) int32
+    codes = codes_ref[:].astype(jnp.int32)  # (m, R), uint8 or int32 input
     iota = jax.lax.broadcasted_iota(jnp.int32, (m, ksub, r), 1)
     onehot = (codes[:, None, :] == iota).astype(jnp.int8).reshape(m * ksub, r)
     out_ref[:] = jax.lax.dot_general(
@@ -103,7 +103,7 @@ def _adc_kernel_i8(lut_ref, codes_ref, out_ref, *, m: int, ksub: int, r: int):
 @functools.partial(jax.jit, static_argnames=("block_r", "block_b", "interpret"))
 def adc_full_scan_int8(
     lut: jax.Array,  # (B, m, ksub) f32 ADC tables
-    codes_t: jax.Array,  # (m, N) int32
+    codes_t: jax.Array,  # (m, N) uint8/int32
     *,
     block_r: int = 512,
     block_b: int = 256,
@@ -135,7 +135,7 @@ def adc_full_scan_int8(
         out_shape=jax.ShapeDtypeStruct((lut_q.shape[0], n), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * m * ksub * n,
-            bytes_accessed=4 * m * n + b * m * ksub + 4 * b * n,
+            bytes_accessed=codes_t.dtype.itemsize * m * n + b * m * ksub + 4 * b * n,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -150,9 +150,9 @@ def adc_full_scan_xla(lut: jax.Array, codes_t: jax.Array, *, block_r: int = 512)
     n = codes_t.shape[1]
     lut_flat = lut.reshape(b, m * ksub)
 
-    def step(codes_blk):  # (m, R)
+    def step(codes_blk):  # (m, R), uint8 or int32
         iota = jax.lax.broadcasted_iota(jnp.int32, (m, ksub, codes_blk.shape[-1]), 1)
-        onehot = (codes_blk[:, None, :] == iota).astype(jnp.float32)
+        onehot = (codes_blk[:, None, :].astype(jnp.int32) == iota).astype(jnp.float32)
         return jax.lax.dot_general(
             lut_flat, onehot.reshape(m * ksub, -1), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

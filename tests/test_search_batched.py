@@ -48,3 +48,30 @@ def test_batched_pq_rerank_restores_recall(rng):
     _, rr = idx.search_batched(q, k=10, rerank=300)
     assert recall(rr) >= recall(raw)
     assert recall(rr) >= 0.9, recall(rr)
+
+
+def test_pq_device_codes_are_uint8(rng, tmp_path):
+    """The transposed code table must stay uint8 on device (4x less HBM and
+    tunnel upload than int32) across build AND save/load reconstruction."""
+    d = 32
+    x = rng.standard_normal((1200, d)).astype(np.float32)
+    pq = ProductQuantizer(dim=d, subvector_dim=8, num_bits=8).train(x, max_iter=5)
+    b = IvfBuilder(IvfBuildConfig(num_centroids=8, block_rows=64), dim=d)
+    b.add_batch(np.arange(1200), x)
+    idx = b.build(quantizer=pq)
+    assert idx._codes_t_padded.dtype == np.uint8
+    assert idx._codes_t.shape == (pq.num_subvectors, 1200)
+
+    from muopdb_tpu.index.ivf import IvfIndex
+
+    idx.save(str(tmp_path))
+    idx2 = IvfIndex.load(str(tmp_path))
+    assert idx2._codes_t_padded.dtype == np.uint8
+    # reconstruction path (load scatters codes from packed blocks) must agree
+    np.testing.assert_array_equal(
+        np.asarray(idx._codes_t), np.asarray(idx2._codes_t)
+    )
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    d1, i1 = idx.search_batched(q, k=5, rerank=50)
+    d2, i2 = idx2.search_batched(q, k=5, rerank=50)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
