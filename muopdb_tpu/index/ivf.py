@@ -200,11 +200,26 @@ class IvfBuilder:
             keep = [c for i, c in enumerate(centroids) if i not in set(oversized.tolist())]
             new = []
             for ci in oversized:
-                pts = xj[jnp.asarray(np.nonzero(assign == ci)[0])]
-                n_parts = int(np.ceil(pts.shape[0] / cfg.max_posting_list_size)) + 1
+                idxs = np.nonzero(assign == ci)[0]
+                npts = len(idxs)
+                # pow2-bucket the sub-kmeans input: every oversized cluster
+                # has a different row count, and an exact-shape kmeans per
+                # cluster is a fresh XLA compile each (10-100 s through the
+                # remote-compile tunnel — a split round over a dozen clusters
+                # was measured at ~6 min of pure compile). Bootstrap-resample
+                # real rows up to the bucket so shapes collapse to log-many
+                # classes (same trick as the bucketed build path above).
+                bucket = 1 << max(10, (npts - 1).bit_length())
+                if bucket > npts:
+                    extra = np.random.default_rng(seed + int(ci)).choice(
+                        idxs, bucket - npts, replace=True
+                    )
+                    idxs = np.concatenate([idxs, extra])
+                pts = xj[jnp.asarray(np.sort(idxs))]
+                n_parts = int(np.ceil(npts / cfg.max_posting_list_size)) + 1
                 sub = kmeans(
                     pts,
-                    min(n_parts, int(pts.shape[0])),
+                    min(n_parts, npts),
                     key=jax.random.key(seed + 1 + int(ci)),
                     max_iter=cfg.max_iterations,
                     penalty=cfg.kmeans_unbalanced_penalty,
@@ -413,7 +428,9 @@ def _scan_flat(
     return res_d.reshape(-1, k)[:b], res_i.reshape(-1, k)[:b]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "chunk", "dedup"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_rows", "chunk", "dedup", "rerank", "distance_type")
+)
 def _scan_pq(
     queries,
     lut,  # (B, m, ksub) precomputed ADC tables
@@ -422,21 +439,30 @@ def _scan_pq(
     pl_codes,  # (num_blocks, block_rows, m) uint8|int8
     pos_to_point,
     point_valid,
+    raw_vectors,  # (N, d) f32 rerank store (dummy (1, d) when rerank == 0)
     *,
     k: int,
     block_rows: int,
     chunk: int,
     dedup: bool = False,
+    rerank: int = 0,
+    distance_type: str = "L2",
 ):
-    """ADC scan over the given PQ code blocks (BASELINE.md north-star path)."""
+    """ADC scan over the given PQ code blocks (BASELINE.md north-star path).
+
+    `rerank=R` re-scores the top-R ADC candidates against raw vectors
+    exactly inside the same program — the probed-plan twin of the fused
+    sweep's second stage (the reference's symmetric-PQ scan has no rerank,
+    so its quantized ranking is final; this strictly improves on it)."""
     b = queries.shape[0]
     P = blocks.shape[1]
     nb = pl_codes.shape[0]
     m = pl_codes.shape[-1]
     ksub = lut.shape[-1]
+    d = queries.shape[1]
 
     def scan_chunk(args):
-        q_lut, blk_c, ok_c = args
+        q_c, q_lut, blk_c, ok_c = args
         cb = q_lut.shape[0]
         blk_c = jnp.clip(blk_c, 0, nb - 1)
         codes = pl_codes[blk_c]  # (cb, P, rows, m)
@@ -453,9 +479,17 @@ def _scan_pq(
         ids = pts.reshape(cb, -1)
         if dedup:
             dist, ids = _dedup_rows(dist, ids)
+        if rerank:
+            r = min(max(rerank, k), P * block_rows)
+            cd, ci = top_k_smallest(dist, ids, r)
+            cand = raw_vectors[jnp.clip(ci, 0, raw_vectors.shape[0] - 1)]
+            exact = rerank_scores(q_c, cand, distance_type)
+            exact = jnp.where(jnp.isfinite(cd) & (ci >= 0), exact, jnp.inf)
+            return top_k_smallest(exact, ci, k)
         return top_k_smallest(dist, ids, k)
 
     pad = (-b) % chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
     lp = jnp.pad(lut, ((0, pad), (0, 0), (0, 0)))
     bp = jnp.pad(blocks, ((0, pad), (0, 0)))
     op = jnp.pad(bok, ((0, pad), (0, 0)))
@@ -463,6 +497,7 @@ def _scan_pq(
     res_d, res_i = jax.lax.map(
         scan_chunk,
         (
+            qp.reshape(nchunks, chunk, d),
             lp.reshape(nchunks, chunk, m, ksub),
             bp.reshape(nchunks, chunk, P),
             op.reshape(nchunks, chunk, P),
@@ -974,10 +1009,14 @@ class IvfIndex:
             return jnp.zeros((1, self.quantizer.dim), jnp.float32)
         return self.raw_vectors
 
-    def search_with_probes(self, queries, probe, probe_ok, *, k: int = 10, chunk: int = 8, filter_mask=None):
+    def search_with_probes(self, queries, probe, probe_ok, *, k: int = 10, chunk: int = 8,
+                           filter_mask=None, rerank: int = 0):
         """Scan explicitly-probed posting lists. SPANN entry point: the
         centroid HNSW picks `probe` and this scans them (the analog of
-        spann/index.rs:253-265 search_with_centroids_and_remap)."""
+        spann/index.rs:253-265 search_with_centroids_and_remap).
+
+        `rerank` (PQ only): exact re-scoring of the top-R ADC candidates
+        against the raw store, fused into the scan program."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         if search_stats.active():
             # blocks actually scanned = the reference's pages-accessed metric
@@ -1004,6 +1043,7 @@ class IvfIndex:
         )
         if isinstance(self.quantizer, ProductQuantizer):
             lut = self.quantizer.compute_lut(q, self.distance_type)
+            rr = rerank if (rerank and self.raw_vectors is not None) else 0
             d, i = _scan_pq(
                 q,
                 lut,
@@ -1012,10 +1052,13 @@ class IvfIndex:
                 self.pl_data,
                 self.pos_to_point,
                 valid,
+                self._rerank_vectors() if rr else jnp.zeros((1, q.shape[1]), jnp.float32),
                 k=k,
                 block_rows=self.block_rows,
                 chunk=chunk,
                 dedup=self.needs_dedup,
+                rerank=rr,
+                distance_type=self._dt,
             )
         else:
             d, i = _scan_flat(

@@ -73,6 +73,7 @@ class SpannIndex:
         ef_search: int | None = None,
         chunk: int = 8,
         filter_mask=None,
+        rerank: int = 0,
     ):
         """spann/index.rs:211-265: HNSW ann over centroids, prune by distance
         ratio, scan the surviving posting lists."""
@@ -105,7 +106,8 @@ class SpannIndex:
                 distance_type="dot",
             )
             return self.ivf.search_with_probes(
-                q, probes, ok, k=k, chunk=chunk, filter_mask=filter_mask
+                q, probes, ok, k=k, chunk=chunk, filter_mask=filter_mask,
+                rerank=rerank,
             )
         ef = max(ef_search or ne, ne)
         cd, probes = self.centroid_hnsw.search(q, k=ne, ef_search=ef)
@@ -113,7 +115,9 @@ class SpannIndex:
         ok = jnp.asarray(cd) <= jnp.asarray(cd)[:, :1] * (1.0 + centroid_distance_ratio)
         ok = ok & (jnp.asarray(probes) >= 0) & (jnp.asarray(probes) < nc)
         probes = jnp.clip(jnp.asarray(probes), 0, None)
-        return self.ivf.search_with_probes(q, probes, ok, k=k, chunk=chunk, filter_mask=filter_mask)
+        return self.ivf.search_with_probes(
+            q, probes, ok, k=k, chunk=chunk, filter_mask=filter_mask, rerank=rerank
+        )
 
     def search_doc_ids(self, queries, k: int = 10, num_explored_centroids: int = 10, **kw):
         d, i = self.search(queries, k, num_explored_centroids, **kw)

@@ -50,6 +50,34 @@ def test_batched_pq_rerank_restores_recall(rng):
     assert recall(rr) >= 0.9, recall(rr)
 
 
+def test_probed_pq_rerank_restores_recall(rng):
+    """The probed gather plan's fused exact-rerank stage (the reference's
+    symmetric-PQ scan has no second stage — its quantized ranking is final,
+    pq/mod.rs:202-260; rerank strictly improves on that)."""
+    from muopdb_tpu.index.ivf import _probe
+    import jax.numpy as jnp
+
+    d = 32
+    x = rng.standard_normal((3000, d)).astype(np.float32)
+    pq = ProductQuantizer(dim=d, subvector_dim=8, num_bits=8).train(x, max_iter=10)
+    b = IvfBuilder(IvfBuildConfig(num_centroids=16, block_rows=64), dim=d)
+    b.add_batch(np.arange(3000), x)
+    idx = b.build(quantizer=pq)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    _, want = FlatIndex(x).search(q, k=10)
+
+    def recall(got):
+        got = np.asarray(got)
+        w = np.asarray(want)
+        return np.mean([len(set(got[i]) & set(w[i])) / 10 for i in range(len(q))])
+
+    probe, ok = _probe(jnp.asarray(q), idx.centroids, nprobe=16, distance_type="L2")
+    _, raw = idx.search_with_probes(q, probe, ok, k=10)
+    _, rr = idx.search_with_probes(q, probe, ok, k=10, rerank=300)
+    assert recall(rr) >= recall(raw)
+    assert recall(rr) >= 0.9, recall(rr)
+
+
 def test_pq_device_codes_are_uint8(rng, tmp_path):
     """The transposed code table must stay uint8 on device (4x less HBM and
     tunnel upload than int32) across build AND save/load reconstruction."""
