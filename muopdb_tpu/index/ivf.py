@@ -183,22 +183,30 @@ class IvfBuilder:
         )
         centroids = np.asarray(res.centroids)
 
+        # ONE full assignment pass; split rounds then operate locally — each
+        # split re-assigns only the split cluster's own points (the
+        # reference's heap split is similarly local, ivf/builder.rs:460-542).
+        # Re-assigning all points per round cost a full chunked pass over the
+        # store each time (~70 s/pass at 10M through the tunnel); build()'s
+        # final _assign() recomputes everything against the final centroid
+        # set anyway, so local staleness never reaches the packed layout.
+        # Chunked: the (N, C) distance matrix must not be materialized whole
+        # (4 GB at 1M x 1024).
+        cj = jnp.asarray(centroids)
+        assign_parts = []
+        for s0 in range(0, nb, 65536):
+            assign_parts.append(
+                np.asarray(jnp.argmin(l2_distance(xj[s0 : s0 + 65536], cj), axis=-1))
+            )
+        assign = np.concatenate(assign_parts)[:n]  # drop bucket pad rows
+        # writable copy: device-backed numpy views are read-only
+        centroids = np.array(centroids, np.float32)
         for _ in range(8):  # bounded split rounds
-            # chunked assignment: the (N, C) distance matrix must not be
-            # materialized whole (4 GB at 1M x 1024)
-            cj = jnp.asarray(centroids)
-            assign_parts = []
-            for s0 in range(0, nb, 65536):
-                assign_parts.append(
-                    np.asarray(jnp.argmin(l2_distance(xj[s0 : s0 + 65536], cj), axis=-1))
-                )
-            assign = np.concatenate(assign_parts)[:n]  # drop bucket pad rows
             counts = np.bincount(assign, minlength=len(centroids))
             oversized = np.nonzero(counts > cfg.max_posting_list_size)[0]
             if len(oversized) == 0:
                 break
-            keep = [c for i, c in enumerate(centroids) if i not in set(oversized.tolist())]
-            new = []
+            add: list = []
             for ci in oversized:
                 idxs = np.nonzero(assign == ci)[0]
                 npts = len(idxs)
@@ -210,22 +218,36 @@ class IvfBuilder:
                 # real rows up to the bucket so shapes collapse to log-many
                 # classes (same trick as the bucketed build path above).
                 bucket = 1 << max(10, (npts - 1).bit_length())
+                aug = idxs
                 if bucket > npts:
                     extra = np.random.default_rng(seed + int(ci)).choice(
                         idxs, bucket - npts, replace=True
                     )
-                    idxs = np.concatenate([idxs, extra])
-                pts = xj[jnp.asarray(np.sort(idxs))]
-                n_parts = int(np.ceil(npts / cfg.max_posting_list_size)) + 1
+                    aug = np.concatenate([idxs, extra])
+                aug = np.sort(aug)
+                pts = xj[jnp.asarray(aug)]
+                n_parts = min(int(np.ceil(npts / cfg.max_posting_list_size)) + 1, npts)
                 sub = kmeans(
                     pts,
-                    min(n_parts, npts),
+                    n_parts,
                     key=jax.random.key(seed + 1 + int(ci)),
                     max_iter=cfg.max_iterations,
                     penalty=cfg.kmeans_unbalanced_penalty,
                 )
-                new.extend(np.asarray(sub.centroids))
-            centroids = np.asarray(keep + new, np.float32)
+                subc = np.asarray(sub.centroids, np.float32)
+                # local re-assignment of this cluster's points only
+                # (duplicate bootstrap rows agree: same row -> same argmin)
+                local = np.asarray(
+                    jnp.argmin(l2_distance(pts, jnp.asarray(subc)), axis=-1)
+                )
+                base = len(centroids) + len(add)  # global id of subc[1]
+                assign[aug] = np.where(local == 0, ci, base + local - 1)
+                centroids[ci] = subc[0]
+                add.extend(subc[1:])
+            if add:
+                centroids = np.concatenate(
+                    [centroids, np.asarray(add, np.float32)]
+                )
         return centroids
 
     def _assign(self, x: np.ndarray, centroids: np.ndarray, xj=None):
@@ -509,6 +531,33 @@ def _scan_pq(
 # int8 ADC (2x MXU rate, per-query LUT quantization; rerank restores exact
 # ranking). Opt-out with MUOPDB_ADC_INT8=0.
 ADC_INT8 = os.environ.get("MUOPDB_ADC_INT8", "1") != "0"
+
+# Fused whole-index plans materialize a (B, N) f32 score matrix; cap its
+# size so huge indexes cannot OOM the chip (10M points x 256 queries is
+# 10.2 GB). Queries are split into pow2 chunks that reuse ONE compiled
+# program; dispatches chain without host syncs.
+_FUSED_SCORE_BUDGET = int(os.environ.get("MUOPDB_FUSED_SCORE_BUDGET", 512 * 1024 * 1024))
+
+
+def _fused_query_chunk(b: int, n: int) -> int:
+    c = max(8, _FUSED_SCORE_BUDGET // max(n, 1))
+    c = 1 << (c.bit_length() - 1)  # pow2 floor (stable program shapes)
+    return min(b, c)
+
+
+def _run_query_chunked(q, n: int, fn):
+    """Run `fn` over pow2 query chunks when the (B, N) score matrix would
+    blow the budget; results are concatenated on device."""
+    b = q.shape[0]
+    c = _fused_query_chunk(b, n)
+    if b <= c:
+        return fn(q)
+    pad = (-b) % c
+    qp = jnp.pad(q, ((0, pad), (0, 0))) if pad else q
+    outs = [fn(qp[s : s + c]) for s in range(0, b + pad, c)]
+    d = jnp.concatenate([o[0] for o in outs])[:b]
+    i = jnp.concatenate([o[1] for o in outs])[:b]
+    return d, i
 
 
 def _adc_scores_full(lut, codes_t_padded, n, use_pallas: bool, int8_adc: bool):
@@ -949,34 +998,42 @@ class IvfIndex:
             not isinstance(self.quantizer, ProductQuantizer)
             and self.raw_vectors is not None
         ):
-            return _fused_flat_probed_masked(
+            return _run_query_chunked(
                 q,
-                self._vectors_padded(),
-                self._merged_valid(filter_mask),
-                self.centroids,
-                self.point_owner,
-                k=k,
-                nprobe=nprobe,
-                centroid_distance_ratio=centroid_distance_ratio,
-                use_pallas=jax.default_backend() not in ("cpu",),
-                distance_type=self._dt,
+                self.num_points,
+                lambda qc: _fused_flat_probed_masked(
+                    qc,
+                    self._vectors_padded(),
+                    self._merged_valid(filter_mask),
+                    self.centroids,
+                    self.point_owner,
+                    k=k,
+                    nprobe=nprobe,
+                    centroid_distance_ratio=centroid_distance_ratio,
+                    use_pallas=jax.default_backend() not in ("cpu",),
+                    distance_type=self._dt,
+                ),
             )
         if isinstance(self.quantizer, ProductQuantizer) and rerank >= 0:
-            return _fused_pq_probed_masked(
+            return _run_query_chunked(
                 q,
-                self._codes_t_padded,
-                jnp.asarray(self.quantizer.codebook),
-                self._rerank_vectors(),
-                self._merged_valid(filter_mask),
-                self.centroids,
-                self.point_owner,
-                k=k,
-                rerank=rerank if self.raw_vectors is not None else 0,
-                nprobe=nprobe,
-                centroid_distance_ratio=centroid_distance_ratio,
-                use_pallas=jax.default_backend() not in ("cpu",),
-                distance_type=self._dt,
-                int8_adc=ADC_INT8 and jax.default_backend() not in ("cpu",),
+                self.num_points,
+                lambda qc: _fused_pq_probed_masked(
+                    qc,
+                    self._codes_t_padded,
+                    jnp.asarray(self.quantizer.codebook),
+                    self._rerank_vectors(),
+                    self._merged_valid(filter_mask),
+                    self.centroids,
+                    self.point_owner,
+                    k=k,
+                    rerank=rerank if self.raw_vectors is not None else 0,
+                    nprobe=nprobe,
+                    centroid_distance_ratio=centroid_distance_ratio,
+                    use_pallas=jax.default_backend() not in ("cpu",),
+                    distance_type=self._dt,
+                    int8_adc=ADC_INT8 and jax.default_backend() not in ("cpu",),
+                ),
             )
         probe, probe_ok = _probe(
             q, self.centroids, nprobe=nprobe,
@@ -1096,22 +1153,30 @@ class IvfIndex:
         use_pallas = jax.default_backend() not in ("cpu",)
         if isinstance(self.quantizer, ProductQuantizer):
             assert self._codes_t_padded is not None
-            return _fused_pq_batched(
+            return _run_query_chunked(
                 q,
-                self._codes_t_padded,
-                jnp.asarray(self.quantizer.codebook),
-                self._rerank_vectors(),
-                self._merged_valid(None),
-                k=k,
-                rerank=rerank if self.raw_vectors is not None else 0,
-                use_pallas=use_pallas,
-                distance_type=self._dt,
-                int8_adc=ADC_INT8 and use_pallas,
+                n,
+                lambda qc: _fused_pq_batched(
+                    qc,
+                    self._codes_t_padded,
+                    jnp.asarray(self.quantizer.codebook),
+                    self._rerank_vectors(),
+                    self._merged_valid(None),
+                    k=k,
+                    rerank=rerank if self.raw_vectors is not None else 0,
+                    use_pallas=use_pallas,
+                    distance_type=self._dt,
+                    int8_adc=ADC_INT8 and use_pallas,
+                ),
             )
         assert self.raw_vectors is not None
-        return _fused_flat_batched(
-            q, self._vectors_padded(), self._merged_valid(None), k=k,
-            use_pallas=use_pallas, distance_type=self._dt,
+        return _run_query_chunked(
+            q,
+            n,
+            lambda qc: _fused_flat_batched(
+                qc, self._vectors_padded(), self._merged_valid(None), k=k,
+                use_pallas=use_pallas, distance_type=self._dt,
+            ),
         )
 
     def _vectors_padded(self):
