@@ -36,7 +36,7 @@ import numpy as np
 
 from ..config import CollectionConfig
 from ..ops.distance import l2_distance, pairwise_distance, rerank_scores
-from ..ops.kmeans import kmeans
+from ..ops.kmeans import kmeans, kmeans_multi
 from ..ops.topk import top_k_smallest
 from ..quantization import NoQuantizer, ProductQuantizer
 from ..quantization.pq import adc_scores
@@ -206,44 +206,65 @@ class IvfBuilder:
             oversized = np.nonzero(counts > cfg.max_posting_list_size)[0]
             if len(oversized) == 0:
                 break
-            add: list = []
+            # pow2-bucket each oversized cluster's row count (bootstrap-
+            # resample real rows up to the bucket) and batch every same-
+            # bucket cluster through ONE vmapped kmeans program: an exact-
+            # shape kmeans per cluster is a fresh XLA compile (10-100 s via
+            # the remote-compile tunnel), and even warm, per-cluster
+            # dispatch overhead dominated the 10M split stage (~1.5k
+            # clusters x ~0.2 s). Shapes collapse to log-many classes.
+            by_bucket: dict = {}
             for ci in oversized:
                 idxs = np.nonzero(assign == ci)[0]
-                npts = len(idxs)
-                # pow2-bucket the sub-kmeans input: every oversized cluster
-                # has a different row count, and an exact-shape kmeans per
-                # cluster is a fresh XLA compile each (10-100 s through the
-                # remote-compile tunnel — a split round over a dozen clusters
-                # was measured at ~6 min of pure compile). Bootstrap-resample
-                # real rows up to the bucket so shapes collapse to log-many
-                # classes (same trick as the bucketed build path above).
-                bucket = 1 << max(10, (npts - 1).bit_length())
-                aug = idxs
-                if bucket > npts:
-                    extra = np.random.default_rng(seed + int(ci)).choice(
-                        idxs, bucket - npts, replace=True
+                bucket = 1 << max(10, (len(idxs) - 1).bit_length())
+                by_bucket.setdefault(bucket, []).append((int(ci), idxs))
+            add: list = []
+            d_dim = int(xj.shape[1])
+            for bucket, items in sorted(by_bucket.items()):
+                # every cluster in this class splits into the class-max part
+                # count (deterministic k -> stable program shapes; a cluster
+                # barely over the limit just lands a part or two more than
+                # minimal, which only helps balance)
+                k_class = int(np.ceil(bucket / cfg.max_posting_list_size)) + 1
+                # bound the gathered rows per dispatch (~256 MB of f32)
+                g_cap = max(1, ((256 << 20) // (4 * d_dim)) // bucket)
+                for s0 in range(0, len(items), g_cap):
+                    part = items[s0 : s0 + g_cap]
+                    aug_rows = []
+                    for ci, idxs in part:
+                        aug = idxs
+                        if bucket > len(idxs):
+                            extra = np.random.default_rng(seed + ci).choice(
+                                idxs, bucket - len(idxs), replace=True
+                            )
+                            aug = np.concatenate([idxs, extra])
+                        aug_rows.append(np.sort(aug))
+                    g = len(part)
+                    g_pad = 1 << (g - 1).bit_length()  # pow2 group count
+                    aug_mat = np.stack(aug_rows + [aug_rows[-1]] * (g_pad - g))
+                    pts = xj[jnp.asarray(aug_mat.reshape(-1))].reshape(
+                        g_pad, bucket, d_dim
                     )
-                    aug = np.concatenate([idxs, extra])
-                aug = np.sort(aug)
-                pts = xj[jnp.asarray(aug)]
-                n_parts = min(int(np.ceil(npts / cfg.max_posting_list_size)) + 1, npts)
-                sub = kmeans(
-                    pts,
-                    n_parts,
-                    key=jax.random.key(seed + 1 + int(ci)),
-                    max_iter=cfg.max_iterations,
-                    penalty=cfg.kmeans_unbalanced_penalty,
-                )
-                subc = np.asarray(sub.centroids, np.float32)
-                # local re-assignment of this cluster's points only
-                # (duplicate bootstrap rows agree: same row -> same argmin)
-                local = np.asarray(
-                    jnp.argmin(l2_distance(pts, jnp.asarray(subc)), axis=-1)
-                )
-                base = len(centroids) + len(add)  # global id of subc[1]
-                assign[aug] = np.where(local == 0, ci, base + local - 1)
-                centroids[ci] = subc[0]
-                add.extend(subc[1:])
+                    subc = kmeans_multi(
+                        pts,
+                        min(k_class, bucket),
+                        key=jax.random.key(seed + bucket + s0),
+                        max_iter=cfg.max_iterations,
+                        penalty=cfg.kmeans_unbalanced_penalty,
+                    )  # (g_pad, k, d)
+                    # local re-assignment of each cluster's own points
+                    # (duplicate bootstrap rows agree: same row, same argmin)
+                    local = np.asarray(
+                        jnp.argmin(jax.vmap(l2_distance)(pts, subc), axis=-1)
+                    )
+                    subc_h = np.asarray(subc, np.float32)
+                    for j, (ci, idxs) in enumerate(part):
+                        base = len(centroids) + len(add)  # id of subc[j, 1]
+                        assign[aug_mat[j]] = np.where(
+                            local[j] == 0, ci, base + local[j] - 1
+                        )
+                        centroids[ci] = subc_h[j, 0]
+                        add.extend(subc_h[j, 1:])
             if add:
                 centroids = np.concatenate(
                     [centroids, np.asarray(add, np.float32)]
