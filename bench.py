@@ -55,29 +55,51 @@ def _recall(got, gt, k):
 
 
 def _gen_data(n, d, batch, seed=0):
-    # SFC64 + float32: this host generates float64 gaussians at only ~1M/s.
     # Clustered synthetic data (SIFT-like local structure): many weakly
     # separated modes, so IVF has cluster signal but points within a mode
     # stay distinguishable (strong separation makes whole modes share one PQ
-    # code and collapses ADC ranking — not representative of SIFT).
+    # code and collapses ADC ranking — not representative of SIFT). Mode
+    # count scales with n so local density stays at ~244 points/mode.
+    #
+    # Generated and kept ON DEVICE: this 1-core host produces f32
+    # gaussians at ~0.6M values/s (201 s for 1M x 128, measured round 3),
+    # and even fetching a device-generated store costs a 512 MB transfer
+    # (200 s on a degraded tunnel, also measured). The store never leaves
+    # HBM; the build consumes it via IvfBuilder.build_from_device. On the
+    # CPU backend (denominator child) "device" is the host XLA runtime.
+    import jax
+    import jax.numpy as jnp
+
+    n_modes = 4096 * max(1, n // 1_000_000)
+    km, kl = jax.random.split(jax.random.key(seed))
+    modes = jax.random.normal(km, (n_modes, d), jnp.float32) * 1.5
+    chunk = min(n, 500_000)
+
+    @jax.jit
+    def gen_chunk(k):
+        ka, kb = jax.random.split(k)
+        a = jax.random.randint(ka, (chunk,), 0, n_modes)
+        return modes[a] + jax.random.normal(kb, (chunk, d), jnp.float32)
+
+    nch = -(-n // chunk)
+    parts = [gen_chunk(k) for k in jax.random.split(kl, nch)]
+    xj = jnp.concatenate(parts)[:n] if nch > 1 else parts[0][:n]
+    # only the query rows are fetched (~1 MB); the store never leaves HBM
     rng = np.random.Generator(np.random.SFC64(seed))
-    n_modes = 4096
-    modes = rng.standard_normal((n_modes, d), dtype=np.float32) * 1.5
-    assign = rng.integers(0, n_modes, n)
-    x = modes[assign] + rng.standard_normal((n, d), dtype=np.float32)
-    queries = x[rng.choice(n, batch, replace=False)] + 0.1 * rng.standard_normal(
+    sel = np.sort(rng.choice(n, batch, replace=False))
+    queries = np.asarray(xj[jnp.asarray(sel)]) + 0.1 * rng.standard_normal(
         (batch, d), dtype=np.float32
     )
-    return x, queries
+    return xj, queries
 
 
-def _build_index(x, nlist, m, block_rows, max_iter=15):
+def _build_index(xj, nlist, m, block_rows, max_iter=15):
     from muopdb_tpu.index.ivf import IvfBuilder, IvfBuildConfig
     from muopdb_tpu.quantization import ProductQuantizer
 
-    n, d = x.shape
+    n, d = int(xj.shape[0]), int(xj.shape[1])
     pq = ProductQuantizer(dim=d, subvector_dim=d // m, num_bits=8).train(
-        x, max_iter=max_iter, num_training_rows=min(100_000, n)
+        xj, max_iter=max_iter, num_training_rows=min(100_000, n)
     )
     _log("PQ trained; clustering IVF")
     builder = IvfBuilder(
@@ -90,18 +112,27 @@ def _build_index(x, nlist, m, block_rows, max_iter=15):
         ),
         dim=d,
     )
-    builder.add_batch(np.arange(n), x)
-    return builder.build(quantizer=pq)
+    return builder.build_from_device(xj, quantizer=pq)
 
 
 def _denominator_child():
     """CPU-backend denominator: identical search code on XLA:CPU at a smaller
     N; parent extrapolates linearly (the ADC sweep is O(N)/query). Prints one
     JSON line {"cpu_qps": ..., "n": ..., "batch": ...}."""
+    # nice(19): this child shares the host's ONE core with the parent's
+    # remaining secondaries' host-side work (data gen, packing); at equal
+    # priority it stretched the multi-user stage past the 840 s alarm
+    # (measured: 453 s gap, headline-only artifact). os.nice here instead
+    # of preexec_fn: fork handlers in a multithreaded JAX parent can
+    # deadlock between fork and exec.
+    try:
+        os.nice(19)
+    except OSError:
+        pass
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    n = int(os.environ.get("MUOPDB_BENCH_DENOM_N", 100_000))
+    n = int(os.environ.get("MUOPDB_BENCH_DENOM_N", 50_000))
     batch = 256
     d, m, k = 128, 16, 10
     x, queries = _gen_data(n, d, batch, seed=0)
@@ -182,12 +213,12 @@ def main():
 
     headline_ok = False
     try:
-        x, queries = _gen_data(n, d, batch)
+        xj, queries = _gen_data(n, d, batch)
         _log("data generated; training PQ")
 
         # ---- build (timed): PQ train + k-means + assignment + packing
         t0 = time.time()
-        index = _build_index(x, nlist, m, block_rows=1024)
+        index = _build_index(xj, nlist, m, block_rows=1024)
         build_s = time.time() - t0
         out["build_seconds"] = round(build_s, 1)
         _log(f"index built in {build_s:.0f}s; computing ground truth")
@@ -203,7 +234,7 @@ def main():
             gt_i = jnp.full((batch, k), -1, jnp.int32)
             chunk = 250_000
             for s in range(0, n, chunk):
-                xc = jnp.asarray(x[s : s + chunk])
+                xc = xj[s : s + chunk]
                 dd = l2_distance(qj, xc)
                 cd, ci = top_k_smallest(
                     dd, jnp.arange(s, s + xc.shape[0], dtype=jnp.int32), k
@@ -246,7 +277,7 @@ def main():
     # Started after the headline so it never competes with it; runs on the
     # host CPU concurrently with the remaining device-bound secondaries.
     denom_proc = None
-    denom_n = int(os.environ.get("MUOPDB_BENCH_DENOM_N", 100_000))
+    denom_n = int(os.environ.get("MUOPDB_BENCH_DENOM_N", 50_000))
     if headline_ok and os.environ.get("MUOPDB_BENCH_CPU_DENOM", "1") != "0":
         try:
             env = dict(os.environ, MUOPDB_BENCH_DENOM_CHILD="1", JAX_PLATFORMS="cpu")
@@ -424,6 +455,45 @@ def main():
         except Exception:
             _log("multi-user secondary FAILED (continuing):\n" + traceback.format_exc())
 
+    # ---- secondary: HNSW build+search (BASELINE config #1, scaled to the
+    # bench budget; 1M-scale numbers are recorded in BENCHES.md from
+    # standalone benches/hnsw_quality.py runs)
+    if headline_ok and os.environ.get("MUOPDB_BENCH_HNSW", "1") != "0" \
+            and time.time() - t_start < float(
+                os.environ.get("MUOPDB_BENCH_HNSW_GATE_S", 560)):
+        try:
+            from benches.hnsw_quality import gen_data as _hq_gen
+            from benches.hnsw_quality import ground_truth as _hq_gt
+            from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
+
+            # 300k (VERDICT r2 #2): the partitioned-graph + routing-scan
+            # regime, so headline-quality scale evidence is driver-captured
+            hn = int(os.environ.get("MUOPDB_BENCH_HNSW_N", 300_000))
+            hd, hq, hef = 384, 1024, 64
+            hx, hqueries = _hq_gen(hn, hd, hq, 1)
+            hgt = _hq_gt(hx, hqueries, k)
+            _log(f"hnsw secondary: building {hn} x {hd}")
+            builder = HnswBuilder(HnswBuildConfig(), hd)
+            builder.add_batch(np.arange(hn), hx)
+            t0 = time.time()
+            hidx = builder.build()
+            h_build = time.time() - t0
+            hdd, hii = hidx.search(hqueries, k=k, ef_search=hef)
+            jax.block_until_ready(hdd)
+            t0 = time.time()
+            h_outs = [hidx.search(hqueries, k=k, ef_search=hef) for _ in range(3)]
+            jax.block_until_ready(h_outs[-1][0])
+            h_dt = (time.time() - t0) / 3
+            h_rec = _recall(np.asarray(h_outs[-1][1]), hgt, k)
+            out["hnsw_n"] = hn
+            out["hnsw_build_seconds"] = round(h_build, 1)
+            out["hnsw_ef"] = hef
+            out["hnsw_qps"] = round(hq / h_dt, 1)
+            out["hnsw_recall_at_10"] = round(h_rec, 4)
+            _log(f"hnsw: built {h_build:.0f}s, {hq/h_dt:.0f} qps @ recall {h_rec:.3f} (ef={hef})")
+        except Exception:
+            _log("hnsw secondary FAILED (continuing):\n" + traceback.format_exc())
+
     # ---- secondary: probed (low-latency) path
     pbatch = min(batch, 256)
     pqueries = queries[:pbatch] if headline_ok else None
@@ -464,7 +534,7 @@ def main():
 
             _log("staging exact-sweep vectors")
             pad_flat = (-n) % 1024
-            xp = jnp.pad(jnp.asarray(x), ((0, pad_flat), (0, 0)))
+            xp = jnp.pad(xj, ((0, pad_flat), (0, 0)))
             jax.block_until_ready(xp)
             _log("exact-sweep staged")
 
@@ -507,45 +577,6 @@ def main():
             out["recall_vs_nprobe"] = sweep
         except Exception:
             _log("nprobe sweep FAILED (continuing):\n" + traceback.format_exc())
-
-    # ---- secondary: HNSW build+search (BASELINE config #1, scaled to the
-    # bench budget; 1M-scale numbers are recorded in BENCHES.md from
-    # standalone benches/hnsw_quality.py runs)
-    if headline_ok and os.environ.get("MUOPDB_BENCH_HNSW", "1") != "0" \
-            and time.time() - t_start < float(
-                os.environ.get("MUOPDB_BENCH_HNSW_GATE_S", 560)):
-        try:
-            from benches.hnsw_quality import gen_data as _hq_gen
-            from benches.hnsw_quality import ground_truth as _hq_gt
-            from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
-
-            # 300k (VERDICT r2 #2): the partitioned-graph + routing-scan
-            # regime, so headline-quality scale evidence is driver-captured
-            hn = int(os.environ.get("MUOPDB_BENCH_HNSW_N", 300_000))
-            hd, hq, hef = 384, 1024, 64
-            hx, hqueries = _hq_gen(hn, hd, hq, 1)
-            hgt = _hq_gt(hx, hqueries, k)
-            _log(f"hnsw secondary: building {hn} x {hd}")
-            builder = HnswBuilder(HnswBuildConfig(), hd)
-            builder.add_batch(np.arange(hn), hx)
-            t0 = time.time()
-            hidx = builder.build()
-            h_build = time.time() - t0
-            hdd, hii = hidx.search(hqueries, k=k, ef_search=hef)
-            jax.block_until_ready(hdd)
-            t0 = time.time()
-            h_outs = [hidx.search(hqueries, k=k, ef_search=hef) for _ in range(3)]
-            jax.block_until_ready(h_outs[-1][0])
-            h_dt = (time.time() - t0) / 3
-            h_rec = _recall(np.asarray(h_outs[-1][1]), hgt, k)
-            out["hnsw_n"] = hn
-            out["hnsw_build_seconds"] = round(h_build, 1)
-            out["hnsw_ef"] = hef
-            out["hnsw_qps"] = round(hq / h_dt, 1)
-            out["hnsw_recall_at_10"] = round(h_rec, 4)
-            _log(f"hnsw: built {h_build:.0f}s, {hq/h_dt:.0f} qps @ recall {h_rec:.3f} (ef={hef})")
-        except Exception:
-            _log("hnsw secondary FAILED (continuing):\n" + traceback.format_exc())
 
     # ---- join the denominator subprocess and compute vs_baseline
     cpu_extrap = None

@@ -305,6 +305,42 @@ class IvfBuilder:
         # list "owns" a multi-assigned point
         return np.split(pts_sorted, splits), nearest_i[:, 0].astype(np.int32)
 
+    def build_from_device(self, xj, doc_ids=None, quantizer=None, seed: int = 0) -> "IvfIndex":
+        """Bulk build from DEVICE-resident vectors.
+
+        For data born on the chip — generated, decoded, or sharded in by
+        another program — this skips the host staging round trip entirely
+        (through the serving tunnel a 10M x 128 store is ~2 GB of transfers
+        each way). The reference has no analog: its builder is file-backed
+        host memory only (ivf/builder.rs:40-49). Clustering, assignment and
+        packing run against `xj`; only PQ codes and layout metadata ever
+        reach the host.
+        """
+        n = int(xj.shape[0])
+        dim = int(xj.shape[1])
+        assert n > 0, "no vectors"
+        # zero-copy host stand-in: the staged-path helpers only consult the
+        # host array's shape when a device copy is supplied
+        x_shape = np.broadcast_to(np.zeros((1, dim), np.float32), (n, dim))
+        centroids = self._cluster(x_shape, seed, xj=xj)
+        posting_lists, nearest_list = self._assign(x_shape, centroids, xj=xj)
+        if doc_ids is None:
+            doc_ids = np.stack(
+                [np.arange(n, dtype=np.uint64), np.zeros(n, np.uint64)], 1
+            )
+        return IvfIndex.from_posting_lists(
+            x_shape,
+            centroids,
+            posting_lists,
+            doc_ids=np.asarray(doc_ids, np.uint64).reshape(n, 2),
+            block_rows=self.config.block_rows,
+            quantizer=quantizer,
+            distance_type=self.config.distance_type,
+            pow2_pad=self.config.pow2_pad,
+            vectors_device=xj,
+            point_owner=nearest_list,
+        )
+
     def build(self, quantizer=None, seed: int = 0) -> "IvfIndex":
         import logging
         import time as _time

@@ -112,12 +112,22 @@ class ProductQuantizer(Quantizer):
 
         All m subspaces train as one vmapped device program.
         """
-        x = np.asarray(vectors, np.float32)
-        if num_training_rows is not None and x.shape[0] > num_training_rows:
-            sel = np.random.default_rng(0).choice(x.shape[0], num_training_rows, replace=False)
-            x = x[sel]
         m, dsub = self.num_subvectors, self.subvector_dim
-        x_sub = jnp.asarray(x.reshape(-1, m, dsub).transpose(1, 0, 2))  # (m, N, dsub)
+        if isinstance(vectors, jax.Array):
+            # device input stays on device (no multi-GB fetch through the
+            # tunnel); subsample by stride — rows are i.i.d. in every
+            # builder path that stages device arrays
+            x = vectors
+            if num_training_rows is not None and x.shape[0] > num_training_rows:
+                stride = max(1, int(x.shape[0]) // num_training_rows)
+                x = x[::stride][:num_training_rows]
+            x_sub = x.astype(jnp.float32).reshape(-1, m, dsub).transpose(1, 0, 2)
+        else:
+            x = np.asarray(vectors, np.float32)
+            if num_training_rows is not None and x.shape[0] > num_training_rows:
+                sel = np.random.default_rng(0).choice(x.shape[0], num_training_rows, replace=False)
+                x = x[sel]
+            x_sub = jnp.asarray(x.reshape(-1, m, dsub).transpose(1, 0, 2))  # (m, N, dsub)
         key = key if key is not None else jax.random.key(0)
         self.codebook = np.asarray(kmeans_multi(x_sub, self.ksub, key=key, max_iter=max_iter))
         return self

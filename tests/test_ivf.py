@@ -136,3 +136,24 @@ def test_ivf_oversized_list_split(rng):
     # blocks are padded, so compare in block units: cap 100 -> <= 7 blocks
     assert sizes.max() <= 112 + idx.block_rows
     assert len(starts) - 1 > 2  # actually split beyond the initial 2
+
+
+def test_build_from_device_matches_staged_build(rng):
+    """Device-resident bulk build (data born on chip skips the host staging
+    round trip) must produce the same searchable index as the staged path."""
+    import jax.numpy as jnp
+
+    from muopdb_tpu.index.ivf import IvfBuildConfig, IvfBuilder
+
+    x = rng.standard_normal((3000, 16)).astype(np.float32)
+    cfg = IvfBuildConfig(num_centroids=8, max_iterations=8, block_rows=64)
+    b1 = IvfBuilder(cfg, 16)
+    b1.add_batch(np.arange(3000), x)
+    idx1 = b1.build()
+    idx2 = IvfBuilder(cfg, 16).build_from_device(jnp.asarray(x))
+    assert idx2.num_points == 3000
+    np.testing.assert_array_equal(idx1.doc_ids, idx2.doc_ids)
+    q = x[:8] + 0.01 * rng.standard_normal((8, 16)).astype(np.float32)
+    d1, i1 = idx1.search(q, k=5, nprobe=8)
+    d2, i2 = idx2.search(q, k=5, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
