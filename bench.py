@@ -324,28 +324,36 @@ def main():
             # its docs from 8 of 8192 modes — matching multi-tenant reality
             # and giving a query's mode enough in-subset mass that the
             # top-10 is a meaningful answer set.
+            N2 = n_u * per_u
             mu_modes = rng2.standard_normal((8192, d2), dtype=np.float32) * 1.5
             user_modes = rng2.integers(0, 8192, (n_u, 8))
             doc_mode = user_modes[
                 np.repeat(np.arange(n_u), per_u),
-                rng2.integers(0, 8, n_u * per_u),
-            ]
-            xall = (
-                mu_modes[doc_mode]
-                + rng2.standard_normal((n_u * per_u, d2), dtype=np.float32)
+                rng2.integers(0, 8, N2),
+            ].astype(np.int32)
+            # The 1.28 GB store is generated ON DEVICE and never exists on
+            # the host: this VM faults fresh anonymous pages erratically at
+            # ~10-60 MB/s (measured round 3 — building the store host-side
+            # cost 150-450 s across runs and kept blowing the 840 s alarm),
+            # and the serving arrays live in HBM anyway. Host code that
+            # needs rows (queries, exact subset ground truth) fetches just
+            # those rows (KBs per request).
+            xall_j = jnp.asarray(mu_modes)[jnp.asarray(doc_mode)] + jax.random.normal(
+                jax.random.key(11), (N2, d2), jnp.float32
             )
             pq2 = ProductQuantizer(dim=d2, subvector_dim=d2 // m2, num_bits=8).train(
-                xall, max_iter=5, num_training_rows=50_000
+                xall_j, max_iter=5, num_training_rows=50_000
             )
             _log(f"multi-user: packing {n_u} users x {per_u} (PQ m={m2})")
             starts = np.arange(n_u + 1, dtype=np.int64) * per_u
-            docs = np.zeros((n_u * per_u, 2), np.uint64)
-            docs[:, 0] = np.arange(n_u * per_u, dtype=np.uint64)
-            # stage once on device; quantize from the device copy, which then
-            # serves as the rerank store (no second multi-GB tunnel upload)
-            xall_j = jnp.asarray(xall)
+            docs = np.zeros((N2, 2), np.uint64)
+            docs[:, 0] = np.arange(N2, dtype=np.uint64)
+            # zero-copy host stand-in: PackedUsers only reads vectors_host
+            # VALUES on paths the bench never drives (per-user drains); its
+            # device rerank store is injected below
             packed = PackedUsers(
-                uids=np.arange(1, n_u + 1), starts=starts, vectors=xall,
+                uids=np.arange(1, n_u + 1), starts=starts,
+                vectors=np.broadcast_to(np.zeros((1, d2), np.float32), (N2, d2)),
                 doc_ids=docs, quantizer=pq2, codes=pq2.quantize(xall_j),
             )
             packed._raw_dev = xall_j
@@ -354,11 +362,11 @@ def main():
             # synthetic keyword category per doc: the hybrid-filter masks the
             # term planner produces are exactly per-user boolean masks; the
             # bench builds them from categories (8-way, ~12.5% selectivity)
-            cats = rng2.integers(0, 8, n_u * per_u).astype(np.int8)
+            cats = rng2.integers(0, 8, N2).astype(np.int8)
 
             def gt_subset(uids_s, qs, masks=None):
                 ids = packed.gather_list(uids_s, masks)
-                sub = xall[ids]
+                sub = np.asarray(xall_j[jnp.asarray(ids)])
                 dd = ((qs[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
                 nn = np.argsort(dd, axis=1)[:, :k]
                 return ids[nn]
@@ -367,8 +375,10 @@ def main():
             for r in range(24):
                 uids_s = (1 + rng2.choice(n_u, sub_users, replace=False)).tolist()
                 base = (np.asarray(uids_s)[rng2.integers(0, sub_users, mu_batch)] - 1)
-                rows = base * per_u + rng2.integers(0, per_u, mu_batch)
-                qs = xall[rows] + 0.05 * rng2.standard_normal((mu_batch, d2), dtype=np.float32)
+                rows = (base * per_u + rng2.integers(0, per_u, mu_batch)).astype(np.int32)
+                qs = np.asarray(xall_j[jnp.asarray(rows)]) + 0.05 * rng2.standard_normal(
+                    (mu_batch, d2), dtype=np.float32
+                )
                 requests.append((uids_s, qs))
             # warm pass over the whole mix: compiles every pad bucket that
             # the timed pass will hit (subset sizes straddle pow2 boundaries)

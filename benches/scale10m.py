@@ -57,7 +57,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from muopdb_tpu.index.ivf import IvfBuildConfig, IvfBuilder, IvfIndex
+    from muopdb_tpu.index.ivf import IvfBuildConfig, IvfBuilder
     from muopdb_tpu.quantization.pq import ProductQuantizer
 
     n, d, m = args.n, args.d, args.m
@@ -102,11 +102,8 @@ def main():
     pq = ProductQuantizer(dim=d, subvector_dim=d // m).train(sample, max_iter=15)
     _log(f"PQ trained on {len(sample)} rows in {time.time()-t0:.1f}s")
 
-    # ---- IVF build against the device-resident store. The builder's staged
-    # host path exists for the durable WAL->flush pipeline; here the vectors
-    # were born on device, so hand the device array straight to the
-    # clustering/assignment/packing stages (they only use the host array for
-    # its shape when a device copy is supplied).
+    # ---- IVF build against the device-resident store (public bulk-load
+    # API for device-born data; stage timings log from inside the builder)
     t_build = time.time()
     cfg = IvfBuildConfig(
         num_centroids=args.nlist,
@@ -116,25 +113,8 @@ def main():
         max_posting_list_size=args.max_list,
         block_rows=256,
     )
-    builder = IvfBuilder(cfg, d)
-    x_shape_only = np.broadcast_to(np.zeros((1, d), np.float32), (n, d))
-    t0 = time.time()
-    centroids = builder._cluster(x_shape_only, seed=0, xj=xj)
-    _log(f"clustered k={len(centroids)} in {time.time()-t0:.1f}s")
-    t0 = time.time()
-    posting_lists, owner = builder._assign(x_shape_only, centroids, xj=xj)
-    _log(f"assigned posting lists in {time.time()-t0:.1f}s")
-    t0 = time.time()
-    idx = IvfIndex.from_posting_lists(
-        x_shape_only,
-        centroids,
-        posting_lists,
-        block_rows=cfg.block_rows,
-        quantizer=pq,
-        vectors_device=xj,
-        point_owner=owner,
-    )
-    _log(f"packed + staged device layout in {time.time()-t0:.1f}s")
+    idx = IvfBuilder(cfg, d).build_from_device(xj, quantizer=pq)
+    _log(f"built k={int(idx.centroids.shape[0])} lists")
     build_s = time.time() - t_build
     emit({"bench": "scale10m_build", "n": n, "d": d, "m": m,
           "nlist": args.nlist, "value": round(build_s, 1), "unit": "seconds"})
