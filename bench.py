@@ -465,45 +465,6 @@ def main():
         except Exception:
             _log("multi-user secondary FAILED (continuing):\n" + traceback.format_exc())
 
-    # ---- secondary: HNSW build+search (BASELINE config #1, scaled to the
-    # bench budget; 1M-scale numbers are recorded in BENCHES.md from
-    # standalone benches/hnsw_quality.py runs)
-    if headline_ok and os.environ.get("MUOPDB_BENCH_HNSW", "1") != "0" \
-            and time.time() - t_start < float(
-                os.environ.get("MUOPDB_BENCH_HNSW_GATE_S", 560)):
-        try:
-            from benches.hnsw_quality import gen_data as _hq_gen
-            from benches.hnsw_quality import ground_truth as _hq_gt
-            from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
-
-            # 300k (VERDICT r2 #2): the partitioned-graph + routing-scan
-            # regime, so headline-quality scale evidence is driver-captured
-            hn = int(os.environ.get("MUOPDB_BENCH_HNSW_N", 300_000))
-            hd, hq, hef = 384, 1024, 64
-            hx, hqueries = _hq_gen(hn, hd, hq, 1)
-            hgt = _hq_gt(hx, hqueries, k)
-            _log(f"hnsw secondary: building {hn} x {hd}")
-            builder = HnswBuilder(HnswBuildConfig(), hd)
-            builder.add_batch(np.arange(hn), hx)
-            t0 = time.time()
-            hidx = builder.build()
-            h_build = time.time() - t0
-            hdd, hii = hidx.search(hqueries, k=k, ef_search=hef)
-            jax.block_until_ready(hdd)
-            t0 = time.time()
-            h_outs = [hidx.search(hqueries, k=k, ef_search=hef) for _ in range(3)]
-            jax.block_until_ready(h_outs[-1][0])
-            h_dt = (time.time() - t0) / 3
-            h_rec = _recall(np.asarray(h_outs[-1][1]), hgt, k)
-            out["hnsw_n"] = hn
-            out["hnsw_build_seconds"] = round(h_build, 1)
-            out["hnsw_ef"] = hef
-            out["hnsw_qps"] = round(hq / h_dt, 1)
-            out["hnsw_recall_at_10"] = round(h_rec, 4)
-            _log(f"hnsw: built {h_build:.0f}s, {hq/h_dt:.0f} qps @ recall {h_rec:.3f} (ef={hef})")
-        except Exception:
-            _log("hnsw secondary FAILED (continuing):\n" + traceback.format_exc())
-
     # ---- secondary: probed (low-latency) path
     pbatch = min(batch, 256)
     pqueries = queries[:pbatch] if headline_ok else None
@@ -587,6 +548,45 @@ def main():
             out["recall_vs_nprobe"] = sweep
         except Exception:
             _log("nprobe sweep FAILED (continuing):\n" + traceback.format_exc())
+
+    # ---- secondary: HNSW build+search (BASELINE config #1, scaled to the
+    # bench budget; 1M-scale numbers are recorded in BENCHES.md from
+    # standalone benches/hnsw_quality.py runs)
+    if headline_ok and os.environ.get("MUOPDB_BENCH_HNSW", "1") != "0" \
+            and time.time() - t_start < float(
+                os.environ.get("MUOPDB_BENCH_HNSW_GATE_S", 560)):
+        try:
+            from benches.hnsw_quality import gen_data as _hq_gen
+            from benches.hnsw_quality import ground_truth as _hq_gt
+            from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
+
+            # 300k (VERDICT r2 #2): the partitioned-graph + routing-scan
+            # regime, so headline-quality scale evidence is driver-captured
+            hn = int(os.environ.get("MUOPDB_BENCH_HNSW_N", 300_000))
+            hd, hq, hef = 384, 1024, 64
+            hx, hqueries = _hq_gen(hn, hd, hq, 1)
+            hgt = _hq_gt(hx, hqueries, k)
+            _log(f"hnsw secondary: building {hn} x {hd}")
+            builder = HnswBuilder(HnswBuildConfig(), hd)
+            builder.add_batch(np.arange(hn), hx)
+            t0 = time.time()
+            hidx = builder.build()
+            h_build = time.time() - t0
+            hdd, hii = hidx.search(hqueries, k=k, ef_search=hef)
+            jax.block_until_ready(hdd)
+            t0 = time.time()
+            h_outs = [hidx.search(hqueries, k=k, ef_search=hef) for _ in range(3)]
+            jax.block_until_ready(h_outs[-1][0])
+            h_dt = (time.time() - t0) / 3
+            h_rec = _recall(np.asarray(h_outs[-1][1]), hgt, k)
+            out["hnsw_n"] = hn
+            out["hnsw_build_seconds"] = round(h_build, 1)
+            out["hnsw_ef"] = hef
+            out["hnsw_qps"] = round(hq / h_dt, 1)
+            out["hnsw_recall_at_10"] = round(h_rec, 4)
+            _log(f"hnsw: built {h_build:.0f}s, {hq/h_dt:.0f} qps @ recall {h_rec:.3f} (ef={hef})")
+        except Exception:
+            _log("hnsw secondary FAILED (continuing):\n" + traceback.format_exc())
 
     # ---- join the denominator subprocess and compute vs_baseline
     cpu_extrap = None
