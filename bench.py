@@ -76,13 +76,15 @@ def _gen_data(n, d, batch, seed=0):
     chunk = min(n, 500_000)
 
     @jax.jit
-    def gen_chunk(k):
+    def gen_chunk(modes_in, k):
+        # modes as an ARGUMENT, not a closure constant: the constant scales
+        # with n and would ride inside the remote-compile request
         ka, kb = jax.random.split(k)
         a = jax.random.randint(ka, (chunk,), 0, n_modes)
-        return modes[a] + jax.random.normal(kb, (chunk, d), jnp.float32)
+        return modes_in[a] + jax.random.normal(kb, (chunk, d), jnp.float32)
 
     nch = -(-n // chunk)
-    parts = [gen_chunk(k) for k in jax.random.split(kl, nch)]
+    parts = [gen_chunk(modes, k) for k in jax.random.split(kl, nch)]
     xj = jnp.concatenate(parts)[:n] if nch > 1 else parts[0][:n]
     # only the query rows are fetched (~1 MB); the store never leaves HBM
     rng = np.random.Generator(np.random.SFC64(seed))
@@ -348,15 +350,11 @@ def main():
             starts = np.arange(n_u + 1, dtype=np.int64) * per_u
             docs = np.zeros((N2, 2), np.uint64)
             docs[:, 0] = np.arange(N2, dtype=np.uint64)
-            # zero-copy host stand-in: PackedUsers only reads vectors_host
-            # VALUES on paths the bench never drives (per-user drains); its
-            # device rerank store is injected below
             packed = PackedUsers(
-                uids=np.arange(1, n_u + 1), starts=starts,
-                vectors=np.broadcast_to(np.zeros((1, d2), np.float32), (N2, d2)),
+                uids=np.arange(1, n_u + 1), starts=starts, vectors=None,
                 doc_ids=docs, quantizer=pq2, codes=pq2.quantize(xall_j),
+                device_vectors=xall_j,
             )
-            packed._raw_dev = xall_j
             ms = MultiSpannIndex({}, packed=packed)
             mu_build = time.time() - t0
             # synthetic keyword category per doc: the hybrid-filter masks the
@@ -366,7 +364,13 @@ def main():
 
             def gt_subset(uids_s, qs, masks=None):
                 ids = packed.gather_list(uids_s, masks)
-                sub = np.asarray(xall_j[jnp.asarray(ids)])
+                # pow2-pad the device gather: filtered subsets have unique
+                # lengths and an exact-shape gather is a fresh remote
+                # compile each (10-100 s through the tunnel)
+                npd = max(8, 1 << (len(ids) - 1).bit_length())
+                idp = np.zeros(npd, np.int32)
+                idp[: len(ids)] = ids
+                sub = np.asarray(xall_j[jnp.asarray(idp)])[: len(ids)]
                 dd = ((qs[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
                 nn = np.argsort(dd, axis=1)[:, :k]
                 return ids[nn]
@@ -565,7 +569,17 @@ def main():
             hn = int(os.environ.get("MUOPDB_BENCH_HNSW_N", 300_000))
             hd, hq, hef = 384, 1024, 64
             hx, hqueries = _hq_gen(hn, hd, hq, 1)
-            hgt = _hq_gt(hx, hqueries, k)
+            # data is seeded, so exact ground truth is deterministic: share
+            # benches/hnsw_quality.py's disk cache (same key) — recomputing
+            # it re-uploads the whole 460 MB store through the tunnel before
+            # the build uploads it again (measured ~100-200 s of the stage)
+            gt_path = f"/tmp/hnswq_gt/gt_{hn}_{hd}_{hq}_{k}_1.npy"
+            if os.path.exists(gt_path):
+                hgt = np.load(gt_path)
+            else:
+                hgt = _hq_gt(hx, hqueries, k)
+                os.makedirs(os.path.dirname(gt_path), exist_ok=True)
+                np.save(gt_path, hgt)
             _log(f"hnsw secondary: building {hn} x {hd}")
             builder = HnswBuilder(HnswBuildConfig(), hd)
             builder.add_batch(np.arange(hn), hx)

@@ -80,16 +80,20 @@ def main():
     k_modes, k_loop = jax.random.split(key)
     modes = jax.random.normal(k_modes, (n_modes, d), jnp.float32) * 1.5
 
-    chunk = 625_000
-    assert n % chunk == 0, "n must be a multiple of 625k"
+    chunk = min(n, 500_000)
 
     @jax.jit
-    def gen_chunk(k):
+    def gen_chunk(modes_in, k):
+        # modes passed as an ARGUMENT: closing over it bakes a constant that
+        # scales with n into the remote-compile request (21 MB at 10M — the
+        # HTTP 413 failure class bench.py documented in round 1)
         ka, kb = jax.random.split(k)
         assign = jax.random.randint(ka, (chunk,), 0, n_modes)
-        return modes[assign] + jax.random.normal(kb, (chunk, d), jnp.float32)
+        return modes_in[assign] + jax.random.normal(kb, (chunk, d), jnp.float32)
 
-    xj = jnp.concatenate([gen_chunk(k) for k in jax.random.split(k_loop, n // chunk)])
+    nch = -(-n // chunk)
+    parts = [gen_chunk(modes, k) for k in jax.random.split(k_loop, nch)]
+    xj = (jnp.concatenate(parts) if nch > 1 else parts[0])[:n]
     kq1, kq2 = jax.random.split(jax.random.key(7))
     qsel = jax.random.randint(kq1, (args.batch,), 0, n)
     qj = xj[qsel] + 0.1 * jax.random.normal(kq2, (args.batch, d), jnp.float32)

@@ -186,6 +186,12 @@ class IvfBuilder:
         # ONE full assignment pass; split rounds then operate locally — each
         # split re-assigns only the split cluster's own points (the
         # reference's heap split is similarly local, ivf/builder.rs:460-542).
+        # Like the reference's, the size bound is therefore approximate: the
+        # final _assign() re-homes every point against the final centroid
+        # set, and a boundary point may land on another cluster's new
+        # sub-centroid, so a list can end slightly above the target. The
+        # probed plans size p_cap from AVERAGE blocks/list, which tolerates
+        # this skew.
         # Re-assigning all points per round cost a full chunked pass over the
         # store each time (~70 s/pass at 10M through the tunnel); build()'s
         # final _assign() recomputes everything against the final centroid
@@ -213,19 +219,21 @@ class IvfBuilder:
             # the remote-compile tunnel), and even warm, per-cluster
             # dispatch overhead dominated the 10M split stage (~1.5k
             # clusters x ~0.2 s). Shapes collapse to log-many classes.
-            by_bucket: dict = {}
+            by_class: dict = {}
             for ci in oversized:
                 idxs = np.nonzero(assign == ci)[0]
                 bucket = 1 << max(10, (len(idxs) - 1).bit_length())
-                by_bucket.setdefault(bucket, []).append((int(ci), idxs))
+                # part count from the REAL size (bucket-derived k over-split
+                # up to 10x when max_posting_list_size < the 1024 bucket
+                # floor); grouping key includes it so shapes stay stable
+                k_class = min(
+                    int(np.ceil(len(idxs) / cfg.max_posting_list_size)) + 1,
+                    len(idxs),
+                )
+                by_class.setdefault((bucket, k_class), []).append((int(ci), idxs))
             add: list = []
             d_dim = int(xj.shape[1])
-            for bucket, items in sorted(by_bucket.items()):
-                # every cluster in this class splits into the class-max part
-                # count (deterministic k -> stable program shapes; a cluster
-                # barely over the limit just lands a part or two more than
-                # minimal, which only helps balance)
-                k_class = int(np.ceil(bucket / cfg.max_posting_list_size)) + 1
+            for (bucket, k_class), items in sorted(by_class.items()):
                 # bound the gathered rows per dispatch (~256 MB of f32)
                 g_cap = max(1, ((256 << 20) // (4 * d_dim)) // bucket)
                 for s0 in range(0, len(items), g_cap):
@@ -247,7 +255,7 @@ class IvfBuilder:
                     )
                     subc = kmeans_multi(
                         pts,
-                        min(k_class, bucket),
+                        k_class,
                         key=jax.random.key(seed + bucket + s0),
                         max_iter=cfg.max_iterations,
                         penalty=cfg.kmeans_unbalanced_penalty,
@@ -590,14 +598,16 @@ def _scan_pq(
 ADC_INT8 = os.environ.get("MUOPDB_ADC_INT8", "1") != "0"
 
 # Fused whole-index plans materialize a (B, N) f32 score matrix; cap its
-# size so huge indexes cannot OOM the chip (10M points x 256 queries is
-# 10.2 GB). Queries are split into pow2 chunks that reuse ONE compiled
+# BYTE size so huge indexes cannot OOM the chip (10M points x 256 queries
+# is 10.2 GB). Queries are split into pow2 chunks that reuse ONE compiled
 # program; dispatches chain without host syncs.
-_FUSED_SCORE_BUDGET = int(os.environ.get("MUOPDB_FUSED_SCORE_BUDGET", 512 * 1024 * 1024))
+_FUSED_SCORE_BUDGET_BYTES = int(
+    os.environ.get("MUOPDB_FUSED_SCORE_BUDGET_BYTES", 2 << 30)
+)
 
 
 def _fused_query_chunk(b: int, n: int) -> int:
-    c = max(8, _FUSED_SCORE_BUDGET // max(n, 1))
+    c = max(8, _FUSED_SCORE_BUDGET_BYTES // (4 * max(n, 1)))
     c = 1 << (c.bit_length() - 1)  # pow2 floor (stable program shapes)
     return min(b, c)
 

@@ -222,25 +222,47 @@ class PackedUsers:
     deletions/filters act on the host-built gather list.
     """
 
-    def __init__(self, uids: Sequence[int], starts: np.ndarray, vectors: np.ndarray,
+    def __init__(self, uids: Sequence[int], starts: np.ndarray, vectors,
                  doc_ids: np.ndarray, quantizer, codes: Optional[np.ndarray] = None,
-                 distance_type: str = "L2", valid: Optional[np.ndarray] = None):
+                 distance_type: str = "L2", valid: Optional[np.ndarray] = None,
+                 device_vectors=None):
+        """`vectors` may be None when `device_vectors` (an (N, d) f32 jax
+        array) is given: the store was born on device (see
+        IvfBuilder.build_from_device) and the host copy is materialized
+        LAZILY only if a host-row path (per-user drains, save(), sharded
+        staging) actually needs it — correct everywhere, fetch paid once."""
         self.uids = [int(u) for u in uids]
         self.slot = {u: i for i, u in enumerate(self.uids)}
         self.starts = np.asarray(starts, np.int64)  # (U+1,)
-        self.vectors_host = np.asarray(vectors, np.float32)  # (N, d)
+        if vectors is None:
+            assert device_vectors is not None, "vectors or device_vectors required"
+            self._vectors_host = None
+            n = int(device_vectors.shape[0])
+            self.dim = int(device_vectors.shape[1])
+        else:
+            self._vectors_host = np.asarray(vectors, np.float32)  # (N, d)
+            n = len(self._vectors_host)
+            self.dim = int(self._vectors_host.shape[1])
         self.doc_ids = np.asarray(doc_ids, np.uint64).reshape(-1, 2)
         self.quantizer = quantizer
         self.codes_host = None if codes is None else np.asarray(codes)
         self.distance_type = distance_type
-        n = len(self.vectors_host)
+        self._n = n
         self.valid_host = (
             np.ones(n, bool) if valid is None else np.asarray(valid, bool).copy()
         )
         self._lock = threading.Lock()
         self._doc_maps: Dict[int, Dict[int, int]] = {}  # uid -> doc_u128 -> local pid
         self._dev = None  # (codes_t uint8 (m, Npad)) or (vectors f32/bf16 (Npad, d))
-        self._raw_dev = None
+        self._raw_dev = None if device_vectors is None else device_vectors.astype(jnp.float32)
+
+    @property
+    def vectors_host(self) -> np.ndarray:
+        if self._vectors_host is None:
+            # deliberate one-time fetch of the device-born store for
+            # host-row consumers (drains/save/sharded staging)
+            self._vectors_host = np.asarray(self._raw_dev)
+        return self._vectors_host
 
     # -- basic accessors -------------------------------------------------
     def has(self, uid: int) -> bool:
@@ -252,7 +274,7 @@ class PackedUsers:
 
     @property
     def num_points(self) -> int:
-        return len(self.vectors_host)
+        return self._n
 
     @property
     def num_valid_points(self) -> int:
@@ -282,9 +304,12 @@ class PackedUsers:
                     self._raw_dev = jnp.asarray(self.vectors_host)
             else:
                 npad = _pow2(n, 1024)
-                v = np.zeros((npad, self.vectors_host.shape[1]), np.float32)
-                v[:n] = self.vectors_host
-                self._dev = jnp.asarray(v)
+                if self._raw_dev is not None:  # device-born store: pad in HBM
+                    self._dev = jnp.pad(self._raw_dev, ((0, npad - n), (0, 0)))
+                else:
+                    v = np.zeros((npad, self.dim), np.float32)
+                    v[:n] = self.vectors_host
+                    self._dev = jnp.asarray(v)
                 self._raw_dev = self._dev
             return self._dev, self._raw_dev
 
@@ -316,7 +341,7 @@ class PackedUsers:
         Exact over the subset (full scan + optional PQ rerank)."""
         from ..utils import search_stats
 
-        q = np.asarray(queries, np.float32).reshape(-1, self.vectors_host.shape[1])
+        q = np.asarray(queries, np.float32).reshape(-1, self.dim)
         b = len(q)
         ids = self.gather_list(uids, filter_masks)
         if len(ids) == 0:

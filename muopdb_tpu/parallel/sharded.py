@@ -232,7 +232,7 @@ class ShardedMultiUser:
             # codes shard along the point axis next to the vectors; each
             # shard ADC-sweeps + exactly reranks ITS slice, the merge then
             # compares exact distances across shards
-            ct = np.zeros((packed.quantizer.num_subvectors, n + pad), np.int32)
+            ct = np.zeros((packed.quantizer.num_subvectors, n + pad), np.uint8)
             ct[:, :n] = packed.codes_host.T
             self.codes = jax.device_put(ct, NamedSharding(self.mesh, P(None, axis)))
 
