@@ -186,3 +186,51 @@ def test_packed_subset_chunking(rng, monkeypatch):
         dists = [dv for _, dv in row]
         assert dists == sorted(dists)
         assert len(row) == 4
+
+
+def test_packed_device_born_store(rng):
+    """PackedUsers built from a device-resident store (vectors=None +
+    device_vectors): searches serve from HBM, and host-row paths (drains,
+    save) lazily materialize the host copy instead of reading garbage."""
+    import jax.numpy as jnp
+
+    d, n_users, per_u = 8, 4, 16
+    x = rng.standard_normal((n_users * per_u, d)).astype(np.float32)
+    xj = jnp.asarray(x)
+    starts = np.arange(n_users + 1, dtype=np.int64) * per_u
+    docs = np.zeros((len(x), 2), np.uint64)
+    docs[:, 0] = np.arange(len(x), dtype=np.uint64)
+    from muopdb_tpu.quantization import NoQuantizer
+
+    p = PackedUsers(
+        uids=np.arange(1, n_users + 1), starts=starts, vectors=None,
+        doc_ids=docs, quantizer=NoQuantizer(dim=d), device_vectors=xj,
+    )
+    assert p.num_points == len(x) and p.dim == d
+    assert p._vectors_host is None  # nothing fetched yet
+    q = x[3:4]
+    res = p.search_users([1], q, k=1)
+    assert res[0][0][0] == 3  # doc id of the query's own row
+    # host-row path materializes lazily and agrees with the device store
+    pts, dd, vecs = p.view(1).valid_arrays()
+    np.testing.assert_allclose(vecs, x[:per_u], rtol=1e-6)
+    assert p._vectors_host is not None
+
+
+def test_packed_device_born_pq_reranks(rng):
+    import jax.numpy as jnp
+
+    d, n_users, per_u = 16, 4, 64
+    x = rng.standard_normal((n_users * per_u, d)).astype(np.float32)
+    pq = ProductQuantizer(dim=d, subvector_dim=4).train(x, max_iter=5)
+    xj = jnp.asarray(x)
+    starts = np.arange(n_users + 1, dtype=np.int64) * per_u
+    docs = np.zeros((len(x), 2), np.uint64)
+    docs[:, 0] = np.arange(len(x), dtype=np.uint64)
+    p = PackedUsers(
+        uids=np.arange(1, n_users + 1), starts=starts, vectors=None,
+        doc_ids=docs, quantizer=pq, codes=pq.quantize(xj), device_vectors=xj,
+    )
+    q = x[: 2] + 0.01 * rng.standard_normal((2, d)).astype(np.float32)
+    res = p.search_users([1], q, k=1, rerank=32)
+    assert res[0][0][0] == 0 and res[1][0][0] == 1
