@@ -1,0 +1,155 @@
+"""True multi-PROCESS cluster: two index-server processes and one aggregator
+process launched through the real CLI (`python -m muopdb_tpu.server.main`),
+speaking gRPC over localhost sockets.
+
+The reference has no multi-node test at all (SURVEY.md §4: aggregator is
+tested only via config-loading units, shard_manager.rs:69-120); the
+in-process 2-shard test (test_server.py) covers fan-out logic but not the
+process wiring. This covers what only a real process can: CLI flag parsing,
+interpreter startup backend selection, background loops inside a fresh
+process, serving across real socket boundaries, and SIGTERM shutdown.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+grpc = pytest.importorskip("grpc")
+
+from muopdb_tpu.server.grpc_defs import aggregator_stub, index_server_stub
+from muopdb_tpu.server.proto import aggregator_pb2, muopdb_pb2 as pb
+from muopdb_tpu.utils import io as vio
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def _ids(vals):
+    return [pb.Id(low_id=int(v), high_id=0) for v in vals]
+
+
+def _wait_ready(stub, deadline=120.0):
+    t0 = time.time()
+    while True:
+        try:
+            stub.CreateCollection(
+                pb.CreateCollectionRequest(collection_name="__ping", num_features=4)
+            )
+            return
+        except grpc.RpcError:
+            if time.time() - t0 > deadline:
+                raise
+            time.sleep(0.5)
+
+
+def test_two_process_cluster_through_aggregator(tmp_path):
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",  # child interpreters re-read this at startup
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
+    procs = []
+    try:
+        ports = [_free_port(), _free_port()]
+        for i, port in enumerate(ports):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "muopdb_tpu.server.main", "index-server",
+                 "--port", str(port), "--http-port", "0",
+                 "--index-config-path", str(tmp_path / f"cfg{i}"),
+                 "--index-data-path", str(tmp_path / f"data{i}"),
+                 "--num-workers", "1",
+                 "--jax-cache-dir", "/root/repo/.jax_cache"],
+                env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ))
+        stubs = []
+        for port in ports:
+            stub = index_server_stub(grpc.insecure_channel(f"localhost:{port}"))
+            _wait_ready(stub)
+            stubs.append(stub)
+
+        # one shard collection per PROCESS; distinct clusters per shard
+        rng = np.random.default_rng(3)
+        xs = {}
+        for shard, stub in enumerate(stubs):
+            name = f"idx--{shard}"
+            stub.CreateCollection(pb.CreateCollectionRequest(
+                collection_name=name, num_features=8, initial_num_centroids=4,
+            ))
+            x = rng.standard_normal((20, 8)).astype(np.float32) + shard * 10
+            xs[shard] = x
+            stub.Insert(pb.InsertRequest(
+                collection_name=name,
+                doc_ids=_ids(range(shard * 1000, shard * 1000 + 20)),
+                vectors=x.reshape(-1).tolist(),
+                user_ids=_ids([1]),
+            ))
+            stub.Flush(pb.FlushRequest(collection_name=name))
+
+        # aggregator process with versioned shard/node maps over BOTH nodes
+        shard_dir, node_dir = tmp_path / "shards", tmp_path / "nodes"
+        vio.write_version_atomic(
+            str(shard_dir), 1, {"shards": {"idx": [[0, 0], [1, 1]]}}
+        )
+        vio.write_version_atomic(
+            str(node_dir), 1,
+            {"nodes": {"0": f"localhost:{ports[0]}", "1": f"localhost:{ports[1]}"}},
+        )
+        agg_port = _free_port()
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "muopdb_tpu.server.main", "aggregator",
+             "--port", str(agg_port),
+             "--shard-config-path", str(shard_dir),
+             "--node-config-path", str(node_dir)],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ))
+        agg = aggregator_stub(grpc.insecure_channel(f"localhost:{agg_port}"))
+        t0 = time.time()
+        while True:
+            try:
+                r = agg.Get(aggregator_pb2.GetRequest(
+                    index="idx", vector=xs[1][5].tolist(),
+                    params=pb.SearchParams(top_k=3, num_explored_centroids=4),
+                    user_ids=_ids([1]),
+                ))
+                break
+            except grpc.RpcError:
+                if time.time() - t0 > 120:
+                    raise
+                time.sleep(0.5)
+        # near shard 1's data -> shard 1's docs win the merged ranking
+        assert r.low_ids[0] == 1005
+        # near shard 0's data -> shard 0 docs win across PROCESS boundaries
+        r0 = agg.Get(aggregator_pb2.GetRequest(
+            index="idx", vector=xs[0][2].tolist(),
+            params=pb.SearchParams(top_k=3, num_explored_centroids=4),
+            user_ids=_ids([1]),
+        ))
+        assert r0.low_ids[0] == 2
+        # merged ranking interleaves shards for a midpoint query
+        mid = ((xs[0][0] + xs[1][0]) / 2).tolist()
+        rm = agg.Get(aggregator_pb2.GetRequest(
+            index="idx", vector=mid,
+            params=pb.SearchParams(top_k=10, num_explored_centroids=4),
+            user_ids=_ids([1]),
+        ))
+        got = set(int(i) for i in rm.low_ids)
+        assert any(i < 1000 for i in got) and any(i >= 1000 for i in got)
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
