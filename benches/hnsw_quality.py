@@ -40,6 +40,68 @@ def gen_data(n, d, nq, seed=0):
     return x, queries
 
 
+def gen_data_device(n, d, nq, seed=0):
+    """Device-side twin of gen_data: the store is born in HBM and never
+    exists on the host (1.5 GB at 1M x 384 — host RNG + the staging upload
+    cost 300-450 s of a 1M build through the tunnel). Different PRNG than
+    gen_data, so ground truth caches use a 'dev' key prefix."""
+    import jax
+    import jax.numpy as jnp
+
+    n_modes = 4096
+    km, kl, kq1, kq2 = jax.random.split(jax.random.key(seed), 4)
+    modes = jax.random.normal(km, (n_modes, d), jnp.float32) * 1.5
+    chunk = min(n, 500_000)
+
+    @jax.jit
+    def gen_chunk(modes_in, k):
+        ka, kb = jax.random.split(k)
+        a = jax.random.randint(ka, (chunk,), 0, n_modes)
+        return modes_in[a] + jax.random.normal(kb, (chunk, d), jnp.float32)
+
+    nch = -(-n // chunk)
+    parts = [gen_chunk(modes, k) for k in jax.random.split(kl, nch)]
+    xj = jnp.concatenate(parts)[:n] if nch > 1 else parts[0][:n]
+    qsel = jax.random.randint(kq1, (nq,), 0, n)
+    queries = np.asarray(
+        xj[qsel] + 0.1 * jax.random.normal(kq2, (nq, d), jnp.float32)
+    )
+    return xj, queries
+
+
+def ground_truth_device(xj, queries, k=10):
+    """Exact ground truth against a device-resident store."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(xj.shape[0])
+    qj = jnp.asarray(queries)
+    chunk = 125_000
+
+    @jax.jit
+    def score(q, v):
+        from muopdb_tpu.ops.distance import l2_distance
+
+        return l2_distance(q, v)
+
+    best_d = np.full((queries.shape[0], k), np.inf, np.float32)
+    best_i = np.full((queries.shape[0], k), -1, np.int64)
+    pending = []
+    for s in range(0, n, chunk):
+        dd = score(qj, xj[s : s + chunk])
+        kd, ki = jax.lax.top_k(-dd, k)
+        pending.append((s, kd, ki))
+    for s, kd, ki in pending:  # one late sync pass
+        kd = -np.asarray(kd)
+        ki = np.asarray(ki) + s
+        alld = np.concatenate([best_d, kd], axis=1)
+        alli = np.concatenate([best_i, ki], axis=1)
+        sel = np.argsort(alld, axis=1)[:, :k]
+        best_d = np.take_along_axis(alld, sel, axis=1)
+        best_i = np.take_along_axis(alli, sel, axis=1)
+    return best_i
+
+
 def ground_truth(x, queries, k=10):
     import jax
     import jax.numpy as jnp
@@ -132,6 +194,9 @@ def main():
                     help="save each built index here (search-stage experiments reload it)")
     ap.add_argument("--load-dir", type=str, default=None,
                     help="skip the build and load a saved index")
+    ap.add_argument("--device-gen", action="store_true",
+                    help="generate the store ON DEVICE and build via "
+                         "build_from_device (no host staging / upload)")
     ap.add_argument("--gt-cache", type=str, default="/tmp/hnswq_gt",
                     help="directory for cached exact ground truth (data is "
                          "seeded, so GT is reusable across runs; '' disables)")
@@ -139,21 +204,27 @@ def main():
 
     from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
 
-    _log(f"generating n={args.n} d={args.d}")
-    x, queries = gen_data(args.n, args.d, args.nq, args.seed)
+    _log(f"generating n={args.n} d={args.d} (device-gen={args.device_gen})")
+    if args.device_gen:
+        xj, queries = gen_data_device(args.n, args.d, args.nq, args.seed)
+        x = None
+    else:
+        x, queries = gen_data(args.n, args.d, args.nq, args.seed)
     gt = None
     gt_path = None
     if args.gt_cache:
         import os
 
         os.makedirs(args.gt_cache, exist_ok=True)
-        gt_path = f"{args.gt_cache}/gt_{args.n}_{args.d}_{args.nq}_{args.k}_{args.seed}.npy"
+        pre = "gtdev" if args.device_gen else "gt"
+        gt_path = f"{args.gt_cache}/{pre}_{args.n}_{args.d}_{args.nq}_{args.k}_{args.seed}.npy"
         if os.path.exists(gt_path):
             gt = np.load(gt_path)
             _log(f"ground truth loaded from {gt_path}")
     if gt is None:
         _log("computing ground truth")
-        gt = ground_truth(x, queries, args.k)
+        gt = (ground_truth_device(xj, queries, args.k) if args.device_gen
+              else ground_truth(x, queries, args.k))
         if gt_path:
             np.save(gt_path, gt)
     _log("ground truth done")
@@ -170,11 +241,16 @@ def main():
         else:
             cfg = HnswBuildConfig(seed=args.seed, **overrides)
             builder = HnswBuilder(cfg, args.d)
-            builder.add_batch(np.arange(args.n), x)
             _log(f"building {overrides}")
-            t0 = time.time()
-            idx = builder.build()
-            build_s = time.time() - t0
+            if args.device_gen:
+                t0 = time.time()
+                idx = builder.build_from_device(xj)
+                build_s = time.time() - t0
+            else:
+                builder.add_batch(np.arange(args.n), x)
+                t0 = time.time()
+                idx = builder.build()
+                build_s = time.time() - t0
             if args.save_dir:
                 idx.save(args.save_dir)
                 _log(f"saved to {args.save_dir}")

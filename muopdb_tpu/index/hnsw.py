@@ -888,7 +888,13 @@ class HnswIndex:
         distance_type: str = "L2",
         config: HnswBuildConfig | None = None,
     ):
-        self.vectors = jnp.asarray(np.asarray(vectors, np.float32))
+        # device inputs stay on device (a np.asarray on a jax array would
+        # fetch the whole store to host and re-upload it)
+        self.vectors = (
+            vectors.astype(jnp.float32)
+            if isinstance(vectors, jax.Array)
+            else jnp.asarray(np.asarray(vectors, np.float32))
+        )
         self.layer_edges = [jnp.asarray(e) for e in layer_edges]
         self.entry_point = int(entry_point)
         self.doc_ids = np.asarray(doc_ids)
@@ -1142,6 +1148,29 @@ class HnswBuilder:
         return len(self._rows)
 
     def build(self) -> HnswIndex:
+        assert len(self._rows)
+        return self._build(
+            self._rows.to_numpy(), None, pack_u128s(self._doc_ids), False
+        )
+
+    def build_from_device(self, xj, doc_ids=None) -> HnswIndex:
+        """Build from a DEVICE-resident store (data born on chip — generated,
+        decoded, or sharded in). Skips host staging and the store upload
+        entirely (~1.5 GB each way at 1M x 384 through the serving tunnel);
+        the few host-row consumers (upper-layer reverse-edge pass, optional
+        refine queries) gather just their rows from HBM. The reference's
+        builder is host-memory-only (hnsw/builder.rs:19-59)."""
+        n = int(xj.shape[0])
+        if doc_ids is None:
+            doc_pairs = np.zeros((n, 2), np.uint64)
+            doc_pairs[:, 0] = np.arange(n, dtype=np.uint64)
+        else:
+            doc_pairs = np.asarray(doc_ids, np.uint64).reshape(n, 2)
+        x_shape = np.broadcast_to(np.zeros((1, int(xj.shape[1])), np.float32),
+                                  (n, int(xj.shape[1])))
+        return self._build(x_shape, xj.astype(jnp.float32), doc_pairs, True)
+
+    def _build(self, x, xj_in, doc_pairs, device_born: bool) -> HnswIndex:
         import logging
         import time as _time
 
@@ -1154,9 +1183,7 @@ class HnswBuilder:
             log.info("hnsw build: %s in %.1fs", name, now - t_stage)
             t_stage = now
 
-        assert len(self._rows)
         cfg = self.config
-        x = self._rows.to_numpy()
         # Native metric threading: every candidate/prune/search stage below
         # takes the static `dt` key and scores by negated inner product for
         # dot-metric builds (ip-NSW-style graph — the reference reaches the
@@ -1183,7 +1210,7 @@ class HnswBuilder:
         # layer 0: kNN graph + heuristic prune + reverse edges; exact graph
         # up to 200k points, IVF-partitioned approximate graph beyond.
         # One device copy of the vectors serves every stage.
-        xj = jnp.asarray(x)
+        xj = jnp.asarray(x) if xj_in is None else xj_in
         jax.block_until_ready(xj)
         _stage("staged vectors")  # 1.5 GB at 1M x 384 — WAN-bound via tunnel
         k0 = min(max(cfg.ef_construction // 2, 2 * m), max(n - 1, 1))
@@ -1258,9 +1285,15 @@ class HnswBuilder:
             deg = m
             e_global = np.full((n, deg), -1, np.int32)
             if len(members) > 1:
-                sub = x[members]
+                if device_born:
+                    # gather member rows from HBM; the host copy feeds only
+                    # the reverse-edge pass (layer-l subsets are ~n/m^l rows)
+                    subj = xj[jnp.asarray(members)]
+                    sub = np.asarray(subj)
+                else:
+                    sub = x[members]
+                    subj = jnp.asarray(sub)
                 kk = min(max(m * 2, 2), len(members) - 1)
-                subj = jnp.asarray(sub)
                 sids, sd = _exact_knn(sub, kk, xj=subj, dt=dt)
                 # Random candidates for upper layers too: they exist purely
                 # for navigation, and on clustered data their exact-kNN
@@ -1299,8 +1332,8 @@ class HnswBuilder:
         ) else 0
         for _ in range(refine):
             tmp = HnswIndex(
-                x, layers, entry_point, np.zeros((n, 2), np.uint64),
-                cfg.distance_type, cfg,
+                xj if device_born else x, layers, entry_point,
+                np.zeros((n, 2), np.uint64), cfg.distance_type, cfg,
             )
             ef_r = max(cfg.refine_ef, k0 + 1)
             ref_i = np.full((n, k0), -1, np.int32)
@@ -1311,7 +1344,7 @@ class HnswBuilder:
             # tunnel RTT per chunk (seconds each when the tunnel degrades)
             pending = []
             for s in range(0, n, ch):
-                qs = x[s : s + ch]
+                qs = np.asarray(xj[s : s + ch]) if device_born else x[s : s + ch]
                 real = qs.shape[0]
                 if real < ch:  # pad to the compiled shape
                     qs = np.pad(qs, ((0, ch - real), (0, 0)))
@@ -1338,10 +1371,10 @@ class HnswBuilder:
             _stage("refine re-prune")
 
         return HnswIndex(
-            x,
+            xj if device_born else x,
             layers,
             entry_point,
-            pack_u128s(self._doc_ids),
+            doc_pairs,
             cfg.distance_type,
             cfg,
         )

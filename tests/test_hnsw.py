@@ -294,3 +294,26 @@ def test_routing_scan_respects_deletions(rng):
     idx.invalidate([0, 1, 2, 3])
     dd2, ids2 = idx.search(x[:4], k=1, ef_search=32, route="scan")
     assert all(int(i) not in (0, 1, 2, 3) for i in np.asarray(ids2)[:, 0])
+
+
+def test_build_from_device_matches_staged_build(rng):
+    """Device-born HNSW build (store never staged through the host) must
+    produce the same graph + search results as the staged path."""
+    import jax.numpy as jnp
+
+    from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
+
+    x = rng.standard_normal((600, 16)).astype(np.float32)
+    cfg = HnswBuildConfig()
+    b1 = HnswBuilder(cfg, 16)
+    b1.add_batch(np.arange(600), x)
+    i1 = b1.build()
+    i2 = HnswBuilder(cfg, 16).build_from_device(jnp.asarray(x))
+    assert i2.num_points == 600
+    np.testing.assert_array_equal(i1.doc_ids, i2.doc_ids)
+    for l, (e1, e2) in enumerate(zip(i1.layer_edges, i2.layer_edges)):
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2)), l
+    q = x[:8] + 0.01 * rng.standard_normal((8, 16)).astype(np.float32)
+    d1, r1 = i1.search(q, k=5)
+    d2, r2 = i2.search(q, k=5)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
