@@ -597,13 +597,7 @@ def main():
                 np.save(gt_path, hgt)
             _log(f"hnsw secondary: building {hn} x {hd}")
             t0 = time.time()
-            # build seed pinned to the measured-stable point: at 300k x 384
-            # the partition trees are weak for EVERY seed (~0.12 candidate
-            # recall/tree, probed round 3) and searched recall rides on
-            # NN-descent/navigation variance — seed 0 landed 0.903, seed 1
-            # 0.991 on identical data (TODO.md round-4 item tracks the
-            # robustness fix)
-            hidx = HnswBuilder(HnswBuildConfig(seed=1), hd).build_from_device(hxj)
+            hidx = HnswBuilder(HnswBuildConfig(), hd).build_from_device(hxj)
             h_build = time.time() - t0
             hdd, hii = hidx.search(hqueries, k=k, ef_search=hef)
             jax.block_until_ready(hdd)

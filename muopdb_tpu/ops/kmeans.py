@@ -77,10 +77,20 @@ def kmeans(
         """
         scale = size_scale * jnp.mean(jnp.min(dist, axis=-1))
         assign = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+        # Clamp the penalty at 4x the balanced size: unbounded, a transient
+        # mega-count makes its centroid's penalized cost astronomical, the
+        # damped fixed point lands in a degenerate attractor (most centroids
+        # empty and re-seeded onto the same outliers every Lloyd step, one
+        # cluster holding ~everything — measured at 300k x 384: 278k of 300k
+        # points in ONE partition with penalty=1.0). The clamp keeps the
+        # balancing bias (up to 4 mean spacings) but can never dominate the
+        # distance term.
+        cap = 4.0 * float(n) / float(k)
 
         def inner(_, carry):
             counts, _ = carry
-            a = jnp.argmin(dist + scale * counts[None, :], axis=-1).astype(jnp.int32)
+            pen = scale * jnp.minimum(counts, cap)
+            a = jnp.argmin(dist + pen[None, :], axis=-1).astype(jnp.int32)
             c = jnp.bincount(a, length=k).astype(jnp.float32)
             return 0.5 * counts + 0.5 * c, a
 
@@ -91,7 +101,18 @@ def kmeans(
     def step(state):
         centroids, _, counts, it, _ = state
         dist = l2_distance(x, centroids)  # (N, k)
-        assign, damped_counts = _penalized_assign(dist, counts)
+        # Lloyd updates run on the PLAIN assignment. Feeding the penalized
+        # assignment back into the centroid update is unstable: the penalty
+        # drags centroids off the density they summarize, the next step's
+        # plain distances then disagree violently with the penalized ones,
+        # and the loop enters a period-2 collapse (measured at 300k x 384,
+        # k=293, penalty=1.0: partition sizes oscillate 6k -> 42k -> 185k
+        # across iterations, ending with 278k of 300k points nearest ONE
+        # centroid). Classical Lloyd is convergent; the balancing penalty
+        # biases only the RETURNED labels below (the reference's
+        # tolerance*size term, kmeans_builder.rs:203-208, is likewise an
+        # assignment-time nudge ~1000x weaker than a distance unit).
+        assign = jnp.argmin(dist, axis=-1).astype(jnp.int32)
         # scatter-add update: avoids materializing an (N, k) one-hot in HBM
         # (the update is bandwidth-bound, not FLOP-bound)
         new_counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
@@ -110,10 +131,7 @@ def kmeans(
         cand = x[far_idx[jnp.clip(empty_rank, 0, min(k, n) - 1)]]
         new_centroids = jnp.where(empty[:, None], cand, new_centroids)
 
-        # Carry the *damped* counts so the penalty fixed point continues
-        # smoothly across Lloyd steps (raw counts re-trigger oscillation).
-        carried = damped_counts if penalty > 0.0 else new_counts
-        carried = jnp.where(empty, 1.0, carried)
+        carried = jnp.where(empty, 1.0, new_counts)
 
         shift = jnp.mean(jnp.sum((new_centroids - centroids) ** 2, axis=-1))
         return new_centroids, assign, carried, it + 1, shift
