@@ -1,0 +1,40 @@
+import numpy as np, jax, jax.numpy as jnp, time
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from benches.hnsw_quality import gen_data_device
+from muopdb_tpu.ops.kmeans import kmeans
+
+n, d = 300_000, 384
+xj, _ = gen_data_device(n, d, 8, 1)
+
+# exact truth for 1024 sampled rows
+sel = np.sort(np.random.default_rng(5).choice(n, 1024, replace=False))
+selj = jnp.asarray(sel)
+parts = []
+for s in range(0, n, 125_000):
+    dd = -2.0 * xj[selj] @ xj[s:s+125_000].T + jnp.sum(xj[s:s+125_000]**2, 1)[None, :]
+    kd, ki = jax.lax.top_k(-dd, 11)
+    parts.append((np.asarray(-kd), np.asarray(ki) + s))
+ad = np.concatenate([p[0] for p in parts], 1); ai = np.concatenate([p[1] for p in parts], 1)
+o = np.argsort(ad, 1)[:, :11]; truth = np.take_along_axis(ai, o, 1)
+
+for seed, iters, pen in ((0, 10, 1.0), (0, 25, 1.0), (0, 10, 0.0)):
+    nc = max(4, n // 1024)
+    smp = np.random.default_rng(seed).choice(n, 200_000, replace=False)
+    sample = xj[jnp.asarray(np.sort(smp))]
+    cents = kmeans(sample, nc, key=jax.random.key(seed), max_iter=iters, penalty=pen).centroids
+    t2 = []
+    for s in range(0, n, 65536):
+        dd = -2.0 * xj[s:s+65536] @ cents.T + jnp.sum(cents**2, 1)[None, :]
+        t2.append(jax.lax.top_k(-dd, 2)[1])
+    top2 = np.asarray(jnp.concatenate(t2))
+    sizes = np.bincount(top2[:, 0], minlength=nc)
+    # fraction of true-10 sharing a partition (top1/top2 x top1/top2)
+    fr = []
+    for i, r in enumerate(sel):
+        t10 = np.array([t for t in truth[i] if t != r][:10])
+        share = ((top2[t10][:, :, None] == top2[r][None, None, :]).any((1, 2))).mean()
+        fr.append(share)
+    print(f"seed={seed} iters={iters} pen={pen}: co-partition frac={np.mean(fr):.3f} "
+          f"sizes max={sizes.max()} p99={np.percentile(sizes,99):.0f} empty={(sizes==0).sum()}",
+          flush=True)

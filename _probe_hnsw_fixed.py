@@ -1,0 +1,14 @@
+import numpy as np, jax, time
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import logging; logging.basicConfig(level=logging.INFO)
+import os; os.environ["MUOPDB_HNSW_DIAG"] = "1"
+from benches.hnsw_quality import gen_data_device, recall
+from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
+
+xj, q = gen_data_device(300_000, 384, 1024, 1)
+gt = np.load("/tmp/hnswq_gt/gtdev_300000_384_1024_10_1.npy")
+t0 = time.time()
+idx = HnswBuilder(HnswBuildConfig(seed=0), 384).build_from_device(xj)
+dd, ii = idx.search(q, k=10, ef_search=64)
+print(f"build {time.time()-t0:.0f}s  searched recall@10 ef64: {recall(np.asarray(ii), gt, 10):.4f}", flush=True)

@@ -1,0 +1,21 @@
+import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from benches.hnsw_quality import gen_data_device
+from muopdb_tpu.ops.kmeans import kmeans
+
+n, d = 300_000, 384
+xj, _ = gen_data_device(n, d, 8, 1)
+nc = n // 1024
+smp = np.random.default_rng(0).choice(n, 200_000, replace=False)
+sample = xj[jnp.asarray(np.sort(smp))]
+for it in (1, 2, 3, 5, 10):
+    r = kmeans(sample, nc, key=jax.random.key(0), max_iter=it, penalty=1.0)
+    # sizes measured on the SAMPLE via plain nearest (what partitioning uses)
+    dd_sizes = []
+    for s in range(0, 200_000, 65536):
+        dd = -2.0 * sample[s:s+65536] @ r.centroids.T + jnp.sum(r.centroids**2, 1)[None, :]
+        dd_sizes.append(np.asarray(jnp.argmin(dd, axis=-1)))
+    a = np.concatenate(dd_sizes)
+    sz = np.bincount(a, minlength=nc)
+    print(f"iter={it}: max={sz.max()} p99={np.percentile(sz,99):.0f} empty={(sz==0).sum()} iters_run={int(r.num_iterations)}", flush=True)
