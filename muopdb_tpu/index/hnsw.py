@@ -252,10 +252,12 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     order2 = np.argsort(top2[:, 1], kind="stable")
     bounds2 = np.searchsorted(top2[:, 1][order2], np.arange(nc + 1))
     # ONE fixed shape for every group: shape diversity means recompiles,
-    # and each remote compile costs tens of seconds. Balanced k-means keeps
-    # partition sizes near n/nc, so a single pool bucket fits almost all
-    # partitions; oversized member lists re-chunk (visitors split across the
-    # chunks), oversized visitor sets subsample.
+    # and each remote compile costs tens of seconds. Classical Lloyd (the
+    # penalty biases labels only, ops/kmeans.py) gives no hard size bound,
+    # but measured post-fix partitions sit near n/nc (max 2.7-3.9k vs 1k avg
+    # at 300k/293c), so a 2x-avg pool bucket fits almost all partitions;
+    # oversized member lists re-chunk (visitors split across the chunks),
+    # oversized visitor sets subsample (logged below when it triggers).
     rng_local = np.random.default_rng(seed)
     avg = max(1, n // nc)
 
@@ -268,6 +270,7 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     pp = 2 * pow2_at_least(2 * avg)  # pool bucket: members + visitors
     pmm = pp // 2  # member-chunk cap
     jobs = []  # (pool, nm): pool[:nm] are members (top1), pool[nm:] visitors
+    n_subsampled = 0
     for c in range(nc):
         members = order1[bounds1[c] : bounds1[c + 1]]
         visitors = order2[bounds2[c] : bounds2[c + 1]]
@@ -280,10 +283,17 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
             vis = vis_split[ci_c]
             room = pp - len(mem)
             if len(vis) > room:
+                n_subsampled += len(vis) - room
                 vis = rng_local.choice(vis, room, replace=False)
             pool = np.concatenate([mem, vis])
             if len(pool) >= 2:
                 jobs.append((pool, len(mem)))
+    if n_subsampled:
+        _plog.info(
+            "approx_knn: visitor subsampling dropped %d visitor rows "
+            "(oversized partitions; candidate coverage reduced there)",
+            n_subsampled,
+        )
 
     g_fixed = max(1, min(32, int(768e6 / (pp * pp * 4 + pp * d * 4))))
     kk = min(k, pp - 1)

@@ -323,10 +323,24 @@ class IvfBuilder:
         host memory only (ivf/builder.rs:40-49). Clustering, assignment and
         packing run against `xj`; only PQ codes and layout metadata ever
         reach the host.
+
+        Expects a ProductQuantizer: with quantizer=None the packed payload
+        IS the raw store, so `from_posting_lists` fetches all of `xj`
+        through the tunnel — the exact transfer this API exists to avoid.
         """
         n = int(xj.shape[0])
         dim = int(xj.shape[1])
         assert n > 0, "no vectors"
+        from ..quantization import ProductQuantizer as _PQ
+
+        if not isinstance(quantizer, _PQ):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "build_from_device without a ProductQuantizer fetches the "
+                "full raw store (%d x %d f32) to host — pass a PQ or use "
+                "build() for host-resident data", n, dim,
+            )
         # zero-copy host stand-in: the staged-path helpers only consult the
         # host array's shape when a device copy is supplied
         x_shape = np.broadcast_to(np.zeros((1, dim), np.float32), (n, dim))

@@ -260,8 +260,9 @@ class PackedUsers:
     def vectors_host(self) -> np.ndarray:
         if self._vectors_host is None:
             # deliberate one-time fetch of the device-born store for
-            # host-row consumers (drains/save/sharded staging)
-            self._vectors_host = np.asarray(self._raw_dev)
+            # host-row consumers (drains/save/sharded staging); slice to
+            # the live row count — _raw_dev may carry pow2 padding
+            self._vectors_host = np.asarray(self._raw_dev)[: self._n]
         return self._vectors_host
 
     # -- basic accessors -------------------------------------------------
@@ -305,12 +306,14 @@ class PackedUsers:
             else:
                 npad = _pow2(n, 1024)
                 if self._raw_dev is not None:  # device-born store: pad in HBM
+                    # keep _raw_dev unpadded — vectors_host/save/sharded
+                    # staging read it as the n-row master copy
                     self._dev = jnp.pad(self._raw_dev, ((0, npad - n), (0, 0)))
                 else:
                     v = np.zeros((npad, self.dim), np.float32)
                     v[:n] = self.vectors_host
                     self._dev = jnp.asarray(v)
-                self._raw_dev = self._dev
+                    self._raw_dev = self._dev
             return self._dev, self._raw_dev
 
     # -- search ----------------------------------------------------------

@@ -56,6 +56,14 @@ def kmeans(
     distance per point (the reference's `tolerance * cluster_size`,
     kmeans_builder.rs:203-208, scaled here by mean pairwise distance so it is
     dimensionally stable across datasets).
+
+    NOTE: since the round-3 stability fix the penalty biases ONLY the
+    returned `.assignments`; centroid updates are classical Lloyd (feeding
+    the penalized assignment back was divergent — see the comment in
+    `step`). Callers that consume only `.centroids` (IVF `_cluster`, split
+    rounds, HNSW `_approx_knn`) therefore get identical results at any
+    penalty; the knob matters only to label consumers wanting the
+    reference's balanced-label semantics.
     """
     n, d = x.shape
     x = x.astype(jnp.float32)

@@ -4,21 +4,26 @@ Reference: utils/src/tracing.rs:18-88 — OTLP pipeline with ratio sampling
 and W3C context injection/extraction on gRPC metadata (MetadataInjector/
 Extractor); #[tracing::instrument] on RPCs and collection ops.
 
-This environment has no OTLP endpoint (zero egress), so spans are recorded
-to an in-process ring buffer and optionally logged; the *wire* behavior —
-traceparent propagation aggregator -> leaf — matches, so an OTLP exporter
-can be dropped in at the `export` hook later.
+Spans are recorded to an in-process ring buffer (the zero-egress default)
+and, when an OTLP endpoint is configured via `MUOPDB_OTLP_ENDPOINT` or the
+standard `OTEL_EXPORTER_OTLP_ENDPOINT`, batched to it over OTLP/HTTP JSON
+(`/v1/traces`) by a background thread — the pipeline of tracing.rs:18-58.
+The wire behavior — traceparent propagation aggregator -> leaf — matches
+the reference either way.
 """
 
 from __future__ import annotations
 
 import contextlib
 import contextvars
+import json
 import logging
+import os
 import random
 import re
 import threading
 import time
+import urllib.request
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Deque, List, Optional, Tuple
@@ -54,7 +59,7 @@ class Span:
     name: str
     context: SpanContext
     parent_span_id: Optional[str]
-    start_ns: int
+    start_ns: int  # monotonic; unix = start_ns + _UNIX_MONO_OFFSET_NS
     end_ns: int = 0
     attributes: dict = field(default_factory=dict)
 
@@ -63,17 +68,138 @@ class Span:
         return (self.end_ns - self.start_ns) / 1e6
 
 
+# wall-clock anchor so monotonic span times export as unix nanos
+_UNIX_MONO_OFFSET_NS = time.time_ns() - time.monotonic_ns()
+
+
+def _otlp_attr(key: str, value) -> dict:
+    if isinstance(value, bool):
+        v = {"boolValue": value}
+    elif isinstance(value, int):
+        v = {"intValue": str(value)}
+    elif isinstance(value, float):
+        v = {"doubleValue": value}
+    else:
+        v = {"stringValue": str(value)}
+    return {"key": key, "value": v}
+
+
+class OtlpHttpExporter:
+    """Minimal OTLP/HTTP-JSON trace exporter (opentelemetry-proto v1
+    `ExportTraceServiceRequest` JSON mapping), stdlib-only.
+
+    Spans are queued and shipped in batches by a daemon thread; failures
+    are logged and dropped (export must never stall the serving path —
+    same fire-and-forget posture as the reference's batched OTLP pipeline,
+    utils/src/tracing.rs:18-58).
+    """
+
+    def __init__(self, endpoint: str, service_name: str,
+                 batch_size: int = 256, flush_interval_s: float = 2.0,
+                 timeout_s: float = 5.0, max_queue: int = 8192):
+        self.url = endpoint.rstrip("/")
+        if not self.url.endswith("/v1/traces"):
+            self.url += "/v1/traces"
+        self.service_name = service_name
+        self.batch_size = batch_size
+        self.flush_interval_s = flush_interval_s
+        self.timeout_s = timeout_s
+        self._queue: Deque[Span] = deque(maxlen=max_queue)
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="otlp-exporter", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, span: Span) -> None:
+        self._queue.append(span)
+        if len(self._queue) >= self.batch_size:
+            self._wake.set()
+
+    def _encode(self, spans: List[Span]) -> bytes:
+        otlp_spans = []
+        for sp in spans:
+            rec = {
+                "traceId": sp.context.trace_id,
+                "spanId": sp.context.span_id,
+                "name": sp.name,
+                "kind": 2,  # SPAN_KIND_SERVER
+                "startTimeUnixNano": str(sp.start_ns + _UNIX_MONO_OFFSET_NS),
+                "endTimeUnixNano": str(sp.end_ns + _UNIX_MONO_OFFSET_NS),
+                "attributes": [_otlp_attr(k, v) for k, v in sp.attributes.items()],
+            }
+            if sp.parent_span_id:
+                rec["parentSpanId"] = sp.parent_span_id
+            otlp_spans.append(rec)
+        body = {
+            "resourceSpans": [{
+                "resource": {"attributes": [_otlp_attr("service.name", self.service_name)]},
+                "scopeSpans": [{
+                    "scope": {"name": "muopdb_tpu"},
+                    "spans": otlp_spans,
+                }],
+            }]
+        }
+        return json.dumps(body).encode()
+
+    def _post(self, payload: bytes) -> None:
+        req = urllib.request.Request(
+            self.url, data=payload,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        urllib.request.urlopen(req, timeout=self.timeout_s).read()
+
+    def _drain_once(self) -> None:
+        batch: List[Span] = []
+        while self._queue and len(batch) < self.batch_size:
+            try:
+                batch.append(self._queue.popleft())
+            except IndexError:
+                break
+        if not batch:
+            return
+        try:
+            self._post(self._encode(batch))
+        except Exception as exc:  # noqa: BLE001 — drop, never stall serving
+            log.warning("OTLP export of %d spans failed: %s", len(batch), exc)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self._wake.wait(self.flush_interval_s)
+            self._wake.clear()
+            self._drain_once()
+
+    def flush(self, timeout_s: float = 5.0) -> None:
+        """Synchronously drain the queue (tests / shutdown)."""
+        deadline = time.monotonic() + timeout_s
+        while self._queue and time.monotonic() < deadline:
+            self._drain_once()
+
+    def shutdown(self) -> None:
+        self.flush()
+        self._stop.set()
+        self._wake.set()
+
+
 class Tracer:
     """Ratio-sampled tracer with a bounded in-memory exporter
     (the OTLP pipeline + ratio sampler of tracing.rs:18-58)."""
 
     def __init__(self, service_name: str = "muopdb_tpu", sample_ratio: float = 1.0,
-                 max_spans: int = 4096, log_spans: bool = False):
+                 max_spans: int = 4096, log_spans: bool = False,
+                 otlp_endpoint: Optional[str] = None):
         self.service_name = service_name
         self.sample_ratio = sample_ratio
         self.log_spans = log_spans
         self.finished: Deque[Span] = deque(maxlen=max_spans)
         self._lock = threading.Lock()
+        endpoint = otlp_endpoint or os.environ.get(
+            "MUOPDB_OTLP_ENDPOINT", os.environ.get("OTEL_EXPORTER_OTLP_ENDPOINT", "")
+        )
+        self.otlp: Optional[OtlpHttpExporter] = (
+            OtlpHttpExporter(endpoint, service_name) if endpoint else None
+        )
 
     def _new_id(self, nbytes: int) -> str:
         return "".join(random.choices("0123456789abcdef", k=nbytes * 2))
@@ -101,6 +227,8 @@ class Tracer:
     def export(self, span: Span) -> None:
         with self._lock:
             self.finished.append(span)
+        if self.otlp is not None:
+            self.otlp.submit(span)
         if self.log_spans:
             log.info(
                 "span %s trace=%s dur=%.2fms attrs=%s",

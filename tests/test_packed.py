@@ -215,6 +215,33 @@ def test_packed_device_born_store(rng):
     pts, dd, vecs = p.view(1).valid_arrays()
     np.testing.assert_allclose(vecs, x[:per_u], rtol=1e-6)
     assert p._vectors_host is not None
+    # regression (ADVICE r3): _device() staging must not leak pow2 padding
+    # into the host master copy — save() would persist a store whose length
+    # disagrees with doc_ids/valid
+    assert len(p.vectors_host) == len(x)
+
+
+def test_packed_device_born_save_roundtrip(rng, tmp_path):
+    """save() after a device-born search persists exactly n rows (the
+    ADVICE-r3 medium bug padded vectors_host to the pow2 bucket)."""
+    import jax.numpy as jnp
+    from muopdb_tpu.quantization import NoQuantizer
+
+    d, n = 8, 48  # well below the 1024 flat pad bucket
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    starts = np.array([0, n], np.int64)
+    docs = np.zeros((n, 2), np.uint64)
+    docs[:, 0] = np.arange(n, dtype=np.uint64)
+    p = PackedUsers(
+        uids=[1], starts=starts, vectors=None, doc_ids=docs,
+        quantizer=NoQuantizer(dim=d), device_vectors=jnp.asarray(x),
+    )
+    p.search_users([1], x[:2], k=1)  # triggers _device() staging
+    p.save(str(tmp_path))
+    p2 = PackedUsers.load(str(tmp_path))
+    assert p2.num_points == n
+    assert len(p2.vectors_host) == n == len(p2.doc_ids) == len(p2.valid_host)
+    np.testing.assert_allclose(p2.vectors_host, x, rtol=1e-6)
 
 
 def test_packed_device_born_pq_reranks(rng):

@@ -219,3 +219,70 @@ def test_block_cache_disk_spill(tmp_path):
     c = cache.read(p, src, 0, 100)          # L1 miss -> disk hit
     assert a == c
     assert cache.disk_hits >= 1, (cache.hits, cache.disk_hits, cache.misses)
+
+
+def test_otlp_http_exporter():
+    """Spans reach a local OTLP/HTTP collector stub as valid OTLP JSON
+    (tracing.rs:18-58's pipeline; endpoint-gated, in-memory default)."""
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    received = []
+
+    class Collector(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Collector)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        tr = Tracer(
+            service_name="muopdb-test",
+            otlp_endpoint=f"http://127.0.0.1:{srv.server_port}",
+        )
+        with tr.span("parent", rpc="Search"):
+            with tr.span("child", user="u1"):
+                pass
+        tr.otlp.flush()
+        assert received, "collector saw no export"
+        path, body = received[0]
+        assert path == "/v1/traces"
+        rs = body["resourceSpans"][0]
+        svc = {a["key"]: a["value"] for a in rs["resource"]["attributes"]}
+        assert svc["service.name"]["stringValue"] == "muopdb-test"
+        spans = rs["scopeSpans"][0]["spans"]
+        by_name = {s["name"]: s for s in spans}
+        assert set(by_name) == {"parent", "child"}
+        # child links to parent within the same trace
+        assert by_name["child"]["traceId"] == by_name["parent"]["traceId"]
+        assert by_name["child"]["parentSpanId"] == by_name["parent"]["spanId"]
+        assert "parentSpanId" not in by_name["parent"]
+        # unix-nano timestamps are sane (within a day of now)
+        import time as _t
+        now_ns = _t.time_ns()
+        start = int(by_name["parent"]["startTimeUnixNano"])
+        assert abs(now_ns - start) < 86400 * 1e9
+        assert int(by_name["parent"]["endTimeUnixNano"]) >= start
+        attrs = {a["key"]: a["value"] for a in by_name["parent"]["attributes"]}
+        assert attrs["rpc"]["stringValue"] == "Search"
+        tr.otlp.shutdown()
+    finally:
+        srv.shutdown()
+
+
+def test_otlp_exporter_drops_on_failure():
+    """A dead endpoint must not raise or stall span recording."""
+    tr = Tracer(otlp_endpoint="http://127.0.0.1:1")  # nothing listens
+    with tr.span("orphan"):
+        pass
+    tr.otlp.flush(timeout_s=2.0)
+    assert len(tr.finished) == 1  # ring buffer unaffected
+    tr.otlp.shutdown()
