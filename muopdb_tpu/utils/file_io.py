@@ -107,57 +107,170 @@ class AppendableFileIO:
         self._f.close()
 
 
+class ObjectStoreAppendableFileIO:
+    """Buffered append stream to an object store via multipart upload
+    (the reference's object-store Env leg has no append — exceeding
+    object_store_file.rs:14-60 — but segment publishing wants one surface).
+
+    `append` buffers; each full `part_size` chunk is shipped as an
+    UploadPart (S3 requires >= 5 MiB for all but the last part).
+    `sync_all`/`close` completes the multipart upload, making the object
+    visible atomically. A never-synced stream aborts on close."""
+
+    MIN_PART = 5 << 20
+
+    def __init__(self, url: str, part_size: int = 8 << 20):
+        from .s3 import S3Client
+
+        scheme, rest = url.split("://", 1)
+        client = _OBJECT_STORES.get(scheme)
+        if client is None and scheme == "s3":
+            client = S3Client()
+            configure_object_store("s3", client)
+        if client is None or not hasattr(client, "create_multipart_upload"):
+            raise NotImplementedError(
+                f"object store for {scheme!r} does not support multipart appends"
+            )
+        self._client = client
+        self._bucket, _, self._key = rest.partition("/")
+        self.part_size = max(part_size, self.MIN_PART)
+        self._buf = bytearray()
+        self._parts: list = []  # (part_number, etag)
+        self._upload_id: Optional[str] = None
+        self._offset = 0
+        self._completed = False
+
+    def _ensure_upload(self) -> str:
+        if self._upload_id is None:
+            self._upload_id = self._client.create_multipart_upload(
+                self._bucket, self._key
+            )
+        return self._upload_id
+
+    def append(self, data: bytes) -> int:
+        off = self._offset
+        self._buf += data
+        self._offset += len(data)
+        while len(self._buf) >= self.part_size:
+            self._ship(self.part_size)
+        return off
+
+    def _ship(self, nbytes: int) -> None:
+        uid = self._ensure_upload()
+        chunk = bytes(self._buf[:nbytes])
+        del self._buf[:nbytes]
+        etag = self._client.upload_part(
+            self._bucket, self._key, uid, len(self._parts) + 1, chunk
+        )
+        self._parts.append((len(self._parts) + 1, etag))
+
+    def flush(self) -> None:
+        pass  # parts ship on size boundaries; completion is sync_all/close
+
+    def sync_all(self) -> None:
+        """Complete the upload — the object becomes visible atomically.
+        (The durability point, like fsync for local appends.)"""
+        if self._completed:
+            return
+        if self._upload_id is None and not self._buf:
+            return  # nothing written
+        if self._buf or not self._parts:
+            self._ship(len(self._buf))  # final (possibly short) part
+        self._client.complete_multipart_upload(
+            self._bucket, self._key, self._upload_id, self._parts
+        )
+        self._completed = True
+
+    def close(self) -> None:
+        if self._completed:
+            return
+        if self._upload_id is not None or self._buf:
+            try:
+                self.sync_all()
+            except Exception:
+                if self._upload_id is not None:
+                    try:
+                        self._client.abort_multipart_upload(
+                            self._bucket, self._key, self._upload_id
+                        )
+                    except Exception:
+                        pass
+                raise
+
+
 class DiskCache:
     """L2 spill cache: evicted memory blocks land as files under a cache
-    directory, bounded by capacity with oldest-mtime eviction
-    (block_cache/disk_cache.rs:10-62 — moka metadata cache whose eviction
-    listener deletes spilled block files)."""
+    directory, bounded by capacity with LRU eviction driven by an
+    IN-MEMORY metadata index (block_cache/disk_cache.rs:10-62 — moka's
+    metadata cache whose eviction listener deletes spilled block files;
+    like moka, eviction never touches the directory listing). The index is
+    rebuilt once at open from the directory, ordered by mtime so the
+    coldest pre-existing spill files evict first."""
 
     def __init__(self, directory: str, capacity_bytes: int = 2 << 30):
         self.directory = directory
         self.capacity_bytes = capacity_bytes
         os.makedirs(directory, exist_ok=True)
         self._lock = threading.Lock()
-        self._size = sum(
-            os.path.getsize(os.path.join(directory, f)) for f in os.listdir(directory)
-        )
+        # filename -> size, in eviction order (oldest first); one startup
+        # scan replaces the per-eviction O(directory) re-listing
+        self._index: "collections.OrderedDict[str, int]" = collections.OrderedDict()
+        entries = []
+        for f in os.listdir(directory):
+            if f.endswith(".tmp"):
+                continue
+            try:
+                st = os.stat(os.path.join(directory, f))
+                entries.append((st.st_mtime, f, st.st_size))
+            except OSError:
+                continue
+        for _, f, sz in sorted(entries):
+            self._index[f] = sz
+        self._size = sum(self._index.values())
+
+    def _name(self, key: Tuple[str, int]) -> str:
+        return hashlib.sha1(f"{key[0]}:{key[1]}".encode()).hexdigest()
 
     def _path(self, key: Tuple[str, int]) -> str:
-        h = hashlib.sha1(f"{key[0]}:{key[1]}".encode()).hexdigest()
-        return os.path.join(self.directory, h)
+        return os.path.join(self.directory, self._name(key))
 
     def get(self, key: Tuple[str, int]) -> Optional[bytes]:
         try:
             with open(self._path(key), "rb") as f:
-                return f.read()
+                data = f.read()
         except FileNotFoundError:
             return None
+        with self._lock:  # touch: recently-read blocks evict last
+            name = self._name(key)
+            if name in self._index:
+                self._index.move_to_end(name)
+        return data
 
     def contains(self, key: Tuple[str, int]) -> bool:
+        with self._lock:
+            if self._name(key) in self._index:
+                return True
         return os.path.exists(self._path(key))
 
     def put(self, key: Tuple[str, int], data: bytes) -> None:
         p = self._path(key)
+        name = self._name(key)
         with self._lock:
             try:
-                if not os.path.exists(p):
+                if name not in self._index and not os.path.exists(p):
                     tmp = p + ".tmp"
                     with open(tmp, "wb") as f:
                         f.write(data)
                     os.rename(tmp, p)
+                    self._index[name] = len(data)
                     self._size += len(data)
-                while self._size > self.capacity_bytes:
-                    entries = [
-                        (os.path.getmtime(os.path.join(self.directory, f)),
-                         os.path.join(self.directory, f))
-                        for f in os.listdir(self.directory)
-                        if not f.endswith(".tmp")
-                    ]
-                    if not entries:
-                        break
-                    _, oldest = min(entries)
-                    self._size -= os.path.getsize(oldest)
-                    os.remove(oldest)
+                while self._size > self.capacity_bytes and self._index:
+                    oldest, sz = self._index.popitem(last=False)
+                    self._size -= sz
+                    try:
+                        os.remove(os.path.join(self.directory, oldest))
+                    except OSError:
+                        pass
             except OSError:
                 pass  # cache is best-effort
 
@@ -460,7 +573,9 @@ class Env:
         """Buffered file-like over an Env-routed FileIO (load paths)."""
         return io.BufferedReader(FileIOStream(self.open(path)))
 
-    def open_append(self, path: str) -> AppendableFileIO:
+    def open_append(self, path: str):
+        if "://" in path:
+            return ObjectStoreAppendableFileIO(path)
         return AppendableFileIO(path)
 
     def close(self, path: str) -> None:

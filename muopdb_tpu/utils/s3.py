@@ -310,6 +310,42 @@ class S3Client:
     def delete_object(self, bucket: str, key: str) -> None:
         self._request("DELETE", bucket, key, ok=(200, 204))
 
+    # ---- multipart upload (the append path's transport) ----
+
+    def create_multipart_upload(self, bucket: str, key: str) -> str:
+        """POST ?uploads -> UploadId."""
+        _, _, data = self._request("POST", bucket, key, query=[("uploads", "")])
+        root = _ET.fromstring(data)
+        ns = root.tag[: root.tag.index("}") + 1] if root.tag.startswith("{") else ""
+        upload_id = root.findtext(f"{ns}UploadId")
+        if not upload_id:
+            raise S3Error(200, "MalformedResponse", "no UploadId in response")
+        return upload_id
+
+    def upload_part(self, bucket: str, key: str, upload_id: str,
+                    part_number: int, data: bytes) -> str:
+        """PUT ?partNumber=&uploadId= -> ETag."""
+        _, rhead, _ = self._request(
+            "PUT", bucket, key,
+            query=[("partNumber", str(part_number)), ("uploadId", upload_id)],
+            body=data,
+        )
+        return rhead.get("etag", "")
+
+    def complete_multipart_upload(self, bucket: str, key: str, upload_id: str,
+                                  parts: List[Tuple[int, str]]) -> None:
+        """POST ?uploadId= with the part manifest."""
+        body = "<CompleteMultipartUpload>" + "".join(
+            f"<Part><PartNumber>{n}</PartNumber><ETag>{etag}</ETag></Part>"
+            for n, etag in sorted(parts)
+        ) + "</CompleteMultipartUpload>"
+        self._request("POST", bucket, key, query=[("uploadId", upload_id)],
+                      body=body.encode())
+
+    def abort_multipart_upload(self, bucket: str, key: str, upload_id: str) -> None:
+        self._request("DELETE", bucket, key, query=[("uploadId", upload_id)],
+                      ok=(200, 204))
+
     def list_objects(self, bucket: str, prefix: str = "") -> Iterator[Tuple[str, int]]:
         """ListObjectsV2 with continuation — yields (key, size)."""
         token: Optional[str] = None

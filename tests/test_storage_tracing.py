@@ -286,3 +286,39 @@ def test_otlp_exporter_drops_on_failure():
     tr.otlp.flush(timeout_s=2.0)
     assert len(tr.finished) == 1  # ring buffer unaffected
     tr.otlp.shutdown()
+
+
+def test_disk_cache_churn_eviction(tmp_path):
+    """Sustained churn stays bounded via the in-memory eviction index, and
+    recently-read blocks survive over cold ones (disk_cache.rs:10-62)."""
+    from muopdb_tpu.utils.file_io import DiskCache
+
+    dc = DiskCache(str(tmp_path), capacity_bytes=10 * 100)
+    for i in range(50):  # 5x capacity of churn
+        dc.put(("f", i), bytes([i % 256]) * 100)
+        dc.get(("f", 0)) if i < 10 else None
+    files = [f for f in os.listdir(tmp_path) if not f.endswith(".tmp")]
+    assert len(files) == 10
+    assert dc._size == 10 * 100
+    # the most recent puts survive
+    for i in range(41, 50):
+        assert dc.get(("f", i)) is not None
+    assert dc.get(("f", 5)) is None  # churned out
+
+
+def test_disk_cache_index_rebuild(tmp_path):
+    """A fresh DiskCache over an existing directory rebuilds its index and
+    evicts the oldest-mtime spill files first."""
+    import time as _t
+    from muopdb_tpu.utils.file_io import DiskCache
+
+    d1 = DiskCache(str(tmp_path), capacity_bytes=1 << 20)
+    d1.put(("f", 1), b"a" * 100)
+    _t.sleep(0.05)  # mtime ordering
+    d1.put(("f", 2), b"b" * 100)
+    d2 = DiskCache(str(tmp_path), capacity_bytes=1 << 20)
+    assert d2._size == 200 and len(d2._index) == 2
+    d2.capacity_bytes = 150
+    d2.put(("f", 3), b"c" * 100)  # forces eviction of ("f",1) then ("f",2)
+    assert d2.get(("f", 1)) is None
+    assert d2.get(("f", 3)) is not None
