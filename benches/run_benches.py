@@ -196,6 +196,37 @@ def bench_elias_fano():
     )
 
 
+def bench_ef_union():
+    """k-way streaming union (or_iter.rs analog) vs whole-decode+np.unique."""
+    from muopdb_tpu import native
+    from muopdb_tpu.compression import EliasFano
+
+    rng = np.random.default_rng(0)
+    lists = [
+        np.unique(rng.integers(0, 50_000_000, 1_000_000)).astype(np.uint64)
+        for _ in range(8)
+    ]
+    blobs = [EliasFano.encode(v, 50_000_000) for v in lists]
+    total = sum(map(len, lists))
+    t0 = time.time()
+    out = native.ef_union(blobs) if native.available() else None
+    t_stream = time.time() - t0
+    t0 = time.time()
+    ref = np.unique(np.concatenate([EliasFano.decode(b) for b in blobs]))
+    t_decode = time.time() - t0
+    if out is not None:
+        assert np.array_equal(out, ref)
+    _report(
+        "ef_union_8x1m",
+        total / t_stream / 1e6 if out is not None else 0.0,
+        "Mints/s streamed",
+        whole_decode_s=round(t_decode, 3),
+        streamed_s=round(t_stream, 3),
+        speedup=round(t_decode / t_stream, 1) if out is not None else 0.0,
+        native=native.available(),
+    )
+
+
 ALL = {
     "insertion": bench_insertion,
     "wal_insertion": bench_wal_insertion,
@@ -204,6 +235,7 @@ ALL = {
     "kmeans": bench_kmeans,
     "pq_distance": bench_pq_distance,
     "elias_fano": bench_elias_fano,
+    "ef_union": bench_ef_union,
 }
 
 

@@ -113,5 +113,25 @@ class EliasFano:
         return np.intersect1d(EliasFano.decode(data), candidates)
 
     @staticmethod
+    def union_many(blobs: list) -> np.ndarray:
+        """Sorted deduped union of several encoded sequences. With the
+        native codec this is a k-way streaming merge over cursors — no list
+        is ever whole-decoded (query/async_iters/or_iter.rs over
+        block_based_decoder.rs); the Python fallback decodes (the
+        behavioral spec where no compiler exists)."""
+        blobs = [b for b in blobs if EliasFano.count(b) > 0]
+        if not blobs:
+            return np.zeros(0, np.uint64)
+        if len(blobs) == 1:
+            return np.unique(EliasFano.decode(blobs[0]))
+        from .. import native
+
+        if native.available():
+            out = native.ef_union(blobs)
+            if out is not None:
+                return out
+        return np.unique(np.concatenate([EliasFano.decode(b) for b in blobs]))
+
+    @staticmethod
     def size_bytes(values: np.ndarray, universe: int | None = None) -> int:
         return len(EliasFano.encode(values, universe))

@@ -32,6 +32,13 @@ class PlainEncoding:
         return int(np.frombuffer(data[:8], np.uint64)[0])
 
     @staticmethod
+    def union_many(blobs: list) -> np.ndarray:
+        seqs = [PlainEncoding.decode(b) for b in blobs if PlainEncoding.count(b)]
+        if not seqs:
+            return np.zeros(0, np.uint64)
+        return np.unique(np.concatenate(seqs))
+
+    @staticmethod
     def intersect(data: bytes, candidates: np.ndarray) -> np.ndarray:
         # plain sequences are already arrays in the blob; searchsorted
         # membership avoids materializing a copy via decode()

@@ -73,6 +73,11 @@ def _bind(lib) -> None:
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
         ctypes.c_void_p, ctypes.c_uint64,
     ]
+    lib.ef_union.restype = ctypes.c_int64
+    lib.ef_union.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_uint64,
+    ]
     lib.hnsw_finalize_edges.restype = None
     lib.hnsw_finalize_edges.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -150,6 +155,30 @@ def ef_intersect(data: bytes, candidates: np.ndarray) -> np.ndarray | None:
         buf.ctypes.data_as(ctypes.c_void_p), len(data),
         cand.ctypes.data_as(ctypes.c_void_p), len(cand),
         out.ctypes.data_as(ctypes.c_void_p), len(out),
+    )
+    if got < 0:
+        return None
+    return out[:got]
+
+
+def ef_union(blobs: list) -> np.ndarray | None:
+    """Streaming k-way union of EF blobs: sorted deduped values without
+    whole-decoding any list (or_iter.rs over block_based_decoder.rs)."""
+    lib = _load()
+    if lib is None or not blobs:
+        return None
+    bufs = [np.frombuffer(b, np.uint8) for b in blobs]
+    ptrs = (ctypes.c_void_p * len(bufs))(
+        *(b.ctypes.data_as(ctypes.c_void_p).value for b in bufs)
+    )
+    lens = np.asarray([len(b) for b in blobs], np.uint64)
+    # union is at most the sum of the headers' counts
+    cap = int(sum(int(np.frombuffer(b[:8], np.uint64)[0]) if len(b) >= 8 else 0
+                  for b in blobs)) or 1
+    out = np.empty(cap, np.uint64)
+    got = lib.ef_union(
+        ptrs, lens.ctypes.data_as(ctypes.c_void_p), len(bufs),
+        out.ctypes.data_as(ctypes.c_void_p), cap,
     )
     if got < 0:
         return None

@@ -45,6 +45,16 @@ static inline void set_bit_le(uint8_t* buf, uint64_t idx) {
 static inline int get_bit_le(const uint8_t* buf, uint64_t idx) {
   return (buf[idx >> 3] >> (idx & 7)) & 1;
 }
+// Extract nbits (<= 57) little-endian bits at bitpos via one word load;
+// buf_len guards the tail (short memcpy near the end of the buffer).
+static inline uint64_t get_bits_le(const uint8_t* buf, uint64_t buf_len,
+                                   uint64_t bitpos, uint64_t nbits) {
+  uint64_t byte = bitpos >> 3;
+  uint64_t word = 0;
+  uint64_t avail = buf_len - byte;
+  std::memcpy(&word, buf + byte, avail >= 8 ? 8 : avail);
+  return (word >> (bitpos & 7)) & ((nbits >= 64) ? ~0ull : ((1ull << nbits) - 1));
+}
 
 // Returns encoded size, or -1 if out_cap too small / input not monotone.
 int64_t ef_encode(const uint64_t* vals, uint64_t n, uint64_t universe,
@@ -103,10 +113,16 @@ int64_t ef_decode(const uint8_t* data, uint64_t len, uint64_t* out,
   uint64_t upper_bits = (len - 24 - lower_len) * 8;
   uint64_t found = 0;
   for (uint64_t pos = 0; pos < upper_bits && found < n; pos++) {
+    if ((pos & 7) == 0) {  // whole-byte skip of zero upper bytes
+      while (pos + 8 <= upper_bits && upper[pos >> 3] == 0) pos += 8;
+      if (pos >= upper_bits) break;
+    }
     if (get_bit_le(upper, pos)) {
       uint64_t hi = pos - found;
       uint64_t lo = 0;
-      if (l) {
+      if (l && l <= 57) {
+        lo = get_bits_le(lower, lower_len, found * l, l);
+      } else if (l) {
         uint64_t base = found * l;
         for (uint64_t b = 0; b < l; b++)
           lo |= ((uint64_t)get_bit_le(lower, base + b)) << b;
@@ -160,7 +176,9 @@ int64_t ef_intersect(const uint8_t* data, uint64_t len,
       if (pos >= upper_bits) break;
       uint64_t hi = pos - found;
       uint64_t lo = 0;
-      if (l) {
+      if (l && l <= 57) {
+        lo = get_bits_le(lower, lower_len, found * l, l);
+      } else if (l) {
         uint64_t base = found * l;
         for (uint64_t bb = 0; bb < l; bb++)
           lo |= ((uint64_t)get_bit_le(lower, base + bb)) << bb;
@@ -175,6 +193,97 @@ int64_t ef_intersect(const uint8_t* data, uint64_t len,
       }
       if (found >= n) break;
     }
+  }
+  return (int64_t)nout;
+}
+
+// Streaming k-way union over several EF blobs (same byte format): sorted,
+// deduplicated values of all sequences. The reference streams OR nodes with
+// incremental decoders (query/async_iters/or_iter.rs over
+// elias_fano/block_based_decoder.rs); this is the same bounded-memory access
+// pattern — one cursor per blob holding O(1) state, zero whole-list decode.
+// Returns values written, -1 on malformed input, -2 if out_cap is too small
+// (callers size out_cap = sum of header counts, which dedup only shrinks).
+
+namespace {
+
+struct EfCursor {
+  const uint8_t* lower;
+  const uint8_t* upper;
+  uint64_t n, l, lower_len, upper_bits, found, pos, cur;
+  bool done;
+
+  bool init(const uint8_t* data, uint64_t len) {
+    if (len < 24) return false;
+    uint64_t u;
+    std::memcpy(&n, data, 8);
+    std::memcpy(&u, data + 8, 8);
+    std::memcpy(&lower_len, data + 16, 8);
+    if (24 + lower_len > len) return false;
+    l = 0;
+    if (n && u / n > 1) l = (uint64_t)std::floor(std::log2((double)u / (double)n));
+    lower = data + 24;
+    upper = data + 24 + lower_len;
+    upper_bits = (len - 24 - lower_len) * 8;
+    found = 0;
+    pos = 0;
+    done = (n == 0);
+    if (!done) advance();
+    return true;
+  }
+
+  void advance() {
+    while (pos < upper_bits && found < n) {
+      if ((pos & 7) == 0) {  // whole-byte skip of zero upper bytes
+        while (pos + 8 <= upper_bits && upper[pos >> 3] == 0) pos += 8;
+        if (pos >= upper_bits) break;
+      }
+      if (get_bit_le(upper, pos)) {
+        uint64_t hi = pos - found;
+        uint64_t lo = 0;
+        if (l && l <= 57) {
+          // one word load per element; the per-bit loop this replaces
+          // dominated the union
+          lo = get_bits_le(lower, lower_len, found * l, l);
+        } else if (l) {  // l in (57, 64): straddles a word boundary
+          uint64_t base = found * l;
+          for (uint64_t b = 0; b < l; b++)
+            lo |= ((uint64_t)get_bit_le(lower, base + b)) << b;
+        }
+        cur = (hi << l) | lo;
+        found++;
+        pos++;
+        return;
+      }
+      pos++;
+    }
+    done = true;
+  }
+};
+
+}  // namespace
+
+int64_t ef_union(const uint8_t* const* blobs, const uint64_t* lens,
+                 uint64_t nlists, uint64_t* out, uint64_t out_cap) {
+  std::vector<EfCursor> cur(nlists);
+  for (uint64_t i = 0; i < nlists; i++)
+    if (!cur[i].init(blobs[i], lens[i])) return -1;
+  uint64_t nout = 0;
+  for (;;) {
+    // linear min scan: OR fan-in is small (tokens per filter), so a heap's
+    // constant factor loses to this at typical k
+    bool any = false;
+    uint64_t m = 0;
+    for (uint64_t i = 0; i < nlists; i++) {
+      if (cur[i].done) continue;
+      if (!any || cur[i].cur < m) m = cur[i].cur;
+      any = true;
+    }
+    if (!any) break;
+    if (nout >= out_cap) return -2;
+    out[nout++] = m;
+    for (uint64_t i = 0; i < nlists; i++)
+      while (!cur[i].done && cur[i].cur == m) cur[i].advance();
   }
   return (int64_t)nout;
 }

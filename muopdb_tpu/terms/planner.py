@@ -112,10 +112,30 @@ class Planner:
                     break
             return acc if acc is not None else self._all_ids()
         if f.op == "or":
-            acc = np.zeros(0, np.uint64)
+            # Blob-level fast path: every single-token Contains child's
+            # posting list joins ONE k-way streaming union (or_iter.rs's OR
+            # alignment — no per-list whole decode); multi-token children
+            # (an AND of their tokens) and non-Contains children evaluate
+            # normally and merge at the end.
+            union_terms: List[str] = []
+            rest: List[np.ndarray] = []
             for c in f.children:
-                acc = np.union1d(acc, self.plan_ids(c))
-            return acc
+                toks = (
+                    tokenize(c.value, self.language) if c.op == "contains" else []
+                )
+                if c.op == "contains" and len(toks) == 1:
+                    union_terms.append(f"{c.attribute}:{toks[0]}")
+                else:
+                    rest.append(self.plan_ids(c))
+            parts = []
+            if union_terms:
+                parts.append(self.term_index.posting_union(union_terms))
+            parts.extend(rest)
+            if not parts:
+                return np.zeros(0, np.uint64)
+            if len(parts) == 1:
+                return parts[0]
+            return np.unique(np.concatenate(parts))
         if f.op == "contains":
             return self._contains_ids(f.attribute, f.value)
         if f.op == "not_contains":

@@ -125,6 +125,19 @@ class TermIndex:
             return np.zeros(0, np.uint64)
         return self._codec.intersect(self._blobs[tid], candidates)
 
+    def posting_union(self, terms: Iterable[str]) -> np.ndarray:
+        """Sorted deduped union over several terms' posting lists in ONE
+        k-way streaming merge (no whole-decode per list above tiny sizes —
+        or_iter.rs's OR alignment over incremental decoders)."""
+        blobs = []
+        for t in terms:
+            tid = self.get_term_id(t)
+            if tid is not None:
+                blobs.append(self._blobs[tid])
+        if not blobs:
+            return np.zeros(0, np.uint64)
+        return self._codec.union_many(blobs)
+
     def terms(self) -> List[str]:
         return list(self._terms)
 

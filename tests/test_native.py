@@ -49,3 +49,43 @@ def test_native_hnsw_finalize(rng):
     for i in range(n):
         row = out[i][out[i] >= 0]
         assert len(set(row.tolist())) == len(row)
+
+
+def test_ef_union_streaming():
+    """k-way streaming union matches whole-decode union (or_iter.rs)."""
+    from muopdb_tpu import native
+    from muopdb_tpu.compression.elias_fano import EliasFano
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    lists = [
+        np.unique(rng.integers(0, 1 << 30, size=int(s))).astype(np.uint64)
+        for s in [1, 10, 1000, 20000, 3]
+    ]
+    blobs = [EliasFano.encode(v, 1 << 30) for v in lists]
+    got = native.ef_union(blobs)
+    expect = np.unique(np.concatenate(lists))
+    assert np.array_equal(got, expect)
+    # empty list participates fine
+    got2 = native.ef_union(blobs + [EliasFano.encode(np.zeros(0, np.uint64))])
+    assert np.array_equal(got2, expect)
+    # duplicates (non-decreasing) within one sequence dedupe
+    dup = np.sort(np.concatenate([lists[2], lists[2][:50]]))
+    got3 = native.ef_union([EliasFano.encode(dup, 1 << 30)])
+    assert np.array_equal(got3, np.unique(dup))
+
+
+def test_ef_union_codec_fallback_parity():
+    """EliasFano.union_many gives identical results with and without the
+    native path (the Python fallback is the spec)."""
+    from muopdb_tpu import native
+    from muopdb_tpu.compression.elias_fano import EliasFano
+
+    rng = np.random.default_rng(3)
+    lists = [np.unique(rng.integers(0, 100000, 5000)).astype(np.uint64)
+             for _ in range(3)]
+    blobs = [EliasFano.encode(v, 100000) for v in lists]
+    via_codec = EliasFano.union_many(blobs)
+    expect = np.unique(np.concatenate(lists))
+    assert np.array_equal(via_codec, expect)

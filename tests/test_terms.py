@@ -203,3 +203,36 @@ def test_stemming_all_19_languages_covered():
     assert tokenize("evlerden", "turkish") == tokenize("ev", "turkish") == ["ev"]
     assert tokenize("άνθρωποι", "greek") == tokenize("άνθρωπος", "greek")
     assert tokenize("புத்தகங்கள்", "tamil") == tokenize("புத்தகங்களில்", "tamil")
+
+
+def test_planner_or_streams_blob_union(rng, monkeypatch):
+    """OR of single-token Contains children rides ONE k-way posting_union
+    (or_iter.rs analog); mixed children still merge correctly."""
+    from muopdb_tpu.terms.term_index import TermIndexBuilder
+    from muopdb_tpu.terms.planner import Filter, Planner
+
+    b = TermIndexBuilder()
+    for pid, words in enumerate(
+        ["fox jumps", "lazy dog", "fox dog", "quick brown", "dog fox jumps"]
+    ):
+        b.add_terms(pid, [f"body:{w}" for w in words.split()])
+    ti = b.build()
+    calls = {"union": 0}
+    orig = ti.posting_union
+    def spy(terms):
+        calls["union"] += 1
+        return orig(terms)
+    monkeypatch.setattr(ti, "posting_union", spy)
+    pl = Planner(ti, num_points=5, language="no_stem")
+    f = Filter.or_(Filter.contains("body", "fox"), Filter.contains("body", "lazy"))
+    got = pl.plan_ids(f)
+    assert sorted(got.tolist()) == [0, 1, 2, 4]
+    assert calls["union"] == 1  # single fused union, no per-child decode
+    # mixed OR: a multi-token contains (AND of its tokens) + an ids child
+    f2 = Filter.or_(
+        Filter.contains("body", "fox jumps"),  # pids 0, 4
+        Filter.ids_([3]),
+        Filter.contains("body", "lazy"),       # pid 1 via blob union
+    )
+    got2 = pl.plan_ids(f2)
+    assert sorted(got2.tolist()) == [0, 1, 3, 4]
