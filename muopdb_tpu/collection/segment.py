@@ -179,6 +179,15 @@ class MutableSegment:
                     max_iter=25,
                     num_training_rows=cfg.product_quantization_num_training_rows,
                 )
+        elif cfg.quantization_type == QuantizerType.RABITQ:
+            from ..quantization import RaBitQ
+
+            all_vecs = [r[1] for rows in rows_snapshot.values() for r in rows]
+            if all_vecs:
+                quantizer = RaBitQ(dim=cfg.num_features).train(
+                    np.stack(all_vecs),
+                    num_training_rows=cfg.product_quantization_num_training_rows,
+                )
 
         os.makedirs(directory, exist_ok=True)
         index = msb.build(quantizer=quantizer)

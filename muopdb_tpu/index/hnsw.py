@@ -945,8 +945,17 @@ class HnswIndex:
                     jnp.asarray(np.asarray(point_ids, np.int32))
                 ].set(False)
 
-    # routing layers beyond this many members fall back to beam descent
-    ROUTING_SCAN_MAX = 131_072
+    # routing layers beyond this many members fall back to beam descent.
+    # Round 3 capped this at 131k (f32 routing vectors, unchunked (B, n1)
+    # score matrix); the scan now stores routing vectors bf16 and chunks
+    # queries, so the cap is HBM-budget math, not a recall cliff: 2M members
+    # x 1024 dims bf16 = 4 GB worst case, and at the benchmark shapes
+    # (10M x 128 -> 625k members x 128) it is 160 MB. Routing stays EXACT —
+    # the property that beats cascaded layer descent (0.58-0.61 recall at
+    # 500k) — at any n the members fit; past it, descent remains.
+    ROUTING_SCAN_MAX = 2_097_152
+    # score-matrix budget for one routing-scan chunk (f32 cells)
+    _ROUTING_SCORE_BUDGET = 128 * 1024 * 1024
 
     def _routing_members(self):
         """Layer-1 member ids (lazy device array)."""
@@ -956,11 +965,15 @@ class HnswIndex:
         return self._routing_ids
 
     def _routing(self):
-        """Layer-1 member ids/vectors for the scan route (lazy; exact f32).
-        Vectors are only materialized when the scan route is actually used."""
+        """Layer-1 member ids/vectors for the scan route (lazy). Vectors are
+        stored bf16 (halves the HBM stream; seeds are re-scored exactly by
+        the layer-0 beam's final f32 rerank) and only materialized when the
+        scan route is actually used."""
         rid = self._routing_members()
         if self._routing_vectors is None:
-            self._routing_vectors = self.vectors[rid]
+            self._routing_vectors = self.vectors[rid].astype(
+                jnp.bfloat16 if self.search_bf16 else jnp.float32
+            )
         return rid, self._routing_vectors
 
     def search(self, queries, k: int = 10, ef_search: int = 100, max_hops: int | None = None,
@@ -1003,9 +1016,25 @@ class HnswIndex:
             and int(self._routing_members().shape[0]) > 0
         ):
             rid, rv = self._routing()
-            dd = _exact_dist(q, rv, dt)
-            _, sel = jax.lax.top_k(-dd, min(e_desc, int(rv.shape[0])))
-            entry = rid[sel]  # (B, e_desc) exact best routing members
+            n_route = int(rv.shape[0])
+            kk = min(e_desc, n_route)
+            # chunk queries so the (B, n_route) score matrix stays inside
+            # the budget (625k members at 10M x 128 -> 53 queries/chunk at
+            # 128M cells); chunks chain as async dispatches
+            qchunk = max(8, self._ROUTING_SCORE_BUDGET // max(n_route, 1))
+            qchunk = 1 << (qchunk.bit_length() - 1)
+            if b <= qchunk:
+                dd = _exact_dist(q.astype(rv.dtype), rv, dt)
+                _, sel = jax.lax.top_k(-dd, kk)
+            else:
+                pad = (-b) % qchunk
+                qp = jnp.pad(q, ((0, pad), (0, 0))).astype(rv.dtype)
+                sels = [
+                    jax.lax.top_k(-_exact_dist(qp[s : s + qchunk], rv, dt), kk)[1]
+                    for s in range(0, b + pad, qchunk)
+                ]
+                sel = jnp.concatenate(sels)[:b]
+            entry = rid[sel]  # (B, e_desc) best routing members (bf16-exact)
         else:
             # (also reached when route="scan" was requested but the routing
             # set is empty — an empty entry array would never seed the beam

@@ -40,6 +40,7 @@ from ..ops.kmeans import kmeans, kmeans_multi
 from ..ops.topk import top_k_smallest
 from ..quantization import NoQuantizer, ProductQuantizer
 from ..quantization.pq import adc_scores
+from ..quantization.rabitq import RaBitQ
 from ..utils.ids import pack_u128s
 from ..utils.vector_storage import AppendableVectorStorage
 from ..utils import search_stats
@@ -722,6 +723,92 @@ def _fused_flat_probed_masked(q, vectors_padded, valid, centroids, point_owner, 
     return d, jnp.where(jnp.isinf(d), -1, i)
 
 
+def _rabitq_scores_full(q, signs_padded, od, osc, centroid, rotation, n,
+                        use_pallas: bool, distance_type: str):
+    """Whole-index RaBitQ estimate sweep: one sign matmul + elementwise
+    corrections (quantization/rabitq.py estimator)."""
+    from ..quantization.rabitq import _sign_dots, estimate_from_dots
+
+    d = q.shape[1]
+    if distance_type in ("L2", "l2"):
+        qc = q - centroid[None, :]
+        qd = jnp.linalg.norm(qc, axis=1)
+        q_bar = (qc @ rotation) / jnp.maximum(qd, 1e-12)[:, None]
+        qdc = qn = None
+    else:
+        qn = jnp.linalg.norm(q, axis=1)
+        q_bar = (q @ rotation) / jnp.maximum(qn, 1e-12)[:, None]
+        qdc = q @ centroid
+        qd = None
+    dots = _sign_dots(q_bar, signs_padded, use_pallas)[:, :n] / np.sqrt(d)
+    return estimate_from_dots(dots, qd, od[:n], osc[:n], qdc, qn, distance_type)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rerank", "use_pallas", "distance_type"))
+def _fused_rabitq_batched(q, signs_padded, od, osc, centroid, rotation,
+                          raw_vectors, valid, *, k: int, rerank: int,
+                          use_pallas: bool, distance_type: str = "L2"):
+    """Whole-index RaBitQ search — sign-matmul first stage + approx-topk +
+    exact rerank + final topk as ONE program. Strictly exceeds the
+    reference, whose rabitq crate is unwired (rabitq/mod.rs:6)."""
+    n = valid.shape[0]
+    scores = _rabitq_scores_full(
+        q, signs_padded, od, osc, centroid, rotation, n, use_pallas, distance_type
+    )
+    scores = jnp.where(valid[None, :], scores, jnp.inf)
+    return _finish(q, scores, raw_vectors, k, rerank, distance_type)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "rerank", "nprobe", "centroid_distance_ratio",
+                              "use_pallas", "distance_type")
+)
+def _fused_rabitq_probed_masked(q, signs_padded, od, osc, centroid, rotation,
+                                raw_vectors, valid, centroids, point_owner, *,
+                                k: int, rerank: int, nprobe: int,
+                                centroid_distance_ratio: float,
+                                use_pallas: bool, distance_type: str = "L2"):
+    """Probed RaBitQ search as full estimate sweep + probe mask."""
+    n = valid.shape[0]
+    probe, probe_ok = _probe(
+        q, centroids, nprobe=nprobe, centroid_distance_ratio=centroid_distance_ratio,
+        distance_type=distance_type,
+    )
+    scores = _rabitq_scores_full(
+        q, signs_padded, od, osc, centroid, rotation, n, use_pallas, distance_type
+    )
+    c = centroids.shape[0]
+    probe_sel = jnp.zeros((q.shape[0], c), bool).at[
+        jnp.arange(q.shape[0])[:, None], probe
+    ].set(probe_ok)
+    point_probed = probe_sel[:, point_owner]
+    scores = jnp.where(point_probed & valid[None, :], scores, jnp.inf)
+    return _finish(q, scores, raw_vectors, k, rerank, distance_type)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "rerank", "use_pallas", "distance_type", "centroids_count"),
+)
+def _fused_rabitq_explicit_probes(q, probe, probe_ok, signs_padded, od, osc,
+                                  centroid, rotation, raw_vectors, valid,
+                                  point_owner, *, centroids_count: int, k: int,
+                                  rerank: int, use_pallas: bool,
+                                  distance_type: str = "L2"):
+    """search_with_probes for RaBitQ: caller-supplied probes (SPANN's
+    centroid HNSW) become the probe mask over the estimate sweep."""
+    n = valid.shape[0]
+    scores = _rabitq_scores_full(
+        q, signs_padded, od, osc, centroid, rotation, n, use_pallas, distance_type
+    )
+    probe_sel = jnp.zeros((q.shape[0], centroids_count), bool).at[
+        jnp.arange(q.shape[0])[:, None], probe
+    ].set(probe_ok)
+    point_probed = probe_sel[:, point_owner]
+    scores = jnp.where(point_probed & valid[None, :], scores, jnp.inf)
+    return _finish(q, scores, raw_vectors, k, rerank, distance_type)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "rerank", "use_pallas", "distance_type", "int8_adc"))
 def _fused_pq_batched(q, codes_t_padded, codebook, raw_vectors, valid, *,
                       k: int, rerank: int, use_pallas: bool, distance_type: str = "L2",
@@ -793,6 +880,7 @@ class IvfIndex:
         raw_vectors=None,
         point_owner=None,
         codes_t_host=None,
+        rabitq_codes_host=None,
     ):
         self.centroids = jnp.asarray(centroids)
         # pow2_pad appends sentinel centroids at 1e15 (from_posting_lists);
@@ -850,6 +938,32 @@ class IvfIndex:
             ct = np.zeros((codes_t_host.shape[0], num_points + padn), np.uint8)
             ct[:, :num_points] = codes_t_host
             self._codes_t_padded = jnp.asarray(ct)  # (m, Npad) uint8, ONE upload
+        # RaBitQ staging: point-order sign rows (int8, pad 0 = neutral) and
+        # the estimator's per-point scalars, each ONE upload. The sign block
+        # feeds the Pallas sign_dot_scan (1024-row tiles).
+        self._rabitq = None  # (signs_padded (Npad, d) i8, od (N,) f32, osc (N,) f32)
+        if isinstance(self.quantizer, RaBitQ) and num_points > 0:
+            from ..quantization.rabitq import _unpack_codes
+
+            if rabitq_codes_host is None:
+                # load()/reconstruction path: scatter point-order codes from
+                # the packed blocks' host copies
+                pos = np.asarray(pos_to_point).reshape(-1)
+                data = np.asarray(pl_data).reshape(pos.shape[0], -1)
+                rabitq_codes_host = np.zeros(
+                    (num_points, self.quantizer.quantized_dim), np.int8
+                )
+                sel = pos >= 0
+                rabitq_codes_host[pos[sel]] = data[sel].astype(np.int8)
+            signs, od, osc = _unpack_codes(rabitq_codes_host, self.quantizer.dim)
+            padn = (-num_points) % 1024
+            sp = np.zeros((num_points + padn, self.quantizer.dim), np.int8)
+            sp[:num_points] = signs.astype(np.int8)
+            self._rabitq = (
+                jnp.asarray(sp),
+                jnp.asarray(od.astype(np.float32)),
+                jnp.asarray(np.maximum(osc, 1e-12).astype(np.float32)),
+            )
         # owning posting list per point — lets the probed plan run as
         # full-scan + probe mask at large batch sizes. When the builder knows
         # each point's nearest (first) assignment it passes it in; the layout
@@ -962,9 +1076,10 @@ class IvfIndex:
             block_rows=block_rows,
             raw_vectors=vectors_device if vectors_device is not None else vectors,
             point_owner=point_owner,
-            # PQ payload is already the point-order code table: hand it to
-            # __init__ so it never reconstructs codes by re-fetching blocks
+            # PQ/RaBitQ payload is already the point-order code table: hand
+            # it to __init__ so it never reconstructs codes from blocks
             codes_t_host=payload.T if is_pq else None,
+            rabitq_codes_host=payload if isinstance(quantizer, RaBitQ) else None,
         )
 
     # -- mutation (deletions only; the index itself is immutable) --------
@@ -1075,6 +1190,28 @@ class IvfIndex:
         # gather plan remains for explicitly-probed SPANN searches
         # (search_with_probes) and legacy indexes without a raw store;
         # a streamed gather kernel only pays off at ~10M+ flat points.
+        if self._rabitq is not None and self.raw_vectors is not None:
+            signs, od, osc = self._rabitq
+            rr = rerank if rerank else max(4 * k, 128)  # estimates need rerank
+            return _run_query_chunked(
+                q,
+                self.num_points,
+                lambda qc: _fused_rabitq_probed_masked(
+                    qc, signs, od, osc,
+                    jnp.asarray(self.quantizer.centroid),
+                    jnp.asarray(self.quantizer.rotation),
+                    self._rerank_vectors(),
+                    self._merged_valid(filter_mask),
+                    self.centroids,
+                    self.point_owner,
+                    k=k,
+                    rerank=rr,
+                    nprobe=nprobe,
+                    centroid_distance_ratio=centroid_distance_ratio,
+                    use_pallas=jax.default_backend() not in ("cpu",),
+                    distance_type=self._dt,
+                ),
+            )
         if (
             not isinstance(self.quantizer, ProductQuantizer)
             and self.raw_vectors is not None
@@ -1179,6 +1316,25 @@ class IvfIndex:
             jnp.asarray(probe), jnp.asarray(probe_ok), self.list_block_start,
             p_cap=p_cap, max_blocks=self.max_blocks,
         )
+        if self._rabitq is not None:
+            # RaBitQ codes in pl_data are sign rows, not vectors: run the
+            # estimate sweep with the caller's probes as the mask
+            signs, od, osc = self._rabitq
+            rr = rerank if rerank else max(4 * k, 128)
+            d, i = _fused_rabitq_explicit_probes(
+                q, jnp.asarray(probe), jnp.asarray(probe_ok), signs, od, osc,
+                jnp.asarray(self.quantizer.centroid),
+                jnp.asarray(self.quantizer.rotation),
+                self._rerank_vectors(),
+                valid[: self.num_points],
+                self.point_owner,
+                centroids_count=int(self.centroids.shape[0]),
+                k=k,
+                rerank=rr if self.raw_vectors is not None else 0,
+                use_pallas=jax.default_backend() not in ("cpu",),
+                distance_type=self._dt,
+            )
+            return d, i
         if isinstance(self.quantizer, ProductQuantizer):
             lut = self.quantizer.compute_lut(q, self.distance_type)
             rr = rerank if (rerank and self.raw_vectors is not None) else 0
@@ -1232,6 +1388,24 @@ class IvfIndex:
         q = jnp.asarray(np.asarray(queries, np.float32))
         n = self.num_points
         use_pallas = jax.default_backend() not in ("cpu",)
+        if self._rabitq is not None:
+            signs, od, osc = self._rabitq
+            rr = rerank if rerank else max(4 * k, 128)
+            return _run_query_chunked(
+                q,
+                n,
+                lambda qc: _fused_rabitq_batched(
+                    qc, signs, od, osc,
+                    jnp.asarray(self.quantizer.centroid),
+                    jnp.asarray(self.quantizer.rotation),
+                    self._rerank_vectors(),
+                    self._merged_valid(None),
+                    k=k,
+                    rerank=rr if self.raw_vectors is not None else 0,
+                    use_pallas=use_pallas,
+                    distance_type=self._dt,
+                ),
+            )
         if isinstance(self.quantizer, ProductQuantizer):
             assert self._codes_t_padded is not None
             return _run_query_chunked(

@@ -33,6 +33,54 @@ def _scan_kernel(q_ref, x_ref, out_ref):
     out_ref[:] = jnp.maximum(qsq + xsq - 2.0 * cross, 0.0)
 
 
+def _sign_kernel(q_ref, s_ref, out_ref):
+    q = q_ref[:]
+    # int8 {-1,+1} -> bf16 in VMEM: sign values are exact in bf16, so the
+    # matmul runs at full MXU rate while HBM streams 1 byte/element
+    s = s_ref[:].astype(jnp.bfloat16)
+    out_ref[:] = jax.lax.dot_general(
+        q.astype(jnp.bfloat16),
+        s,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def sign_dot_scan(
+    queries: jax.Array,  # (B, d) f32
+    signs: jax.Array,  # (N, d) int8 in {-1,+1}, N multiple of block_r
+    *,
+    block_r: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Raw dot of every query against every sign row: (B, N) f32.
+
+    The RaBitQ first-stage sweep (quantization/rabitq.py): 24x fewer MXU
+    FLOPs than the ADC one-hot path at m=16/ksub=256 for d=128, at equal
+    bytes/point."""
+    b, d = queries.shape
+    n = signs.shape[0]
+    assert n % block_r == 0
+    grid = (n // block_r,)
+    return pl.pallas_call(
+        _sign_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, block_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n,
+            bytes_accessed=n * d + 4 * b * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, signs)
+
+
 @functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
 def flat_full_scan(
     queries: jax.Array,  # (B, d) f32

@@ -1,6 +1,7 @@
 from .base import Quantizer  # noqa: F401
 from .noq import NoQuantizer  # noqa: F401
 from .pq import ProductQuantizer  # noqa: F401
+from .rabitq import RaBitQ  # noqa: F401
 
 from ..config import CollectionConfig, QuantizerType
 
@@ -14,6 +15,11 @@ def from_config(config: CollectionConfig):
             subvector_dim=config.product_quantization_subvector_dimension,
             num_bits=config.product_quantization_num_bits,
         )
+    if config.quantization_type == QuantizerType.RABITQ:
+        # config-file-only selection: the wire proto's quantizer enum stops
+        # at ProductQuantizer (enums.rs:11-19), matching the reference's
+        # unwired crate; JSON CollectionConfig accepts "RaBitQ"
+        return RaBitQ(dim=config.num_features)
     return NoQuantizer(dim=config.num_features)
 
 
@@ -27,5 +33,9 @@ def load_dir(directory: str):
 
     with open_reader(os.path.join(directory, "quantizer_config.json")) as f:
         cfg = json.load(f)
-    cls = {"NoQuantizer": NoQuantizer, "ProductQuantizer": ProductQuantizer}[cfg["type"]]
+    cls = {
+        "NoQuantizer": NoQuantizer,
+        "ProductQuantizer": ProductQuantizer,
+        "RaBitQ": RaBitQ,
+    }[cfg["type"]]
     return cls.load(directory)

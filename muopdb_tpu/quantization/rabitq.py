@@ -1,11 +1,25 @@
-"""RaBitQ binary quantization (experimental — parity with the reference's
-unwired rabitq crate, quantization/src/rabitq/mod.rs:6-31, rabitq_builder.rs:35-63).
+"""RaBitQ binary quantization, wired as a first-stage search filter.
 
-Implements the RaBitQ paper's construction: center data, apply a random
-orthogonal rotation (QR of a Gaussian), store sign-bit codes plus the two
-per-vector scalars the unbiased distance estimator needs. On TPU the
-rotation is a matmul and sign-code scoring is a {-1,+1} matmul on the MXU —
-binary codes score at full matrix-unit rate.
+Reference parity and beyond: the reference implements the RaBitQ paper's
+construction (quantization/src/rabitq/rabitq_builder.rs:35-63 — center,
+random orthogonal rotation via QR of a Gaussian, sign-bit codes, precomputed
+correction scalars; struct documented rabitq/mod.rs:6-31) but never wires it
+into an index. Here it is a full `Quantizer` selectable via
+CollectionConfig.quantization_type = "RaBitQ", and the IVF plans use it as
+an MXU-rate first stage (index/ivf.py `_fused_rabitq_*`).
+
+Why this is THE MXU-friendly quantizer: scoring sign codes is one
+{-1,+1} matmul — `q_bar @ signs^T` — which runs at full matrix-unit rate
+with d-wide rows (128 bits/vector at d=128, the same memory as PQ m=16),
+whereas the ADC one-hot-matmul trick burns ksub=256x the useful FLOPs per
+lookup. The unbiased estimator then needs only elementwise corrections, and
+an exact top-R rerank restores the final ranking.
+
+Code layout (self-contained rows, so codes flow through the existing packed
+block machinery unchanged): (N, d + 8) int8 —
+  [:d]      signs in {-1,+1}
+  [d:d+4]   ||o - c||            (f32 little-endian bytes)
+  [d+4:d+8] <o_bar, x_bar>       (f32 little-endian bytes)
 """
 
 from __future__ import annotations
@@ -17,86 +31,171 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .base import Quantizer
 
-class RaBitQ:
-    def __init__(self, dim: int):
-        self.dim = dim
-        self.centroid = None  # (d,)
-        self.rotation = None  # (d, d) orthogonal
-        self.signs = None  # (N, d) float32 in {-1,+1} (bit-packed on save)
-        self.dist_to_centroid = None  # (N,) ||o_r - c||
-        self.dot_scale = None  # (N,) <o_bar, x_bar> term of the estimator
 
-    def build(self, vectors, *, key=None):
+def _pack_codes(signs: np.ndarray, od: np.ndarray, osc: np.ndarray) -> np.ndarray:
+    n, d = signs.shape
+    out = np.empty((n, d + 8), np.int8)
+    out[:, :d] = signs
+    scal = np.stack([od.astype(np.float32), osc.astype(np.float32)], 1)  # (N, 2)
+    out[:, d:] = scal.view(np.uint8).reshape(n, 8).view(np.int8)
+    return out
+
+
+def _unpack_codes(codes: np.ndarray, d: int):
+    codes = np.asarray(codes, np.int8)
+    signs = codes[:, :d].astype(np.float32)
+    scal = np.ascontiguousarray(codes[:, d:]).view(np.uint8).view(np.float32)
+    return signs, scal[:, 0], scal[:, 1]
+
+
+def unpack_codes_device(codes: jax.Array, d: int):
+    """(N, d+8) int8 -> (signs int8 (N, d), od f32 (N,), osc f32 (N,)) on
+    device (bitcast, no host round trip) — used by jitted scan plans."""
+    signs = codes[:, :d]
+    tail = codes[:, d:].astype(jnp.uint8).reshape(codes.shape[0], 2, 4)
+    scal = jax.lax.bitcast_convert_type(tail, jnp.float32)  # (N, 2)
+    return signs, scal[:, 0], scal[:, 1]
+
+
+def estimate_from_dots(dots, q_dist, od, osc, q_dot_c=None, q_norm=None,
+                       distance_type: str = "L2"):
+    """Turn raw sign-dot products into distance estimates (elementwise).
+
+    dots: (B, N) = <q_bar, signs>/sqrt(d) where q_bar is the unit rotated
+    (centered for L2) query. The paper's unbiased estimator:
+      est<q_bar, o_bar> = dots / <o_bar, x_bar>
+      L2:  ||q-o||^2 ~ qd^2 + od^2 - 2 od qd est
+      dot: <q, o>    ~ <q, c> + od * ||q|| * est   (score = negated)
+    """
+    est = dots / jnp.maximum(osc[None, :], 1e-12)
+    if distance_type in ("L2", "l2"):
+        return q_dist[:, None] ** 2 + od[None, :] ** 2 - 2.0 * od[None, :] * q_dist[:, None] * est
+    return -(q_dot_c[:, None] + od[None, :] * q_norm[:, None] * est)
+
+
+def _sign_dots(q_bar, signs, use_pallas: bool):
+    """(B, d) f32 x (N, d) int8 -> (B, N) f32 raw dots. On TPU the Pallas
+    kernel streams int8 blocks and converts to bf16 in VMEM (sign values are
+    exact in bf16); elsewhere one XLA matmul."""
+    if use_pallas and signs.shape[0] % 1024 == 0:
+        from ..ops.pallas.scan import sign_dot_scan
+
+        return sign_dot_scan(q_bar, signs)
+    return q_bar @ signs.T.astype(jnp.float32)
+
+
+class RaBitQ(Quantizer):
+    """Sign-bit quantizer with the RaBitQ unbiased distance estimator."""
+
+    code_dtype = np.dtype(np.int8)
+
+    def __init__(self, dim: int, centroid=None, rotation=None):
+        self._dim = dim
+        self.centroid = None if centroid is None else np.asarray(centroid, np.float32)
+        self.rotation = None if rotation is None else np.asarray(rotation, np.float32)
+
+    # -- Quantizer surface -------------------------------------------------
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    @property
+    def quantized_dim(self) -> int:
+        return self._dim + 8
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroid is not None
+
+    def train(self, vectors, *, key=None, num_training_rows: int | None = None,
+              **_ignored) -> "RaBitQ":
+        """Centroid + random orthogonal rotation (rabitq_builder.rs:35-56).
+        `vectors` only feeds the centroid; the rotation is data-independent."""
         x = np.asarray(vectors, np.float32)
-        n, d = x.shape
-        assert d == self.dim
+        if num_training_rows and len(x) > num_training_rows:
+            sel = np.random.default_rng(0).choice(len(x), num_training_rows, replace=False)
+            x = x[sel]
+        assert x.shape[1] == self._dim
+        self.centroid = x.mean(0).astype(np.float32)
         key = key if key is not None else jax.random.key(0)
-        self.centroid = x.mean(0)
-        g = jax.random.normal(key, (d, d), dtype=jnp.float32)
+        g = jax.random.normal(key, (self._dim, self._dim), dtype=jnp.float32)
         q, _ = jnp.linalg.qr(g)
-        self.rotation = np.asarray(q)
-
-        centered = x - self.centroid
-        self.dist_to_centroid = np.linalg.norm(centered, axis=1)
-        # rotate into the quantization basis
-        rotated = centered @ self.rotation
-        signs = np.where(rotated >= 0, 1.0, -1.0).astype(np.float32)
-        self.signs = signs
-        # <o_bar, x_bar>: cosine between the unit data vector and its
-        # quantized direction; the estimator's correction scale.
-        norm = np.maximum(self.dist_to_centroid, 1e-12)
-        o_bar = rotated / norm[:, None]
-        x_bar = signs / np.sqrt(d)
-        self.dot_scale = np.maximum((o_bar * x_bar).sum(1), 1e-12)
+        self.rotation = np.asarray(q, np.float32)
         return self
 
-    def estimate_distances(self, queries) -> np.ndarray:
-        """Unbiased squared-L2 estimates: (B, d) -> (B, N).
-
-        ||q - o||^2 ~= ||q - c||^2 + ||o - c||^2 + 2 * ||o - c|| * est<q_bar, o_bar>
-        where est<q_bar,o_bar> = <q_bar, x_bar> / <o_bar, x_bar>.
-        """
-        q = np.asarray(queries, np.float32)
-        qc = q - self.centroid
-        q_dist = np.linalg.norm(qc, axis=1)  # (B,)
-        q_rot = jnp.asarray(qc) @ jnp.asarray(self.rotation)  # (B, d)
-        q_bar = np.asarray(q_rot) / np.maximum(q_dist, 1e-12)[:, None]
-        # <q_bar, x_bar>: binary-code matmul — runs on the MXU at full rate
-        dots = np.asarray(
-            jnp.asarray(q_bar)
-            @ (jnp.asarray(self.signs).T / np.sqrt(self.dim))
-        )  # (B, N)
-        est_cos = dots / self.dot_scale[None, :]
-        return (
-            q_dist[:, None] ** 2
-            + self.dist_to_centroid[None, :] ** 2
-            - 2.0 * self.dist_to_centroid[None, :] * q_dist[:, None] * est_cos
+    def quantize(self, vectors) -> np.ndarray:
+        """(N, d) -> (N, d+8) int8 self-contained code rows. Accepts host or
+        device arrays; the rotation matmul runs on device either way."""
+        assert self.is_trained, "RaBitQ.train() must run before quantize()"
+        xj = vectors if isinstance(vectors, jax.Array) else jnp.asarray(
+            np.asarray(vectors, np.float32)
+        )
+        centered = xj - jnp.asarray(self.centroid)[None, :]
+        od = jnp.linalg.norm(centered, axis=1)
+        rotated = centered @ jnp.asarray(self.rotation)
+        signs = jnp.where(rotated >= 0, 1, -1).astype(jnp.int8)
+        o_bar = rotated / jnp.maximum(od, 1e-12)[:, None]
+        osc = jnp.maximum(
+            (o_bar * (signs.astype(jnp.float32) / np.sqrt(self._dim))).sum(1), 1e-12
+        )
+        return _pack_codes(
+            np.asarray(signs), np.asarray(od), np.asarray(osc)
         )
 
+    def original_vectors(self, codes) -> np.ndarray:
+        """Best-effort reconstruction: c + od * (x_bar dir rotated back).
+        (Binary codes are directional; this is the estimator's implied o.)"""
+        signs, od, _osc = _unpack_codes(codes, self._dim)
+        x_bar = signs / np.sqrt(self._dim)
+        direction = x_bar @ self.rotation.T  # unit-ish in original basis
+        return (self.centroid[None, :] + od[:, None] * direction).astype(np.float32)
+
+    def query_terms(self, queries, distance_type: str = "L2"):
+        """Per-query estimator inputs: (q_bar (B, d), q_dist, q_dot_c, q_norm).
+        For L2 q_bar is the unit ROTATED CENTERED query; for dot it is the
+        unit rotated (uncentered) query."""
+        q = queries if isinstance(queries, jax.Array) else jnp.asarray(
+            np.asarray(queries, np.float32)
+        )
+        c = jnp.asarray(self.centroid)
+        r = jnp.asarray(self.rotation)
+        if distance_type in ("L2", "l2"):
+            qc = q - c[None, :]
+            qd = jnp.linalg.norm(qc, axis=1)
+            q_bar = (qc @ r) / jnp.maximum(qd, 1e-12)[:, None]
+            return q_bar, qd, None, None
+        qn = jnp.linalg.norm(q, axis=1)
+        q_bar = (q @ r) / jnp.maximum(qn, 1e-12)[:, None]
+        return q_bar, None, q @ c, qn
+
+    def distances(self, queries, codes, distance_type: str = "L2"):
+        """(B, d) x (N, d+8) -> (B, N) estimated distances (XLA path; the
+        fused index plans inline the same math with the Pallas sign scan)."""
+        signs, od, osc = _unpack_codes(np.asarray(codes), self._dim)
+        q_bar, qd, qdc, qn = self.query_terms(queries, distance_type)
+        dots = (q_bar @ jnp.asarray(signs).T) / np.sqrt(self._dim)
+        return estimate_from_dots(
+            dots, qd, jnp.asarray(od), jnp.asarray(osc), qdc, qn, distance_type
+        )
+
+    # -- persistence (codes live in the index, like the PQ codebook split) --
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
         np.savez(
             os.path.join(directory, "rabitq.npz"),
             centroid=self.centroid,
             rotation=self.rotation,
-            bits=np.packbits(self.signs > 0, axis=1),
-            dist_to_centroid=self.dist_to_centroid,
-            dot_scale=self.dot_scale,
         )
         with open(os.path.join(directory, "quantizer_config.json"), "w") as f:
-            json.dump({"type": "RaBitQ", "dim": self.dim}, f)
+            json.dump({"type": "RaBitQ", "dim": self._dim}, f)
 
     @classmethod
     def load(cls, directory: str) -> "RaBitQ":
-        with open(os.path.join(directory, "quantizer_config.json")) as f:
+        from ..utils.file_io import open_reader
+
+        with open_reader(os.path.join(directory, "quantizer_config.json")) as f:
             cfg = json.load(f)
-        z = np.load(os.path.join(directory, "rabitq.npz"))
-        rq = cls(cfg["dim"])
-        rq.centroid = z["centroid"]
-        rq.rotation = z["rotation"]
-        bits = np.unpackbits(z["bits"], axis=1)[:, : cfg["dim"]]
-        rq.signs = np.where(bits > 0, 1.0, -1.0).astype(np.float32)
-        rq.dist_to_centroid = z["dist_to_centroid"]
-        rq.dot_scale = z["dot_scale"]
-        return rq
+        z = np.load(open_reader(os.path.join(directory, "rabitq.npz")))
+        return cls(cfg["dim"], centroid=z["centroid"], rotation=z["rotation"])

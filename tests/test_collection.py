@@ -496,3 +496,21 @@ def test_batched_remove_counts(tmp_path, rng):
     col.flush()
     # mix of present, absent, and duplicate ids in one batched call
     assert col.remove(1, [3, 4, 4, 999]) == 2
+
+
+def test_collection_rabitq_config(tmp_path, rng):
+    """End-to-end flush -> search with quantization_type = RaBitQ (config-
+    file selectable plan; exceeds the reference's unwired rabitq crate)."""
+    col = Collection(
+        "c", str(tmp_path / "c"),
+        _config(num_features=16, quantization_type=QuantizerType.RABITQ),
+    )
+    x = _insert_n(col, 300, rng=rng)
+    col.flush()
+    snap = col.get_snapshot()
+    try:
+        res = snap.search_for_users([1], x[:4], k=5, num_explored_centroids=4)
+        for i, row in enumerate(res):
+            assert row and row[0][0] == i  # self-hit at rank 1
+    finally:
+        snap.release()

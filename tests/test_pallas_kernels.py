@@ -48,3 +48,16 @@ def test_adc_int8_close_to_exact(rng):
         top_w = set(np.argsort(want[r])[:20].tolist())
         top_g = set(np.argsort(got[r])[:20].tolist())
         assert len(top_w & top_g) >= 15
+
+
+def test_sign_dot_scan_matches_matmul(rng):
+    from muopdb_tpu.ops.pallas.scan import sign_dot_scan
+
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    signs = rng.choice([-1, 1], size=(256, 64)).astype(np.int8)
+    got = np.asarray(
+        sign_dot_scan(jnp.asarray(q), jnp.asarray(signs), block_r=128, interpret=True)
+    )
+    # bf16 cross-term rounding: compare against a bf16-rounded oracle bound
+    exact = q @ signs.astype(np.float32).T
+    np.testing.assert_allclose(got, exact, rtol=2e-2, atol=2e-1)

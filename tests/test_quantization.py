@@ -100,8 +100,10 @@ def test_rabitq_estimates_order(tmp_path, rng):
     d = 64
     x = rng.standard_normal((500, d)).astype(np.float32)
     q = x[:4] + 0.05 * rng.standard_normal((4, d)).astype(np.float32)
-    rq = RaBitQ(d).build(x)
-    est = rq.estimate_distances(q)
+    rq = RaBitQ(d).train(x)
+    codes = rq.quantize(x)
+    assert codes.shape == (500, d + 8) and codes.dtype == np.int8
+    est = np.asarray(rq.distances(q, codes))
     true = ((q[:, None] - x[None]) ** 2).sum(-1)
     # top-1 by estimate should be in true top-20 for most queries
     hits = sum(
@@ -110,4 +112,54 @@ def test_rabitq_estimates_order(tmp_path, rng):
     assert hits >= 3
     rq.save(str(tmp_path))
     rq2 = RaBitQ.load(str(tmp_path))
-    np.testing.assert_allclose(rq2.estimate_distances(q), est, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rq2.distances(q, codes)), est,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_rabitq_code_pack_roundtrip(rng):
+    from muopdb_tpu.quantization.rabitq import _unpack_codes, unpack_codes_device
+    import jax.numpy as jnp
+
+    d = 32
+    x = rng.standard_normal((100, d)).astype(np.float32)
+    rq = RaBitQ(d).train(x)
+    codes = rq.quantize(x)
+    signs, od, osc = _unpack_codes(codes, d)
+    assert set(np.unique(signs)) <= {-1.0, 1.0}
+    np.testing.assert_allclose(od, np.linalg.norm(x - rq.centroid, axis=1), rtol=1e-5)
+    # device bitcast unpack agrees with the host view
+    s2, od2, osc2 = unpack_codes_device(jnp.asarray(codes), d)
+    np.testing.assert_array_equal(np.asarray(s2), signs.astype(np.int8))
+    np.testing.assert_allclose(np.asarray(od2), od, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(osc2), osc, rtol=1e-6)
+
+
+def test_rabitq_dot_metric_estimates(rng):
+    d = 48
+    x = rng.standard_normal((400, d)).astype(np.float32)
+    x *= rng.uniform(0.5, 2.0, (400, 1)).astype(np.float32)  # varied norms
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    rq = RaBitQ(d).train(x)
+    est = np.asarray(rq.distances(q, rq.quantize(x), distance_type="dot"))
+    true = -(q @ x.T)
+    hits = sum(int(np.argmin(est[i]) in np.argsort(true[i])[:20]) for i in range(4))
+    assert hits >= 3
+
+
+def test_rabitq_reconstruction_direction(rng):
+    d = 32
+    x = rng.standard_normal((200, d)).astype(np.float32)
+    rq = RaBitQ(d).train(x)
+    rec = rq.original_vectors(rq.quantize(x))
+    # reconstruction preserves distance-to-centroid and rough direction
+    np.testing.assert_allclose(
+        np.linalg.norm(rec - rq.centroid, axis=1),
+        np.linalg.norm(x - rq.centroid, axis=1), rtol=1e-4,
+    )
+    cen = x - rq.centroid
+    cos = (rec - rq.centroid[None]) * cen
+    cos = cos.sum(1) / np.maximum(
+        np.linalg.norm(rec - rq.centroid[None], axis=1) * np.linalg.norm(cen, axis=1),
+        1e-9,
+    )
+    assert cos.mean() > 0.6  # RaBitQ's expected <o_bar, x_bar> ~ 0.8/sqrt(1)
