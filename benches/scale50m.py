@@ -1,0 +1,270 @@
+"""50M+ vectors served from ONE chip with the raw store ON DISK.
+
+The reference's core identity is serving indexes bigger than memory off
+disk (ivf/block_based/index.rs:175-237 reads posting lists and vectors
+through mmap/BlockCache and is never fully resident). This harness proves
+the TPU translation at 50M x 128 (raw store 25.6 GB > 16 GB HBM):
+
+  on chip   PQ codes (m, Npad) uint8      0.8 GB   (+ RaBitQ signs 6.4 GB)
+  on disk   f32 raw store (np.memmap)    25.6 GB
+  per query top-R candidate rows cross host->device for exact rerank
+
+Build never ships the raw store across the WAN tunnel: chunks are
+GENERATED TWICE from the same jax PRNG keys — once on the TPU (codes,
+ground truth, owners) and once on the host CPU backend (the disk store).
+jax's threefry PRNG is platform-deterministic; the float transforms can
+differ in final ulps between backends, which the harness measures and
+logs (irrelevant to recall at these magnitudes).
+
+Usage: python benches/scale50m.py [--n 50000000] [--quant both]
+One JSON line per measurement on stdout; stage logs on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_T0 = time.time()
+
+
+def _log(msg):
+    print(f"[scale50m +{time.time()-_T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=50_000_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--nlist", type=int, default=8192)
+    ap.add_argument("--chunk", type=int, default=1_000_000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--rerank", type=int, default=2048)
+    ap.add_argument("--quant", choices=["pq", "rabitq", "both"], default="both")
+    ap.add_argument("--raw-path", default="/tmp/scale50m_raw.bin")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-host-store", action="store_true",
+                    help="reuse an existing raw file (resume after a build)")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from muopdb_tpu.index.streamed import StreamedIndex
+    from muopdb_tpu.ops.distance import l2_distance
+    from muopdb_tpu.ops.kmeans import kmeans
+    from muopdb_tpu.quantization import ProductQuantizer, RaBitQ
+
+    n, d, m, chunk = args.n, args.d, args.m, args.chunk
+    assert n % chunk == 0, "--n must be a multiple of --chunk (one program shape)"
+    nch = n // chunk
+    results = []
+
+    def emit(row):
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    cpu = jax.devices("cpu")[0]
+
+    # ---- generators (identical code, two backends)
+    n_modes = max(4096, 4096 * n // 1_000_000)
+    key = jax.random.key(0)
+    k_modes, k_loop = jax.random.split(key)
+
+    def _gen(modes_in, k):
+        ka, kb = jax.random.split(k)
+        assign = jax.random.randint(ka, (chunk,), 0, n_modes)
+        return modes_in[assign] + jax.random.normal(kb, (chunk, d), jnp.float32)
+
+    gen_dev = jax.jit(_gen)
+    with jax.default_device(cpu):
+        gen_cpu = jax.jit(_gen, backend="cpu")
+
+    t0 = time.time()
+    modes = jax.random.normal(k_modes, (n_modes, d), jnp.float32) * 1.5
+    with jax.default_device(cpu):
+        modes_cpu = jax.device_put(np.asarray(modes), cpu)
+    chunk_keys = jax.random.split(k_loop, nch)
+    _log(f"{n_modes} modes staged on both backends in {time.time()-t0:.1f}s")
+
+    # ---- chunk 0: queries, training samples, coarse centroids
+    t0 = time.time()
+    x0 = gen_dev(modes, chunk_keys[0])
+    kq1, kq2 = jax.random.split(jax.random.key(7))
+    qsel = jax.random.randint(kq1, (args.batch,), 0, chunk)
+    qj = x0[qsel] + 0.1 * jax.random.normal(kq2, (args.batch, d), jnp.float32)
+    sample = x0[:: max(1, chunk // 131_072)][:131_072]
+    pq = None
+    rq = None
+    if args.quant in ("pq", "both"):
+        pq = ProductQuantizer(dim=d, subvector_dim=d // m).train(
+            np.asarray(sample), max_iter=15
+        )
+    if args.quant in ("rabitq", "both"):
+        rq = RaBitQ(dim=d).train(np.asarray(sample[:65536]))
+    cents = kmeans(sample, args.nlist, key=jax.random.key(3), max_iter=10).centroids
+    jax.block_until_ready(cents)
+    _log(f"chunk0 + quantizer training + {args.nlist} centroids in {time.time()-t0:.1f}s")
+
+    # ---- device-side accumulators, written in place (donated buffers:
+    # a concat at the end would transiently double the 6.4 GB sign store)
+    codes_buf = jnp.zeros((n, m), jnp.uint8) if pq is not None else None
+    signs_buf = jnp.zeros((n, d), jnp.int8) if rq is not None else None
+    od_buf = jnp.zeros((n,), jnp.float32) if rq is not None else None
+    osc_buf = jnp.zeros((n,), jnp.float32) if rq is not None else None
+    owner_buf = jnp.zeros((n,), jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def put2d(buf, part, start):
+        return jax.lax.dynamic_update_slice(buf, part, (start, 0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def put1d(buf, part, start):
+        return jax.lax.dynamic_update_slice(buf, part, (start,))
+
+    @jax.jit
+    def owner_of(xc):
+        # sub-chunked argmin: (chunk, nlist) whole would be 32 GB at 1M x 8k
+        def one(xs):
+            return jnp.argmin(l2_distance(xs, cents), axis=-1).astype(jnp.int32)
+        return jax.lax.map(one, xc.reshape(8, chunk // 8, d)).reshape(-1)
+
+    @jax.jit
+    def gt_step(xc, base):
+        def one(xs_off):
+            xs, off = xs_off
+            dist = l2_distance(qj, xs)
+            nd, ni = jax.lax.top_k(-dist, args.k)
+            return -nd, ni + base + off
+        offs = jnp.arange(8) * (chunk // 8)
+        nd, ni = jax.lax.map(one, (xc.reshape(8, chunk // 8, d), offs))
+        # merge the 8 partial top-k sets
+        nd = nd.transpose(1, 0, 2).reshape(args.batch, -1)
+        ni = ni.transpose(1, 0, 2).reshape(args.batch, -1)
+        best = jnp.argsort(nd, axis=1)[:, : args.k]
+        return jnp.take_along_axis(nd, best, 1), jnp.take_along_axis(ni, best, 1)
+
+    raw = None
+    if not args.skip_host_store:
+        raw = np.memmap(args.raw_path, dtype=np.float32, mode="w+", shape=(n, d))
+
+    gt_parts = []
+    t_build = time.time()
+    drift_checked = False
+    for ci in range(nch):
+        t0 = time.time()
+        xc = x0 if ci == 0 else gen_dev(modes, chunk_keys[ci])
+        base = ci * chunk
+        if pq is not None:
+            codes_buf = put2d(codes_buf, pq.quantize_device(xc), base)
+        if rq is not None:
+            sg, odc, oscc = rq.quantize_device(xc)
+            signs_buf = put2d(signs_buf, sg, base)
+            od_buf = put1d(od_buf, odc, base)
+            osc_buf = put1d(osc_buf, oscc, base)
+        owner_buf = put1d(owner_buf, owner_of(xc), base)
+        gt_parts.append(gt_step(xc, base))
+        t_dev = time.time() - t0
+        t0 = time.time()
+        if raw is not None:
+            with jax.default_device(cpu):
+                xh = gen_cpu(modes_cpu, jax.device_put(chunk_keys[ci], cpu))
+            xh_np = np.asarray(xh)
+            if not drift_checked:
+                drift = float(np.max(np.abs(xh_np[:1024] - np.asarray(xc[:1024]))))
+                _log(f"cross-backend generation drift (max abs, 1024 rows): {drift:.2e}")
+                emit({"bench": "scale50m_gen_drift", "value": drift, "unit": "max_abs"})
+                drift_checked = True
+            raw[base : base + chunk] = xh_np
+        if ci == 0:
+            del x0
+        del xc
+        if ci % 5 == 0 or ci == nch - 1:
+            _log(f"chunk {ci + 1}/{nch}: device {t_dev:.1f}s, host+disk {time.time()-t0:.1f}s")
+    if raw is not None:
+        raw.flush()
+
+    # resolve ground truth (fetch only (B, k) pairs per chunk)
+    host = [(np.asarray(dd), np.asarray(ii)) for dd, ii in gt_parts]
+    all_d = np.concatenate([p[0] for p in host], axis=1)
+    all_i = np.concatenate([p[1] for p in host], axis=1)
+    sel = np.argsort(all_d, axis=1)[:, : args.k]
+    truth = np.take_along_axis(all_i, sel, axis=1)
+    build_s = time.time() - t_build
+    emit({"bench": "scale50m_build", "n": n, "d": d, "m": m,
+          "value": round(build_s, 1), "unit": "seconds",
+          "raw_store_gb": round(n * d * 4 / 2**30, 1), "hbm_codes_gb":
+          round((n * m / 2**30 if pq else 0) + (n * (d + 8) / 2**30 if rq else 0), 2)})
+
+    raw_ro = np.memmap(args.raw_path, dtype=np.float32, mode="r", shape=(n, d))
+
+    def recall(ids):
+        ids = np.asarray(ids)
+        return float(np.mean([
+            len(set(ids[r].tolist()) & set(truth[r].tolist())) / args.k
+            for r in range(len(ids))
+        ]))
+
+    q_host = np.asarray(qj)
+
+    def measure(idx, tag):
+        # batch-256 throughput (stage 1 chunked on device; ONE stage-2 hop)
+        t0 = time.time()
+        dd, ii = idx.search(q_host, k=args.k, rerank=args.rerank)
+        jax.block_until_ready(dd)
+        t_first = time.time() - t0
+        rec = recall(ii)
+        _log(f"{tag}: first run {t_first:.1f}s recall {rec:.4f}")
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            dd, ii = idx.search(q_host, k=args.k, rerank=args.rerank)
+            jax.block_until_ready(dd)
+        dt = (time.time() - t0) / reps
+        emit({"bench": f"scale50m_{tag}_batch{args.batch}",
+              "value": round(args.batch / dt, 1), "unit": "qps",
+              "recall@10": round(rec, 4), "rerank": args.rerank,
+              "note": "stage2 gathers rerank rows from the on-disk store"})
+        # batch-8 low-latency
+        t0 = time.time()
+        for _ in range(reps):
+            dd8, _ = idx.search(q_host[:8], k=args.k, rerank=args.rerank)
+            jax.block_until_ready(dd8)
+        ms = (time.time() - t0) / reps * 1000.0
+        emit({"bench": f"scale50m_{tag}_batch8", "value": round(ms, 1),
+              "unit": "ms_per_request", "rerank": args.rerank,
+              "note": "includes WAN tunnel round trips (stage1 fetch + stage2)"})
+
+    if pq is not None:
+        idx_pq = StreamedIndex(pq, codes_buf, raw_ro, centroids=cents,
+                               point_owner=owner_buf, raw_path=args.raw_path)
+        measure(idx_pq, "pq")
+        del idx_pq, codes_buf
+    if rq is not None:
+        idx_rq = StreamedIndex(rq, (signs_buf, od_buf, osc_buf), raw_ro,
+                               centroids=cents, point_owner=owner_buf,
+                               raw_path=args.raw_path)
+        measure(idx_rq, "rabitq")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for row in results:
+                f.write(json.dumps(row) + "\n")
+    _log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,2 +1,3 @@
 from .flat import FlatIndex  # noqa: F401
 from .ivf import IvfBuilder, IvfIndex  # noqa: F401
+from .streamed import StreamedIndex  # noqa: F401

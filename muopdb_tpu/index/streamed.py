@@ -1,0 +1,313 @@
+"""Serving indexes larger than HBM: codes on chip, raw store on disk.
+
+The reference's defining property is on-disk serving — posting lists and
+vectors are read through mmap/BlockCache at query time and never fully
+resident (ivf/block_based/index.rs:175-237, block_cache/cache.rs:292-385).
+The TPU translation keeps the *scanned* representation (PQ or RaBitQ codes,
+16 bytes/point at the benchmark configs) resident in HBM — 100M x 128-d
+IVF-PQ codes are 1.6 GB of a 16 GB chip — while the f32 rerank store lives
+on DISK (or any Env-routed source) and only the top-R candidate rows per
+query ever cross host->device.
+
+Search is two stages:
+  1. one fused device program: code sweep (ADC one-hot matmul or RaBitQ
+     sign matmul) -> approx top-R candidate ids         [device]
+  2. gather R rows/query from the on-disk store (mmap page cache / Env
+     BlockCache), one upload, exact rerank + final top-k [device]
+
+Stage 2's host hop is the on-disk DB's inherent cost; it moves
+B * R * d * 4 bytes (6.5 MB at B=8, R=2048, d=128), not the store.
+
+HBM budget at n points, d=128, m=16, batch B:
+  codes (m, Npad) uint8            n * 16 B     (1.6 GB at 100M)
+  score matrix (chunked)           <= B_c * n * 4 B
+  rerank rows                      B * R * d * 4 B
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import rerank_scores
+from ..ops.topk import top_k_smallest
+from ..quantization import ProductQuantizer, RaBitQ
+from .ivf import (
+    _adc_scores_full,
+    _fused_query_chunk,
+    _probe,
+    _rabitq_scores_full,
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r", "nprobe", "use_pallas", "distance_type", "int8_adc"),
+)
+def _stage1_pq(q, codes_t_padded, codebook, valid, centroids, point_owner, *,
+               r: int, nprobe: int, use_pallas: bool, distance_type: str,
+               int8_adc: bool):
+    """Code sweep -> approx top-r candidate (scores, ids). nprobe=0 scans
+    everything; nprobe>0 masks by probed posting list (point_owner)."""
+    from ..quantization.pq import _compute_lut_dot, _compute_lut_l2
+
+    lut = (_compute_lut_l2 if distance_type == "L2" else _compute_lut_dot)(q, codebook)
+    n = valid.shape[0]
+    scores = _adc_scores_full(lut, codes_t_padded, n, use_pallas, int8_adc)
+    mask = valid[None, :]
+    if nprobe > 0:
+        probe, probe_ok = _probe(q, centroids, nprobe=nprobe,
+                                 distance_type=distance_type)
+        probe_sel = jnp.zeros((q.shape[0], centroids.shape[0]), bool).at[
+            jnp.arange(q.shape[0])[:, None], probe
+        ].set(probe_ok)
+        mask = mask & probe_sel[:, point_owner]
+    scores = jnp.where(mask, scores, jnp.inf)
+    neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
+    return -neg, ci.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "nprobe", "use_pallas", "distance_type")
+)
+def _stage1_rabitq(q, signs_padded, od, osc, centroid, rotation, valid,
+                   centroids, point_owner, *, r: int, nprobe: int,
+                   use_pallas: bool, distance_type: str):
+    n = valid.shape[0]
+    scores = _rabitq_scores_full(
+        q, signs_padded, od, osc, centroid, rotation, n, use_pallas, distance_type
+    )
+    mask = valid[None, :]
+    if nprobe > 0:
+        probe, probe_ok = _probe(q, centroids, nprobe=nprobe,
+                                 distance_type=distance_type)
+        probe_sel = jnp.zeros((q.shape[0], centroids.shape[0]), bool).at[
+            jnp.arange(q.shape[0])[:, None], probe
+        ].set(probe_ok)
+        mask = mask & probe_sel[:, point_owner]
+    scores = jnp.where(mask, scores, jnp.inf)
+    neg, ci = jax.lax.approx_max_k(-scores, r, recall_target=0.95)
+    return -neg, ci.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "distance_type"))
+def _stage2_rerank(q, rows, cand_ids, cand_ok, *, k: int, distance_type: str):
+    """Exact rerank of gathered rows: (B, R, d) f32 -> (B, k)."""
+    exact = rerank_scores(q, rows, distance_type)
+    exact = jnp.where(cand_ok, exact, jnp.inf)
+    d, i = top_k_smallest(exact, cand_ids, k)
+    return d, jnp.where(jnp.isinf(d), -1, i)
+
+
+class StreamedIndex:
+    """Two-stage larger-than-HBM index: device code sweep + on-disk rerank.
+
+    `raw_store` is any host row-indexable (N, d) float source — an
+    np.memmap over the raw file is the standard form (reads ride the OS
+    page cache, the mmap Env leg's behavior); np.ndarray works for tests.
+    """
+
+    def __init__(self, quantizer, codes, raw_store, *, doc_ids=None,
+                 centroids=None, point_owner=None, distance_type: str = "L2",
+                 raw_path: Optional[str] = None):
+        n = len(raw_store)
+        self.num_points = n
+        self.quantizer = quantizer
+        self.raw_store = raw_store
+        self.raw_path = raw_path
+        self.dim = int(raw_store.shape[1])
+        self.distance_type = distance_type
+        self.doc_ids = doc_ids  # optional (N, 2) uint64
+        self.point_valid_host = np.ones(n, bool)
+        self._valid_dev = None
+        # probed mode needs a coarse structure; full-sweep mode does not
+        # device inputs stay on device (at 50-100M a host round trip of the
+        # coarse structure alone is hundreds of MB through the tunnel)
+        self.centroids = (
+            centroids.astype(jnp.float32) if isinstance(centroids, jax.Array)
+            else jnp.asarray(np.asarray(centroids, np.float32))
+            if centroids is not None else jnp.zeros((1, self.dim), jnp.float32)
+        )
+        self.point_owner = (
+            point_owner.astype(jnp.int32) if isinstance(point_owner, jax.Array)
+            else jnp.asarray(np.asarray(point_owner, np.int32))
+            if point_owner is not None else jnp.zeros((n,), jnp.int32)
+        )
+        if isinstance(quantizer, ProductQuantizer):
+            if isinstance(codes, jax.Array):  # (N, m) uint8 device-born
+                padn = (-n) % 512
+                self._codes_t_padded = jnp.pad(codes.T, ((0, 0), (0, padn)))
+            else:
+                codes = np.asarray(codes)
+                padn = (-n) % 512
+                ct = np.zeros((codes.shape[1], n + padn), np.uint8)
+                ct[:, :n] = codes.T
+                self._codes_t_padded = jnp.asarray(ct)
+            self._rabitq = None
+        elif isinstance(quantizer, RaBitQ):
+            if isinstance(codes, tuple):  # device-born (signs, od, osc)
+                signs, od, osc = codes
+                padn = (-n) % 1024
+                self._rabitq = (
+                    jnp.pad(signs, ((0, padn), (0, 0))),
+                    od.astype(jnp.float32),
+                    jnp.maximum(osc.astype(jnp.float32), 1e-12),
+                )
+            else:
+                from ..quantization.rabitq import _unpack_codes
+
+                signs, od, osc = _unpack_codes(np.asarray(codes), quantizer.dim)
+                padn = (-n) % 1024
+                sp = np.zeros((n + padn, quantizer.dim), np.int8)
+                sp[:n] = signs.astype(np.int8)
+                self._rabitq = (
+                    jnp.asarray(sp),
+                    jnp.asarray(od.astype(np.float32)),
+                    jnp.asarray(np.maximum(osc, 1e-12).astype(np.float32)),
+                )
+            self._codes_t_padded = None
+        else:
+            raise ValueError("StreamedIndex needs a PQ or RaBitQ quantizer")
+
+    @property
+    def _dt(self) -> str:
+        return "L2" if self.distance_type in ("L2", "l2") else "dot"
+
+    def _valid(self):
+        if self._valid_dev is None:
+            self._valid_dev = jnp.asarray(self.point_valid_host.copy())
+        return self._valid_dev
+
+    def invalidate(self, point_ids) -> None:
+        if len(point_ids):
+            self.point_valid_host[np.asarray(point_ids, np.int64)] = False
+            self._valid_dev = None
+
+    def candidates(self, queries, r: int, *, nprobe: int = 0):
+        """Stage 1 only: (scores, ids) of the approx top-r code candidates."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        use_pallas = jax.default_backend() not in ("cpu",)
+        r = min(r, self.num_points)
+        chunk = _fused_query_chunk(int(q.shape[0]), self.num_points)
+        outs = []
+        for s in range(0, q.shape[0], chunk):
+            qc = q[s : s + chunk]
+            if self._rabitq is not None:
+                signs, od, osc = self._rabitq
+                outs.append(_stage1_rabitq(
+                    qc, signs, od, osc,
+                    jnp.asarray(self.quantizer.centroid),
+                    jnp.asarray(self.quantizer.rotation),
+                    self._valid(), self.centroids, self.point_owner,
+                    r=r, nprobe=nprobe, use_pallas=use_pallas,
+                    distance_type=self._dt,
+                ))
+            else:
+                outs.append(_stage1_pq(
+                    qc, self._codes_t_padded,
+                    jnp.asarray(self.quantizer.codebook),
+                    self._valid(), self.centroids, self.point_owner,
+                    r=r, nprobe=nprobe, use_pallas=use_pallas,
+                    distance_type=self._dt,
+                    int8_adc=use_pallas and os.environ.get("MUOPDB_ADC_INT8", "1") != "0",
+                ))
+        if len(outs) == 1:
+            return outs[0]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+
+    def search(self, queries, k: int = 10, *, rerank: int = 2048, nprobe: int = 0):
+        """Full two-stage search. Returns (dists (B, k), point_ids (B, k)).
+
+        The stage-1 -> stage-2 boundary is the one host round trip the
+        on-disk design requires: candidate ids come back, their rows are
+        gathered from the disk store, and one upload feeds the exact rerank.
+        """
+        q = np.asarray(queries, np.float32)
+        sc, ci = self.candidates(q, rerank, nprobe=nprobe)
+        sc = np.asarray(sc)
+        ci = np.asarray(ci)
+        ok = np.isfinite(sc)
+        safe = np.where(ok, ci, 0)
+        # host gather from the disk store: R rows/query through the page
+        # cache — the only part of the raw store this query ever touches
+        rows = np.asarray(self.raw_store[safe.reshape(-1)], np.float32).reshape(
+            ci.shape[0], ci.shape[1], self.dim
+        )
+        return _stage2_rerank(
+            jnp.asarray(q), jnp.asarray(rows), jnp.asarray(ci), jnp.asarray(ok),
+            k=min(k, self.num_points), distance_type=self._dt,
+        )
+
+    def search_doc_ids(self, queries, k: int = 10, **kw):
+        d, i = self.search(queries, k, **kw)
+        d, i = np.asarray(d), np.asarray(i)
+        out = []
+        for r in range(len(i)):
+            pairs = []
+            for c in range(i.shape[1]):
+                if i[r, c] >= 0 and np.isfinite(d[r, c]) and self.doc_ids is not None:
+                    lo, hi = self.doc_ids[i[r, c]]
+                    pairs.append(((int(hi) << 64) | int(lo), float(d[r, c])))
+            out.append(pairs)
+        return out
+
+    # -- persistence -------------------------------------------------------
+    def save(self, directory: str) -> None:
+        """Codes + metadata beside the raw file (which stays where it is —
+        at 100M x 128 it is 51 GB and belongs on its disk)."""
+        os.makedirs(directory, exist_ok=True)
+        arrays = {
+            "point_valid": self.point_valid_host,
+            "centroids": np.asarray(self.centroids),
+            "point_owner": np.asarray(self.point_owner),
+        }
+        if self.doc_ids is not None:
+            arrays["doc_ids"] = np.asarray(self.doc_ids)
+        if self._codes_t_padded is not None:
+            arrays["codes_t"] = np.asarray(self._codes_t_padded)[:, : self.num_points]
+        else:
+            from ..quantization.rabitq import _pack_codes
+
+            signs, od, osc = self._rabitq
+            arrays["rabitq_codes"] = _pack_codes(
+                np.asarray(signs)[: self.num_points],
+                np.asarray(od), np.asarray(osc),
+            )
+        np.savez(os.path.join(directory, "streamed.npz"), **arrays)
+        self.quantizer.save(directory)
+        with open(os.path.join(directory, "streamed.json"), "w") as f:
+            json.dump({
+                "num_points": self.num_points,
+                "dim": self.dim,
+                "distance_type": self.distance_type,
+                "raw_path": self.raw_path,
+                "raw_dtype": str(self.raw_store.dtype),
+            }, f)
+
+    @classmethod
+    def load(cls, directory: str, raw_path: Optional[str] = None) -> "StreamedIndex":
+        from ..quantization import load_dir
+
+        with open(os.path.join(directory, "streamed.json")) as f:
+            meta = json.load(f)
+        z = np.load(os.path.join(directory, "streamed.npz"))
+        raw_path = raw_path or meta["raw_path"]
+        raw = np.memmap(raw_path, dtype=np.dtype(meta["raw_dtype"]), mode="r",
+                        shape=(meta["num_points"], meta["dim"]))
+        quantizer = load_dir(directory)
+        codes = z["codes_t"].T if "codes_t" in z.files else z["rabitq_codes"]
+        inst = cls(
+            quantizer, codes, raw,
+            doc_ids=z["doc_ids"] if "doc_ids" in z.files else None,
+            centroids=z["centroids"], point_owner=z["point_owner"],
+            distance_type=meta["distance_type"], raw_path=raw_path,
+        )
+        inst.point_valid_host = z["point_valid"].copy()
+        return inst

@@ -149,6 +149,16 @@ class ProductQuantizer(Quantizer):
             out[s : s + chunk] = np.asarray(_encode(xs, cb), dtype=np.uint8)
         return out
 
+    def quantize_device(self, xj: jax.Array) -> jax.Array:
+        """Device-resident encode: (N, d) device -> (N, m) uint8 device,
+        nothing fetched (the >=10M build path, where a code fetch is
+        hundreds of MB through the serving tunnel)."""
+        assert self.is_trained, "train() first"
+        m, dsub = self.num_subvectors, self.subvector_dim
+        cb = jnp.asarray(self.codebook)
+        xs = xj.reshape(-1, m, dsub).transpose(1, 0, 2)
+        return _encode(xs, cb).astype(jnp.uint8)
+
     def original_vectors(self, codes) -> np.ndarray:
         return np.asarray(_decode(jnp.asarray(codes, jnp.int32), jnp.asarray(self.codebook)))
 

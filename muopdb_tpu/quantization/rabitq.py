@@ -128,10 +128,17 @@ class RaBitQ(Quantizer):
     def quantize(self, vectors) -> np.ndarray:
         """(N, d) -> (N, d+8) int8 self-contained code rows. Accepts host or
         device arrays; the rotation matmul runs on device either way."""
-        assert self.is_trained, "RaBitQ.train() must run before quantize()"
         xj = vectors if isinstance(vectors, jax.Array) else jnp.asarray(
             np.asarray(vectors, np.float32)
         )
+        signs, od, osc = self.quantize_device(xj)
+        return _pack_codes(np.asarray(signs), np.asarray(od), np.asarray(osc))
+
+    def quantize_device(self, xj: jax.Array):
+        """Device-resident encode: (N, d) device -> (signs (N, d) int8,
+        od (N,) f32, osc (N,) f32), all on device — the staging triple the
+        streamed/fused plans consume, with no host round trip."""
+        assert self.is_trained, "RaBitQ.train() must run before quantize()"
         centered = xj - jnp.asarray(self.centroid)[None, :]
         od = jnp.linalg.norm(centered, axis=1)
         rotated = centered @ jnp.asarray(self.rotation)
@@ -140,9 +147,7 @@ class RaBitQ(Quantizer):
         osc = jnp.maximum(
             (o_bar * (signs.astype(jnp.float32) / np.sqrt(self._dim))).sum(1), 1e-12
         )
-        return _pack_codes(
-            np.asarray(signs), np.asarray(od), np.asarray(osc)
-        )
+        return signs, od, osc
 
     def original_vectors(self, codes) -> np.ndarray:
         """Best-effort reconstruction: c + od * (x_bar dir rotated back).

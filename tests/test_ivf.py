@@ -230,3 +230,61 @@ def test_ivf_rabitq_dot_metric(rng):
         len(set(np.asarray(got)[i]) & set(exact[i])) / 10 for i in range(8)
     ])
     assert rec >= 0.85
+
+
+def test_streamed_index_pq_and_rabitq(tmp_path, rng):
+    """Larger-than-HBM serving shape: codes on device, raw store on disk
+    (memmap), only top-R rows cross for exact rerank
+    (block_cache/cache.rs:292-385's never-fully-resident role)."""
+    from muopdb_tpu.index.streamed import StreamedIndex
+    from muopdb_tpu.quantization import ProductQuantizer, RaBitQ
+
+    d, n = 32, 3000
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    raw_path = str(tmp_path / "raw.bin")
+    mm = np.memmap(raw_path, dtype=np.float32, mode="w+", shape=(n, d))
+    mm[:] = x
+    mm.flush()
+    raw = np.memmap(raw_path, dtype=np.float32, mode="r", shape=(n, d))
+    q = x[:8] + 0.01 * rng.standard_normal((8, d)).astype(np.float32)
+    exact = np.argsort(((q[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, :10]
+
+    for quant in (
+        ProductQuantizer(dim=d, subvector_dim=4).train(x, max_iter=8),
+        RaBitQ(dim=d).train(x),
+    ):
+        idx = StreamedIndex(quant, quant.quantize(x), raw, raw_path=raw_path)
+        _, got = idx.search(q, k=10, rerank=400)
+        got = np.asarray(got)
+        rec = np.mean([len(set(got[i]) & set(exact[i])) / 10 for i in range(8)])
+        assert rec >= 0.9, (type(quant).__name__, rec)
+        # deletions act on the candidate mask
+        idx.invalidate(exact[0])
+        _, got2 = idx.search(q[:1], k=10, rerank=400)
+        assert not (set(np.asarray(got2)[0]) & set(exact[0]))
+        # save/load round trip (codes + meta; raw stays on its disk)
+        sd = str(tmp_path / f"s_{type(quant).__name__}")
+        idx.save(sd)
+        idx2 = StreamedIndex.load(sd)
+        assert not idx2.point_valid_host[exact[0]].any()
+        _, got3 = idx2.search(q[1:2], k=10, rerank=400)
+        assert set(np.asarray(got3)[0]) == set(np.asarray(idx.search(q[1:2], k=10, rerank=400)[1])[0])
+
+
+def test_streamed_index_probed_mode(rng):
+    """nprobe>0 masks stage 1 by coarse posting list via point_owner."""
+    from muopdb_tpu.index.streamed import StreamedIndex
+    from muopdb_tpu.quantization import ProductQuantizer
+
+    d, n, c = 16, 2000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cents = x[rng.choice(n, c, replace=False)]
+    owner = np.argmin(((x[:, None] - cents[None]) ** 2).sum(-1), axis=1)
+    pq = ProductQuantizer(dim=d, subvector_dim=4).train(x, max_iter=8)
+    idx = StreamedIndex(pq, pq.quantize(x), x, centroids=cents, point_owner=owner)
+    q = x[:8]
+    _, full = idx.search(q, k=5, rerank=200)
+    _, probed = idx.search(q, k=5, rerank=200, nprobe=8)
+    full, probed = np.asarray(full), np.asarray(probed)
+    # self-hit survives probing (own cluster always probed)
+    assert all(i in probed[i] for i in range(8))
