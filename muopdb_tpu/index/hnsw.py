@@ -97,6 +97,13 @@ class HnswBuildConfig:
     keep_pruned: bool = False
     # NN-descent repair rounds on the approximate kNN graph (n > 200k only)
     nn_descent_rounds: int = 3
+    # Independent partition trees merged into the candidate kNN graph
+    # (n > 200k only). 3 trees + 3 descent rounds date from the era when
+    # every tree was silently degraded by the penalized-kmeans feedback bug
+    # (fixed round 3, see ops/kmeans.py) — with healthy trees fewer of both
+    # may hold recall at a large build-time cut; benches/hnsw_quality.py
+    # sweeps this via --configs trees=...
+    trees: int = 3
     # Vamana-style self-search refinement passes (n > 200k only): search the
     # built graph for every node's neighbors with the batched beam search,
     # merge into the candidate lists, re-prune. Default 0 since round 3:
@@ -1286,9 +1293,10 @@ class HnswBuilder:
             # partition trees -> merges -> descent rounds all stay DEVICE-
             # resident; the single fetch below is the only host round-trip
             knn_ids, knn_d = _approx_knn(
-                x, k0, seed=cfg.seed, xj=xj, as_device=True, dt=dt
+                x, k0, seed=cfg.seed, xj=xj, as_device=True, dt=dt,
+                trees=cfg.trees,
             )
-            _stage("partitioned knn (3 trees)")
+            _stage(f"partitioned knn ({cfg.trees} trees)")
             _diag_knn_recall(knn_ids, "partition")
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
