@@ -95,14 +95,20 @@ class HnswBuildConfig:
     # fill remaining slots with the nearest pruned candidates
     # (hnswlib keepPrunedConnections analog)
     keep_pruned: bool = False
-    # NN-descent repair rounds on the approximate kNN graph (n > 200k only)
-    nn_descent_rounds: int = 3
+    # NN-descent repair rounds on the approximate kNN graph (n > 200k only).
+    # 3 trees + 3 descent rounds dated from the era when every tree was
+    # silently degraded by the penalized-kmeans feedback bug (fixed round 3,
+    # see ops/kmeans.py). Round-4 sweep with healthy trees at 1M x 384
+    # (benches/hnsw_quality.py, BENCHES.md): trees=3 + ONE round reaches
+    # 0.9909 recall@10 @ ef64 — the same quality as 3 rounds — so 1 is the
+    # default; extra rounds only repair genuinely weak candidate graphs
+    # (uniform data, tiny trees).
+    nn_descent_rounds: int = 1
     # Independent partition trees merged into the candidate kNN graph
-    # (n > 200k only). 3 trees + 3 descent rounds date from the era when
-    # every tree was silently degraded by the penalized-kmeans feedback bug
-    # (fixed round 3, see ops/kmeans.py) — with healthy trees fewer of both
-    # may hold recall at a large build-time cut; benches/hnsw_quality.py
-    # sweeps this via --configs trees=...
+    # (n > 200k only); sweepable via --configs trees=... . Measured at
+    # 1M x 384 (round 4): 1 tree 0.9791 @ ef64, 2 trees 0.9895, 3 trees
+    # 0.9909 — the third tree still pays for itself and the kNN stage is
+    # ~50 s of a ~170 s build.
     trees: int = 3
     # Vamana-style self-search refinement passes (n > 200k only): search the
     # built graph for every node's neighbors with the batched beam search,
@@ -761,6 +767,176 @@ def _finalize_edges_heuristic(
 
 
 # ---------------------------------------------------------------------------
+# Device-resident layer-0 pipeline (large-n builds)
+#
+# The host pipeline above (_heuristic_prune -> _finalize_edges_heuristic) is
+# the behavioral spec, but at 1M points its orchestration dominates the
+# build: a (1M, k0) candidate fetch is ~400 MB through the WAN tunnel, the
+# reverse-lists/argsort passes run on this ONE-core host, and fresh numpy
+# buffers fault in at 10-60 MB/s (CLAUDE.md). The actual device compute —
+# candidate gathers (~100 GB of HBM reads) and (c, k, k) dominance matmuls
+# (~3 TFLOP at 1M x 384) — is on the order of ONE second on a v5e. These
+# twins keep the whole augment -> rank -> prune -> reverse -> re-rank ->
+# re-prune chain on device; only the final (n, 2m) edge array ever reaches
+# the host, and only when save()/reindex need it. Measured round 4: the
+# layer-0 stage of a 1M x 384 build drops from ~15 min to seconds.
+# ---------------------------------------------------------------------------
+
+
+def _row_chunk(n: int, r: int, d: int, cap: int = 8192) -> int:
+    """Row-chunk size bounding the (chunk, r, d) f32 candidate gather to
+    ~1.5 GB (the same budget rule as _nn_descent_round)."""
+    budget_rows = max(512, int(1.5e9 / max(r * d * 4, 1)))
+    c = 1 << (budget_rows.bit_length() - 1)
+    return max(256, min(cap, c, max(n, 1)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "chunk", "alpha_sq", "keep_pruned", "dt")
+)
+def _prune_edges_device(xj, cand_ids, cand_d, *, m: int, chunk: int,
+                        alpha_sq: float, keep_pruned: bool, dt: str = "L2"):
+    """Device twin of _heuristic_prune's prune + edge selection: lax.map
+    over row chunks, dominance keep-mask (_prune_chunk_device) and the
+    kept-first stable selection inside ONE compiled program.
+
+    cand_ids/cand_d: (n, k) device arrays sorted nearest-first, -1 padded;
+    n % chunk == 0 (pad rows with -1 ids). Returns (n, m) int32, -1 padded.
+    """
+    n, k = cand_ids.shape
+
+    def one(args):
+        cid, cdist = args
+        valid = cid >= 0
+        keep = _prune_chunk_device(
+            xj[jnp.clip(cid, 0, None)], cdist, valid, m, alpha_sq, dt=dt
+        )
+        if keep_pruned:
+            # kept first, then valid pruned (nearest-first), then pads —
+            # same key as the host path
+            key = (~keep).astype(jnp.int8) + (~valid).astype(jnp.int8) * 2
+            order = jnp.argsort(key, axis=1, stable=True)[:, :m]
+            ok = jnp.take_along_axis(valid, order, 1)
+        else:
+            order = jnp.argsort(~keep, axis=1, stable=True)[:, :m]
+            ok = jnp.take_along_axis(keep, order, 1)
+        vals = jnp.take_along_axis(cid, order, 1)
+        return jnp.where(ok, vals, -1)
+
+    out = jax.lax.map(
+        one, (cand_ids.reshape(-1, chunk, k), cand_d.reshape(-1, chunk, k))
+    )
+    return out.reshape(n, m)
+
+
+def _rank_prune_device(xj, cand_dev, m: int, *, alpha_sq: float,
+                       keep_pruned: bool, dt: str = "L2"):
+    """Rank an arbitrary device candidate list nearest-first (dedup + self
+    masked, _cand_rank_device) and prune to m edges — no host round-trip.
+    cand_dev: (n, R) int32 device. Returns (n, m) int32 device."""
+    n, r = cand_dev.shape
+    chunk = _row_chunk(n, r, int(xj.shape[1]))
+    pad = (-n) % chunk
+    cand_p = jnp.pad(cand_dev, ((0, pad), (0, 0)), constant_values=-1)
+    d, ids = _cand_rank_device(xj, cand_p, chunk=chunk, dt=dt)
+    ids = jnp.where(jnp.isinf(d), -1, ids).astype(jnp.int32)
+    return _prune_edges_device(
+        xj, ids, d, m=m, chunk=chunk, alpha_sq=alpha_sq,
+        keep_pruned=keep_pruned, dt=dt,
+    )[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "dt"))
+def _exact_knn_device(subj_p, n_real, k: int, chunk: int, dt: str = "L2"):
+    """Exact kNN over a padded member subset, one compiled program.
+    subj_p: (n_pad, d) with n_pad % chunk == 0; n_real masks pad columns.
+    Returns (dists (n_pad, k), ids (n_pad, k)); pad/self entries are +inf."""
+    n, d_dim = subj_p.shape
+    col_pad = jnp.arange(n) >= n_real
+
+    def one(args):
+        q, s = args
+        dd = _cand_dist(q, subj_p, dt)
+        rows = jnp.arange(q.shape[0])
+        dd = dd.at[rows, rows + s].set(jnp.inf, mode="drop")  # self
+        dd = jnp.where(col_pad[None, :], jnp.inf, dd)  # pad columns
+        nd, ni = jax.lax.top_k(-dd, k)
+        return -nd, ni.astype(jnp.int32)
+
+    starts = jnp.arange(0, n, chunk, dtype=jnp.int32)
+    dd, ii = jax.lax.map(one, (subj_p.reshape(-1, chunk, d_dim), starts))
+    return dd.reshape(n, k), ii.reshape(n, k)
+
+
+def _upper_layer_edges_device(xj, memj, m: int, cfg, seed: int,
+                              dt: str = "L2"):
+    """Device-resident upper-layer construction for large member subsets
+    (layer 1 at 1M points is ~62k members — the host path's member-vector
+    fetch alone is ~96 MB through the tunnel): exact kNN over member rows +
+    random candidates + strict dominance prune + distance-trimmed reverse
+    union (_add_reverse_edges semantics: keep the m nearest of fw ∪ rev).
+    Returns (n_members, m) int32 edges in member-local ids (device array)."""
+    n_mem = int(memj.shape[0])
+    subj = xj[memj]
+    kk = min(max(m * 2, 2), n_mem - 1)
+    chunk = 1024
+    pad = (-n_mem) % chunk
+    subj_p = jnp.pad(subj, ((0, pad), (0, 0)))
+    sd, sids = _exact_knn_device(subj_p, jnp.int32(n_mem), k=kk, chunk=chunk,
+                                 dt=dt)
+    sids = jnp.where(jnp.isinf(sd), -1, sids)[:n_mem]
+    cand = sids
+    if cfg.num_random_candidates and n_mem > 256:
+        rnd = jax.random.randint(
+            jax.random.key(seed), (n_mem, cfg.num_random_candidates), 0,
+            n_mem, dtype=jnp.int32,
+        )
+        cand = jnp.concatenate([cand, rnd], axis=1)
+    # upper layers always prune strict (see the keep_pruned note in _build)
+    fw = _rank_prune_device(
+        subj, cand, m, alpha_sq=float(cfg.alpha) * float(cfg.alpha),
+        keep_pruned=False, dt=dt,
+    )
+    rev = _reverse_lists_dev(fw, 4 * m)
+    cand2 = jnp.concatenate([fw, rev], axis=1)
+    c2 = _row_chunk(n_mem, int(cand2.shape[1]), int(xj.shape[1]))
+    pad2 = (-n_mem) % c2
+    cand_p = jnp.pad(cand2, ((0, pad2), (0, 0)), constant_values=-1)
+    d2, ids2 = _cand_rank_device(subj, cand_p, chunk=c2, dt=dt)
+    ids2 = jnp.where(jnp.isinf(d2), -1, ids2).astype(jnp.int32)
+    return ids2[:n_mem, :m]
+
+
+def _prune_layer0_device(xj, ids_dev, d_dev, m: int, cfg, seed_r: int,
+                         dt: str = "L2"):
+    """Device-resident prune_layer0: augment-random -> rank -> prune to m ->
+    reverse edges -> re-rank -> heuristic re-prune to 2m. Mirrors the host
+    prune_layer0 exactly except the random-candidate RNG (jax.random here,
+    np.random there — both are arbitrary augmentation draws).
+
+    Returns the final (n, 2m) int32 layer-0 edges as a DEVICE array;
+    HnswIndex accepts it as-is and save()/degree stats fetch it lazily."""
+    n = ids_dev.shape[0]
+    alpha_sq = float(cfg.alpha) * float(cfg.alpha)
+    cand = jnp.asarray(ids_dev).astype(jnp.int32)
+    if cfg.num_random_candidates:
+        rnd = jax.random.randint(
+            jax.random.key(seed_r), (n, cfg.num_random_candidates), 0,
+            int(xj.shape[0]), dtype=jnp.int32,
+        )
+        cand = jnp.concatenate([cand, rnd], axis=1)
+    fw = _rank_prune_device(
+        xj, cand, m, alpha_sq=alpha_sq, keep_pruned=cfg.keep_pruned, dt=dt
+    )
+    m_max = 2 * m
+    rev = _reverse_lists_dev(fw, 2 * m_max)
+    return _rank_prune_device(
+        xj, jnp.concatenate([fw, rev], axis=1), m_max,
+        alpha_sq=alpha_sq, keep_pruned=cfg.keep_pruned, dt=dt,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Device search
 # ---------------------------------------------------------------------------
 
@@ -1296,6 +1472,7 @@ class HnswBuilder:
                 x, k0, seed=cfg.seed, xj=xj, as_device=True, dt=dt,
                 trees=cfg.trees,
             )
+            jax.block_until_ready(knn_ids)  # honest stage attribution
             _stage(f"partitioned knn ({cfg.trees} trees)")
             _diag_knn_recall(knn_ids, "partition")
             # NN-descent rounds repair partitioning misses (essential when
@@ -1304,8 +1481,7 @@ class HnswBuilder:
                 knn_ids, knn_d = _nn_descent_round(
                     knn_ids, knn_d, xj, seed=cfg.seed + r, dt=dt
                 )
-            knn_ids = np.asarray(knn_ids)
-            knn_d = np.asarray(knn_d).astype(np.float32)
+            jax.block_until_ready(knn_ids)
             _stage(f"nn-descent x{cfg.nn_descent_rounds}")
             _diag_knn_recall(knn_ids, f"descent x{cfg.nn_descent_rounds}")
         def prune_layer0(cand_ids, cand_d, seed_r):
@@ -1322,7 +1498,21 @@ class HnswBuilder:
                 keep_pruned=cfg.keep_pruned, dt=dt,
             )
 
-        layers = [prune_layer0(knn_ids, knn_d, cfg.seed + 101)]
+        if isinstance(knn_ids, jax.Array) and os.environ.get(
+            "MUOPDB_HNSW_DEV_PRUNE", "1"
+        ) != "0":
+            # large-n path: candidates never left the device — prune there
+            # too (see the device-resident layer-0 pipeline rationale above)
+            layers = [
+                _prune_layer0_device(
+                    xj, knn_ids, knn_d, m, cfg, cfg.seed + 101, dt=dt
+                )
+            ]
+            layers[0].block_until_ready()
+        else:
+            knn_ids = np.asarray(knn_ids)
+            knn_d = np.asarray(knn_d).astype(np.float32)
+            layers = [prune_layer0(knn_ids, knn_d, cfg.seed + 101)]
         _stage("layer-0 prune+finalize")
 
         # upper layers: same construction on the member subset, edges stored
@@ -1332,6 +1522,23 @@ class HnswBuilder:
             deg = m
             e_global = np.full((n, deg), -1, np.int32)
             if len(members) > 1:
+                if (
+                    device_born
+                    and len(members) > 16384
+                    and os.environ.get("MUOPDB_HNSW_DEV_PRUNE", "1") != "0"
+                ):
+                    # large member subsets (layer 1 at 1M+) stay device-
+                    # resident end-to-end; only the (members, m) edge ids
+                    # are fetched
+                    sbi = np.asarray(_upper_layer_edges_device(
+                        xj, jnp.asarray(members), m, cfg,
+                        cfg.seed + 307 + l, dt,
+                    ))
+                    e_global[members] = np.where(
+                        sbi >= 0, members[np.clip(sbi, 0, None)], -1
+                    )
+                    layers.append(e_global)
+                    continue
                 if device_born:
                     # gather member rows from HBM; the host copy feeds only
                     # the reverse-edge pass (layer-l subsets are ~n/m^l rows)
@@ -1412,6 +1619,10 @@ class HnswBuilder:
                 )
                 ref_d[s : s + real] = d_rows[rr2, order]
             _stage("refine self-search")
+            # refine is a host-path merge (rare; default off) — materialize
+            # device candidates if the large-n pipeline kept them resident
+            knn_ids = np.asarray(knn_ids)
+            knn_d = np.asarray(knn_d).astype(np.float32)
             knn_ids, knn_d = _merge_knn(knn_ids, knn_d, ref_i, ref_d, k0)
             _diag_knn_recall(knn_ids, "refine merge")
             layers[0] = prune_layer0(knn_ids, knn_d, cfg.seed + 211)

@@ -146,6 +146,78 @@ def test_device_pipeline_matches_host_spec(rng):
         )
 
 
+def test_device_prune_pipeline_matches_host_spec(rng):
+    """_prune_layer0_device must match the host prune_layer0 chain
+    (_heuristic_prune -> _finalize_edges_heuristic) given identical ranked
+    candidates (random augmentation disabled — the two paths draw their
+    random candidates from different RNGs). The device chain is what 1M+
+    builds run; the host chain is the behavioral spec."""
+    import jax.numpy as jnp
+
+    from muopdb_tpu.index.hnsw import (
+        HnswBuildConfig,
+        _exact_knn,
+        _finalize_edges_heuristic,
+        _heuristic_prune,
+        _prune_layer0_device,
+    )
+
+    x = rng.standard_normal((700, 24)).astype(np.float32)
+    xj = jnp.asarray(x)
+    m = 6
+    ids, d = _exact_knn(x, 20, xj=xj)
+    fw = _heuristic_prune(x, ids, d, m, xj=xj)
+    want = _finalize_edges_heuristic(fw, x, 2 * m, xj=xj, keep_pruned=False)
+    cfg = HnswBuildConfig(max_neighbors=m, num_random_candidates=0)
+    got = np.asarray(
+        _prune_layer0_device(xj, jnp.asarray(ids), jnp.asarray(d), m, cfg, 0)
+    )
+    # same edge SETS per node (the device path re-ranks candidates before
+    # pruning, so exact distance ties may order differently)
+    same = np.mean(
+        [
+            set(want[i][want[i] >= 0].tolist())
+            == set(got[i][got[i] >= 0].tolist())
+            for i in range(len(want))
+        ]
+    )
+    assert same >= 0.98, same
+
+
+def test_upper_layer_device_matches_host_spec(rng):
+    """_upper_layer_edges_device must match the host upper-layer chain
+    (_exact_knn -> strict _heuristic_prune -> _add_reverse_edges) given the
+    same member subset (random augmentation disabled)."""
+    import jax.numpy as jnp
+
+    from muopdb_tpu.index.hnsw import (
+        HnswBuildConfig,
+        _add_reverse_edges,
+        _exact_knn,
+        _heuristic_prune,
+        _upper_layer_edges_device,
+    )
+
+    x = rng.standard_normal((600, 16)).astype(np.float32)
+    xj = jnp.asarray(x)
+    m = 5
+    kk = min(max(m * 2, 2), len(x) - 1)
+    sids, sd = _exact_knn(x, kk, xj=xj)
+    sfw = _heuristic_prune(x, sids, sd, m, xj=xj, keep_pruned=False)
+    want = _add_reverse_edges(sfw, x, m)
+    cfg = HnswBuildConfig(max_neighbors=m, num_random_candidates=0)
+    memj = jnp.arange(600, dtype=jnp.int32)
+    got = np.asarray(_upper_layer_edges_device(xj, memj, m, cfg, 0))
+    same = np.mean(
+        [
+            set(want[i][want[i] >= 0].tolist())
+            == set(got[i][got[i] >= 0].tolist())
+            for i in range(len(want))
+        ]
+    )
+    assert same >= 0.95, same
+
+
 def test_nn_descent_improves_graph(rng):
     import jax.numpy as jnp
 
