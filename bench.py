@@ -510,8 +510,13 @@ def main():
                 big_vecs = {}
                 for bi in range(n_big):
                     uid = 100_000 + bi
-                    bmodes = user_modes[bi]  # reuse topical structure
-                    bm = bmodes[rng2.integers(0, 8, per_big)].astype(np.int32)
+                    # a 20k-doc tenant has more TOPICS than a 500-doc one,
+                    # not 40x denser near-clones: 64 modes keeps local
+                    # density at ~300 docs/mode (8 modes would pack ~2.5k
+                    # near-identical PQ codes per mode — the ADC-unrankable
+                    # regime measured in BENCHES.md round 3 at 10M)
+                    bmodes = rng2.integers(0, 8192, 64)
+                    bm = bmodes[rng2.integers(0, 64, per_big)].astype(np.int32)
                     xb = mu_modes[bm] + rng2.standard_normal(
                         (per_big, d2), dtype=np.float32
                     )

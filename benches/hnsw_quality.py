@@ -48,7 +48,10 @@ def gen_data_device(n, d, nq, seed=0):
     import jax
     import jax.numpy as jnp
 
-    n_modes = 4096
+    # local density stays ~244 pts/mode at any n (same rationale as
+    # bench.py's _gen_data); unchanged for n <= 1M so cached GT keys from
+    # earlier rounds stay valid
+    n_modes = 4096 * max(1, n // 1_000_000)
     km, kl, kq1, kq2 = jax.random.split(jax.random.key(seed), 4)
     modes = jax.random.normal(km, (n_modes, d), jnp.float32) * 1.5
     chunk = min(n, 500_000)

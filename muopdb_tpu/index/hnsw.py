@@ -238,7 +238,10 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     if n > 200_000:
         sel = np.random.default_rng(seed).choice(n, 200_000, replace=False)
         sample = xj[jnp.asarray(np.sort(sel))]
-    cents = kmeans(sample, nc, key=jax.random.key(seed), max_iter=10, penalty=1.0).centroids
+    # penalty=0: only `.centroids` are consumed here (top-2 assignment is
+    # computed separately below), and since the round-3 stability fix the
+    # penalty biases labels only — it cannot influence centroids at all
+    cents = kmeans(sample, nc, key=jax.random.key(seed), max_iter=10).centroids
     jax.block_until_ready(cents)
     _t_kmeans = _time.time() - _t0
     _t0 = _time.time()

@@ -20,6 +20,7 @@ vmap over the leading axis gives the per-subspace PQ trainer for free.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -106,9 +107,39 @@ def kmeans(
             counts, assign = jax.lax.fori_loop(0, 3, inner, (counts, assign))
         return assign, counts
 
+    # Bound the (N, k) score matrix: at (200k, 9766) it is 7.8 GB — next to
+    # a 5 GB resident store that OOMs a 16 GB chip (hit by the 10M HNSW
+    # build, round 4). Above the budget the assignment runs as a lax.map
+    # over row chunks; the dense path is kept for small shapes (one matmul,
+    # no map overhead). Identical semantics either way.
+    score_budget = int(os.environ.get("MUOPDB_KMEANS_SCORE_BUDGET", 1 << 30))
+    chunked = n * k * 4 > score_budget
+    if chunked:
+        rows = max(1024, score_budget // (k * 4))
+        chunk = 1 << (rows.bit_length() - 1)
+        chunk = min(chunk, n)
+        pad = (-n) % chunk
+        x_pad = jnp.pad(x, ((0, pad), (0, 0)))
+
+    def _assign_plain(centroids):
+        """Plain nearest-centroid assignment + assigned distance, chunked
+        when the dense (N, k) matrix would blow the budget."""
+        if not chunked:
+            dist = l2_distance(x, centroids)
+            a = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+            da = jnp.take_along_axis(dist, a[:, None], axis=-1)[:, 0]
+            return a, da, dist
+
+        def one(xc):
+            dd = l2_distance(xc, centroids)
+            ac = jnp.argmin(dd, axis=-1).astype(jnp.int32)
+            return ac, jnp.take_along_axis(dd, ac[:, None], axis=-1)[:, 0]
+
+        a, da = jax.lax.map(one, x_pad.reshape(-1, chunk, x.shape[1]))
+        return a.reshape(-1)[:n], da.reshape(-1)[:n], None
+
     def step(state):
         centroids, _, counts, it, _ = state
-        dist = l2_distance(x, centroids)  # (N, k)
         # Lloyd updates run on the PLAIN assignment. Feeding the penalized
         # assignment back into the centroid update is unstable: the penalty
         # drags centroids off the density they summarize, the next step's
@@ -120,7 +151,7 @@ def kmeans(
         # biases only the RETURNED labels below (the reference's
         # tolerance*size term, kmeans_builder.rs:203-208, is likewise an
         # assignment-time nudge ~1000x weaker than a distance unit).
-        assign = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+        assign, d_assigned, _ = _assign_plain(centroids)
         # scatter-add update: avoids materializing an (N, k) one-hot in HBM
         # (the update is bandwidth-bound, not FLOP-bound)
         new_counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
@@ -130,7 +161,6 @@ def kmeans(
         # Rescue empty clusters by re-seeding from the *largest* cluster's
         # outermost points (kmeans_builder.rs empty-cluster handling steals
         # from the largest cluster; its farthest members split it sensibly).
-        d_assigned = jnp.take_along_axis(dist, assign[:, None], axis=-1)[:, 0]
         largest = jnp.argmax(new_counts)
         d_local = jnp.where(assign == largest, d_assigned, -jnp.inf)
         _, far_idx = jax.lax.top_k(d_local, min(k, n))
@@ -158,8 +188,14 @@ def kmeans(
     centroids, _, counts, iters, _ = jax.lax.while_loop(cond, step, state0)
     # Final assignment keeps the size penalty so the returned labels reflect
     # the balanced objective (the reference's labels come out of the same
-    # penalized assignment loop, kmeans_builder.rs:199-221).
-    final_assign, _ = _penalized_assign(l2_distance(x, centroids), counts)
+    # penalized assignment loop, kmeans_builder.rs:199-221). Above the score
+    # budget the penalized labels would need a chunked fixed point nobody
+    # consumes (every big-shape caller uses `.centroids` only) — return the
+    # plain chunked labels there.
+    if chunked:
+        final_assign, _, _ = _assign_plain(centroids)
+    else:
+        final_assign, _ = _penalized_assign(l2_distance(x, centroids), counts)
     return KMeansResult(centroids, final_assign, iters)
 
 

@@ -126,3 +126,29 @@ def test_kmeans_multi_shapes(rng):
     cb = kmeans_multi(jnp.asarray(x), 16, key=jax.random.key(3), max_iter=10)
     assert cb.shape == (4, 16, 2)
     assert np.isfinite(np.asarray(cb)).all()
+
+
+def test_kmeans_chunked_assignment_matches_dense(rng, monkeypatch):
+    """Above MUOPDB_KMEANS_SCORE_BUDGET the (N, k) assignment runs as a
+    lax.map over row chunks (the dense matrix is 7.8 GB at the 10M HNSW
+    build's (200k, 9766) — OOM next to a 5 GB store). Centroids must be
+    identical to the dense path."""
+    from muopdb_tpu.ops.kmeans import kmeans
+
+    x = jnp.asarray(rng.standard_normal((3000, 16)).astype(np.float32))
+    monkeypatch.setenv("MUOPDB_KMEANS_SCORE_BUDGET", "100000")
+    r_chunked = kmeans(x, 32, key=jax.random.key(1), max_iter=8)
+    monkeypatch.setenv("MUOPDB_KMEANS_SCORE_BUDGET", str(1 << 30))
+    r_dense = kmeans(x, 32, key=jax.random.key(1), max_iter=8)
+    np.testing.assert_allclose(
+        np.asarray(r_chunked.centroids), np.asarray(r_dense.centroids),
+        rtol=1e-5, atol=1e-5,
+    )
+    # labels: chunked returns the plain assignment (penalty biases labels
+    # only; no big-shape caller consumes them) — must equal dense argmin
+    from muopdb_tpu.ops.distance import l2_distance
+
+    dist = np.asarray(l2_distance(x, r_dense.centroids))
+    np.testing.assert_array_equal(
+        np.asarray(r_chunked.assignments), np.argmin(dist, axis=1)
+    )
