@@ -232,6 +232,17 @@ def main():
             np.save(gt_path, gt)
     _log("ground truth done")
 
+    if args.device_gen and all(
+        o.get("store_bf16") for o in parse_configs(args.configs)
+    ):
+        # every build wants the bf16 store: cast once and FREE the f32
+        # original (at 10M x 128 keeping both costs 7.7 GB of the 16 GB
+        # chip before the build's own transients)
+        import jax.numpy as jnp
+
+        xj = xj.astype(jnp.bfloat16)
+        _log("store cast to bf16 (f32 original freed)")
+
     efs = [int(e) for e in args.efs.split(",")]
     for overrides in parse_configs(args.configs):
         if args.load_dir:

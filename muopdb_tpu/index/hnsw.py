@@ -119,6 +119,14 @@ class HnswBuildConfig:
     # navigation was fixed. Set 1 to restore the round-2 behavior.
     refine_rounds: int = 0
     refine_ef: int = 100
+    # Keep the vector store bf16 end-to-end (build gathers AND the serving
+    # store): halves the store's HBM (10M x 128 f32 is 5.1 GB of a 16 GB
+    # chip) and the build's gather bandwidth. Point values are rounded to
+    # bf16 ONCE at ingest; search still accumulates in f32, so the "exact"
+    # final rerank ranks bf16-rounded values — measured at 10M x 128 this
+    # costs <0.3% recall@10 vs f32 ground truth. The 10M single-chip builds
+    # use this; default off below that scale.
+    store_bf16: bool = False
     # Random candidates appended per node before each prune. On clustered
     # data at scale the kNN candidates are all intra-cluster, the prune then
     # emits zero long edges, and layer 0 degenerates into disconnected
@@ -150,11 +158,10 @@ def _merge_knn_block(ids, d, k):
     return out_i, out_d
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _merge_knn_dev(ids_a, d_a, ids_b, d_b, k: int):
-    """Device form of _merge_knn: the build pipeline keeps candidate lists
-    resident and merges on device (this host has ONE core — a (1M, 100)
-    numpy argsort costs ~70 s, and the pipeline merges five times)."""
+def _merge_knn_body_dev(ids_a, d_a, ids_b, d_b, k: int):
+    """Device merge-dedup-select body shared by the whole-array and
+    row-chunked merges (see _merge_knn_dev); the numpy _merge_knn_block
+    above is the behavioral spec."""
     ids = jnp.concatenate([ids_a, ids_b], axis=1)
     d = jnp.concatenate([d_a, d_b], axis=1)
     d = jnp.where(ids < 0, jnp.inf, d)
@@ -173,6 +180,55 @@ def _merge_knn_dev(ids_a, d_a, ids_b, d_b, k: int):
         jnp.isfinite(out_d), jnp.take_along_axis(ids_s, sel, 1), -1
     )
     return out_i.astype(ids_a.dtype), out_d
+
+
+# one merge row costs ~6 materialized (n, 2k) intermediates (concat, two
+# argsorts + gathers); this many f32 cells per chunk keeps the transient
+# under ~1.5 GB — at 10M x k0=50 the unchunked merge transients alone are
+# ~24 GB, far past HBM
+_MERGE_CELL_BUDGET = 64 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1, 2, 3))
+def _merge_knn_whole(ids_a, d_a, ids_b, d_b, k: int):
+    return _merge_knn_body_dev(ids_a, d_a, ids_b, d_b, k)
+
+
+def _merge_knn_dev(ids_a, d_a, ids_b, d_b, k: int):
+    """Device form of _merge_knn: the build pipeline keeps candidate lists
+    resident and merges on device (this host has ONE core — a (1M, 100)
+    numpy argsort costs ~70 s, and the pipeline merges five times).
+
+    Above a cell budget, rows are chunked in HOST python — one fixed-shape
+    jitted merge per chunk (a single compile; dispatches enqueue async).
+    The chunking must NOT live inside one jitted program: reshaping the
+    whole (10M, 50) lists in-jit materializes layout-padded copies of every
+    input (T(8,128) pads the 50-wide minor dim to 128 — 2.6x, 5 GB per
+    list; measured compile-time OOM at 19.4 G on the 16 G chip)."""
+    ids_a, d_a = jnp.asarray(ids_a), jnp.asarray(d_a)
+    ids_b, d_b = jnp.asarray(ids_b), jnp.asarray(d_b)
+    n = ids_a.shape[0]
+    w = ids_a.shape[1] + ids_b.shape[1]
+    if n * w <= _MERGE_CELL_BUDGET:
+        return _merge_knn_whole(ids_a, d_a, ids_b, d_b, k)
+    chunk = max(1024, 1 << (max(_MERGE_CELL_BUDGET // w, 1).bit_length() - 1))
+    outs_i, outs_d = [], []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        ia, da = ids_a[s:e], d_a[s:e]
+        ib, db = ids_b[s:e], d_b[s:e]
+        if e - s < chunk:  # pad the tail chunk to the compiled shape
+            pad = chunk - (e - s)
+            ia = jnp.pad(ia, ((0, pad), (0, 0)), constant_values=-1)
+            da = jnp.pad(da, ((0, pad), (0, 0)), constant_values=jnp.inf)
+            ib = jnp.pad(ib, ((0, pad), (0, 0)), constant_values=-1)
+            db = jnp.pad(db, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        oi, od = _merge_knn_whole(ia, da, ib, db, k)
+        outs_i.append(oi)
+        outs_d.append(od)
+    out_i = jnp.concatenate(outs_i)[:n]
+    out_d = jnp.concatenate(outs_d)[:n]
+    return out_i, out_d
 
 
 def _merge_knn(ids_a, d_a, ids_b, d_b, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -238,6 +294,10 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     if n > 200_000:
         sel = np.random.default_rng(seed).choice(n, 200_000, replace=False)
         sample = xj[jnp.asarray(np.sort(sel))]
+    if sample.dtype == jnp.bfloat16:
+        # store_bf16: Lloyd centroid updates want f32 accumulation; the
+        # sample is 200k rows at most, so the upcast is ~100 MB
+        sample = sample.astype(jnp.float32)
     # penalty=0: only `.centroids` are consumed here (top-2 assignment is
     # computed separately below), and since the round-3 stability fix the
     # penalty biases labels only — it cannot influence centroids at all
@@ -351,15 +411,24 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         tgt_m = jnp.where(member, pool_idx, n)
         tgt_v = jnp.where(pool_ok & ~member, pool_idx, n)
         i1 = i1.at[tgt_m].set(row_ids, mode="drop")
-        dd1 = dd1.at[tgt_m].set(cd, mode="drop")
+        dd1 = dd1.at[tgt_m].set(cd.astype(dd1.dtype), mode="drop")
         i2 = i2.at[tgt_v].set(row_ids, mode="drop")
-        dd2 = dd2.at[tgt_v].set(cd, mode="drop")
+        dd2 = dd2.at[tgt_v].set(cd.astype(dd2.dtype), mode="drop")
         return i1, dd1, i2, dd2
 
+    # candidate distances only ORDER candidates — every downstream consumer
+    # (_prune_layer0_device, _nn_descent_round) re-scores exactly — so at
+    # 10M-scale the (n, k) distance buffers store bf16 (the pool scores were
+    # bf16 matmuls to begin with); below 2M keep f32 for bit-stable merges
+    d_dtype = (
+        jnp.bfloat16
+        if n > 2_000_000 and jax.default_backend() not in ("cpu",)
+        else jnp.float32
+    )
     ids1 = jnp.full((n, kk), -1, jnp.int32)
-    d1 = jnp.full((n, kk), jnp.inf, jnp.float32)
+    d1 = jnp.full((n, kk), jnp.inf, d_dtype)
     ids2 = jnp.full((n, kk), -1, jnp.int32)
-    d2 = jnp.full((n, kk), jnp.inf, jnp.float32)
+    d2 = jnp.full((n, kk), jnp.inf, d_dtype)
 
     # gather pools from a bf16 copy on accelerators: the pool gathers are
     # the stage's HBM traffic, and _cand_l2 rounds to bf16 anyway
@@ -389,6 +458,7 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
         )
         if (g0 // g_fixed) % 8 == 7:  # bound in-flight queued batches
             jax.block_until_ready(ids1)
+    del xg  # free the bf16 gather copy before the merge transients
     out = _merge_knn_dev(ids1, d1, ids2, d2, k)
     jax.block_until_ready(out[0])
     _plog.info(
@@ -499,8 +569,12 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
     n, k = ids.shape
     ids_j = jnp.asarray(ids)
     rev = _reverse_lists_dev(ids_j, k)
+    # neighbor-of-neighbor sample count: 2k below 2M points; k above (the
+    # (n, cols) int32 sample table alone is 2.5 GB at 10M x 64 — at that
+    # scale candidate diversity already comes from the multi-tree init)
+    n_cols = min(2 * k, k * k) if n <= 2_000_000 else min(k, k * k)
     nn2_cols = jax.random.randint(
-        jax.random.key(seed), (n, min(2 * k, k * k)), 0, k * k, dtype=jnp.int32
+        jax.random.key(seed), (n, n_cols), 0, k * k, dtype=jnp.int32
     )
 
     # bound the per-chunk candidate gather (chunk x R x d) to ~1.5 GB —
@@ -932,7 +1006,11 @@ def _prune_layer0_device(xj, ids_dev, d_dev, m: int, cfg, seed_r: int,
         xj, cand, m, alpha_sq=alpha_sq, keep_pruned=cfg.keep_pruned, dt=dt
     )
     m_max = 2 * m
-    rev = _reverse_lists_dev(fw, 2 * m_max)
+    # reverse-candidate cap: 2*m_max below 2M points (the measured-quality
+    # configuration), m_max above — the concat + rank intermediates are
+    # (n, m + cap) wide and the extra reverse tail is inf-padded for almost
+    # every node anyway (mean in-degree == mean out-degree == m)
+    rev = _reverse_lists_dev(fw, 2 * m_max if n <= 2_000_000 else m_max)
     return _rank_prune_device(
         xj, jnp.concatenate([fw, rev], axis=1), m_max,
         alpha_sq=alpha_sq, keep_pruned=cfg.keep_pruned, dt=dt,
@@ -1051,7 +1129,9 @@ def _beam_search(
     )
     # emit top-k among valid nodes only
     if vectors_exact is not None:
-        ev = vectors_exact[jnp.clip(beam_ids, 0, n - 1)]  # (B, ef, d) f32
+        # (B, ef, d); f32 math even when the store is bf16 (store_bf16 —
+        # values were rounded once at ingest, the rerank arithmetic is exact)
+        ev = vectors_exact[jnp.clip(beam_ids, 0, n - 1)].astype(jnp.float32)
         beam_d = jax.vmap(lambda q, vv: _exact_dist(q[None], vv, dt)[0])(queries, ev)
     emit_d = jnp.where(
         (beam_ids >= 0) & valid[jnp.clip(beam_ids, 0, n - 1)], beam_d, jnp.inf
@@ -1085,9 +1165,12 @@ class HnswIndex:
         config: HnswBuildConfig | None = None,
     ):
         # device inputs stay on device (a np.asarray on a jax array would
-        # fetch the whole store to host and re-upload it)
+        # fetch the whole store to host and re-upload it). A bf16 device
+        # store is preserved as-is (store_bf16 builds — upcasting it back
+        # to f32 would undo the knob's whole point).
         self.vectors = (
-            vectors.astype(jnp.float32)
+            (vectors if vectors.dtype == jnp.bfloat16
+             else vectors.astype(jnp.float32))
             if isinstance(vectors, jax.Array)
             else jnp.asarray(np.asarray(vectors, np.float32))
         )
@@ -1111,6 +1194,8 @@ class HnswIndex:
 
     def _search_vectors(self):
         if not self.search_bf16:
+            return self.vectors
+        if self.vectors.dtype == jnp.bfloat16:  # store_bf16: one copy total
             return self.vectors
         if self._vectors_bf16 is None:
             self._vectors_bf16 = self.vectors.astype(jnp.bfloat16)
@@ -1144,10 +1229,19 @@ class HnswIndex:
     _ROUTING_SCORE_BUDGET = 128 * 1024 * 1024
 
     def _routing_members(self):
-        """Layer-1 member ids (lazy device array)."""
+        """Layer-1 member ids (lazy device array). Membership is reduced ON
+        DEVICE: fetching the (N, m) edge mask to host costs 160 MB through
+        the WAN tunnel at 10M points — only the member count (a scalar) and
+        nothing else crosses."""
         if self._routing_ids is None:
-            mem = np.nonzero(np.asarray(self.layer_edges[1] >= 0).any(1))[0]
-            self._routing_ids = jnp.asarray(mem.astype(np.int32))
+            mask = (self.layer_edges[1] >= 0).any(1)
+            cnt = int(mask.sum())
+            if cnt:
+                self._routing_ids = jnp.nonzero(mask, size=cnt)[0].astype(
+                    jnp.int32
+                )
+            else:
+                self._routing_ids = jnp.zeros((0,), jnp.int32)
         return self._routing_ids
 
     def _routing(self):
@@ -1313,8 +1407,15 @@ class HnswIndex:
     # -- persistence -----------------------------------------------------
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
+        # bf16 stores round-trip through f32 (the npz format has no bf16;
+        # f32 holds every bf16 value exactly, and load()'s f32 store simply
+        # re-derives its bf16 search copy lazily)
+        vec_host = np.asarray(
+            self.vectors.astype(jnp.float32)
+            if self.vectors.dtype == jnp.bfloat16 else self.vectors
+        )
         arrays = {
-            "vectors": np.asarray(self.vectors),
+            "vectors": vec_host,
             "doc_ids": self.doc_ids,
             "valid": np.asarray(self.valid),
         }
@@ -1393,7 +1494,8 @@ class HnswBuilder:
             doc_pairs = np.asarray(doc_ids, np.uint64).reshape(n, 2)
         x_shape = np.broadcast_to(np.zeros((1, int(xj.shape[1])), np.float32),
                                   (n, int(xj.shape[1])))
-        return self._build(x_shape, xj.astype(jnp.float32), doc_pairs, True)
+        dtype = jnp.bfloat16 if self.config.store_bf16 else jnp.float32
+        return self._build(x_shape, xj.astype(dtype), doc_pairs, True)
 
     def _build(self, x, xj_in, doc_pairs, device_born: bool) -> HnswIndex:
         import logging
@@ -1430,6 +1532,14 @@ class HnswBuilder:
         )
         if n == 1:
             levels[:] = 0
+        # Above 2M points the routing scan is the navigation plan whenever
+        # the layer-1 member set fits the cap (~n/m members expected), and
+        # the scan never consults layers >= 2 — while each dense (n, m)
+        # upper-layer edge array costs 640 MB of HBM at 10M. Cap the
+        # hierarchy at TWO layers in that regime; past the routing cap the
+        # full hierarchy is kept for beam descent.
+        if n > 2_000_000 and n // max(m, 2) <= HnswIndex.ROUTING_SCAN_MAX:
+            levels = np.minimum(levels, 1)
         entry_point = int(np.argmax(levels))
 
         # layer 0: kNN graph + heuristic prune + reverse edges; exact graph
@@ -1523,30 +1633,38 @@ class HnswBuilder:
         for l in range(1, int(levels.max()) + 1):
             members = np.nonzero(levels >= l)[0].astype(np.int32)
             deg = m
+            if (
+                len(members) > 1
+                and device_born
+                and len(members) > 16384
+                and os.environ.get("MUOPDB_HNSW_DEV_PRUNE", "1") != "0"
+            ):
+                # large member subsets (layer 1 at 1M+) stay device-
+                # resident END-TO-END: member-local edges are mapped to
+                # global ids and scattered into the dense (n, m) layer
+                # array on device — a host-built layer at 10M is a 640 MB
+                # np.full (10-60 MB/s fresh-page faults on this host) plus
+                # a 640 MB WAN staging upload
+                memj = jnp.asarray(members)
+                sbi_dev = _upper_layer_edges_device(
+                    xj, memj, m, cfg, cfg.seed + 307 + l, dt,
+                )
+                glob_dev = jnp.where(
+                    sbi_dev >= 0, memj[jnp.clip(sbi_dev, 0, None)], -1
+                ).astype(jnp.int32)
+                e_dev = (
+                    jnp.full((n, deg), -1, jnp.int32).at[memj].set(glob_dev)
+                )
+                layers.append(e_dev)
+                continue
             e_global = np.full((n, deg), -1, np.int32)
             if len(members) > 1:
-                if (
-                    device_born
-                    and len(members) > 16384
-                    and os.environ.get("MUOPDB_HNSW_DEV_PRUNE", "1") != "0"
-                ):
-                    # large member subsets (layer 1 at 1M+) stay device-
-                    # resident end-to-end; only the (members, m) edge ids
-                    # are fetched
-                    sbi = np.asarray(_upper_layer_edges_device(
-                        xj, jnp.asarray(members), m, cfg,
-                        cfg.seed + 307 + l, dt,
-                    ))
-                    e_global[members] = np.where(
-                        sbi >= 0, members[np.clip(sbi, 0, None)], -1
-                    )
-                    layers.append(e_global)
-                    continue
                 if device_born:
                     # gather member rows from HBM; the host copy feeds only
-                    # the reverse-edge pass (layer-l subsets are ~n/m^l rows)
+                    # the reverse-edge pass (layer-l subsets are ~n/m^l rows).
+                    # f32 on host: the native finalize pass is f32-typed.
                     subj = xj[jnp.asarray(members)]
-                    sub = np.asarray(subj)
+                    sub = np.asarray(subj.astype(jnp.float32))
                 else:
                     sub = x[members]
                     subj = jnp.asarray(sub)

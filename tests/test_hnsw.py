@@ -389,3 +389,53 @@ def test_build_from_device_matches_staged_build(rng):
     d1, r1 = i1.search(q, k=5)
     d2, r2 = i2.search(q, k=5)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_merge_knn_dev_chunked_matches_whole(rng, monkeypatch):
+    """Above the cell budget the device merge host-chunks its rows into
+    fixed-shape per-chunk programs (10M-scale builds); forcing a tiny
+    budget must not change results."""
+    import jax.numpy as jnp
+
+    import muopdb_tpu.index.hnsw as H
+
+    n, k = 700, 8
+    ia = rng.integers(-1, n, (n, 2 * k)).astype(np.int32)
+    da = np.where(ia >= 0, rng.random((n, 2 * k)).astype(np.float32), np.inf)
+    ib = rng.integers(-1, n, (n, 2 * k)).astype(np.int32)
+    db = np.where(ib >= 0, rng.random((n, 2 * k)).astype(np.float32), np.inf)
+    want_i, want_d = H._merge_knn_dev(
+        jnp.asarray(ia), jnp.asarray(da), jnp.asarray(ib), jnp.asarray(db), k
+    )
+    monkeypatch.setattr(H, "_MERGE_CELL_BUDGET", 64)  # force chunking + pad
+    got_i, got_d = H._merge_knn_dev(
+        jnp.asarray(ia), jnp.asarray(da), jnp.asarray(ib), jnp.asarray(db), k
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d), rtol=1e-6)
+
+
+def test_store_bf16_build_and_search(rng):
+    """store_bf16 keeps ONE bf16 copy end-to-end: build, search store, and
+    routing vectors. Search quality stays near the f32 build's."""
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((1200, 16)).astype(np.float32)
+    xj = jnp.asarray(x)
+    idx = HnswBuilder(
+        HnswBuildConfig(store_bf16=True), 16
+    ).build_from_device(xj)
+    assert idx.vectors.dtype == jnp.bfloat16
+    assert idx._search_vectors() is idx.vectors  # no second copy
+    q = x[:16] + 0.01 * rng.standard_normal((16, 16)).astype(np.float32)
+    dd, ids = idx.search(q, k=1, ef_search=32)
+    hits = np.mean(np.asarray(ids)[:, 0] == np.arange(16))
+    assert hits >= 0.9, hits
+    # save() upcasts to f32 (npz has no bf16) and reload round-trips
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        idx.save(td)
+        idx2 = HnswIndex.load(td)
+        d2, i2 = idx2.search(q, k=1, ef_search=32)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(i2))
