@@ -1,0 +1,123 @@
+"""Recall probe for the mixed-size multi-user bench's BIG-USER leg.
+
+bench.py's mixed stage (VERDICT r3 weak #4) measured 0.847 recall@10 —
+the packed-slab legs measure 0.99+ on the same data, so the loss lives in
+the per-user SPANN path (20k-doc tenants, 64 centroids, shared PQ m=8,
+num_explored_centroids=16, centroid_distance_ratio=0.1 default).
+
+This probe rebuilds exactly that configuration (same generator constants
+as bench.py:488-549) and sweeps the SPANN search knobs. Recall is
+backend-independent, so it runs fine on the CPU backend while the chip is
+busy:
+
+    JAX_PLATFORMS=cpu python -m benches.mixed_probe
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # env vars are too late on this image (sitecustomize imports jax with
+    # the axon platform pre-set) — force CPU via config so the probe can
+    # run while the chip is busy; recall is backend-independent
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from muopdb_tpu.config import CollectionConfig
+    from muopdb_tpu.index.spann import SpannBuildConfig, SpannBuilder
+    from muopdb_tpu.quantization import ProductQuantizer
+
+    t0 = time.time()
+
+    def log(m):
+        print(f"[mixedp +{time.time() - t0:6.1f}s] {m}", file=sys.stderr, flush=True)
+
+    d2, m2 = 64, 8
+    per_big = 20_000
+    n_big = 2
+    k = 10
+    rng2 = np.random.Generator(np.random.SFC64(7))
+    mu_modes = rng2.standard_normal((8192, d2), dtype=np.float32) * 1.5
+
+    # shared PQ trained on slab-like data (bench trains on the 10k-user
+    # store; mode-mixture data with the same constants stands in here)
+    train_mode = rng2.integers(0, 8192, 50_000).astype(np.int32)
+    xtrain = mu_modes[train_mode] + rng2.standard_normal(
+        (50_000, d2), dtype=np.float32
+    )
+    pq2 = ProductQuantizer(dim=d2, subvector_dim=d2 // m2, num_bits=8).train(
+        jnp.asarray(xtrain), max_iter=5, num_training_rows=50_000
+    )
+    log("PQ trained")
+
+    import dataclasses as _dc
+
+    big_cfg = SpannBuildConfig.from_collection_config(
+        CollectionConfig(num_features=d2, initial_num_centroids=64)
+    )
+    big_cfg = _dc.replace(big_cfg, ivf=_dc.replace(big_cfg.ivf, pow2_pad=True))
+
+    users = {}
+    vecs = {}
+    for bi in range(n_big):
+        bmodes = rng2.integers(0, 8192, 64)
+        bm = bmodes[rng2.integers(0, 64, per_big)].astype(np.int32)
+        xb = mu_modes[bm] + rng2.standard_normal((per_big, d2), dtype=np.float32)
+        vecs[bi] = xb
+        sb = SpannBuilder(big_cfg, d2)
+        pairs = np.zeros((per_big, 2), np.uint64)
+        pairs[:, 0] = bi * 1_000_000 + np.arange(per_big)
+        sb.add_batch_pairs(pairs, xb)
+        users[bi] = sb.build(quantizer=pq2)
+        log(f"user {bi} built")
+
+    # queries aimed at each big user's own docs (the bench's 50% leg)
+    nq = 256
+    rows = rng2.integers(0, per_big, nq)
+    owner = rng2.integers(0, n_big, nq)
+    qs = np.stack([vecs[int(o)][int(r)] for o, r in zip(owner, rows)])
+    qs = qs + 0.05 * rng2.standard_normal((nq, d2), dtype=np.float32)
+
+    for bi in range(n_big):
+        sel = owner == bi
+        q = qs[sel]
+        dd = ((q[:, None, :] - vecs[bi][None, :, :]) ** 2).sum(-1)
+        gt = np.argsort(dd, axis=1)[:, :k]
+        for nec in (16, 32, 64):
+            for ratio in (0.1, 0.5, 2.0):
+                for rr in (256,):
+                    d_, i_ = users[bi].search(
+                        q, k=k, num_explored_centroids=nec,
+                        centroid_distance_ratio=ratio, rerank=rr,
+                    )
+                    ii = np.asarray(i_)
+                    # map internal point ids -> original rows via doc_ids
+                    docs_lo = users[bi].doc_ids[:, 0].astype(np.int64)
+                    got = np.where(
+                        ii >= 0,
+                        docs_lo[np.clip(ii, 0, None)] - bi * 1_000_000,
+                        -1,
+                    )
+                    rec = float(
+                        np.mean([
+                            len(set(got[r][got[r] >= 0].tolist())
+                                & set(gt[r].tolist())) / k
+                            for r in range(len(got))
+                        ])
+                    )
+                    print(json.dumps({
+                        "user": bi, "nec": nec, "ratio": ratio,
+                        "rerank": rr, "recall@10": round(rec, 4),
+                    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -172,3 +172,73 @@ class AggregatorImpl:
                 num_pages_accessed=pages,
                 num_failed_shards=failed,
             )
+
+    def TermGet(self, req: "agg_pb.TermGetRequest", context) -> "agg_pb.TermGetResponse":
+        """Term-only (keyword) search fanned out across shards.
+
+        Extension over the reference aggregator, which forwards vector Get
+        only (aggregator.rs:79-140) while its index servers do expose
+        TermSearch — cross-shard keyword queries had no aggregation path.
+        Shards are doc-disjoint, so the merge is a concatenation bounded by
+        `limit`; partial results are returned with num_failed_shards set,
+        same contract as Get."""
+        with TRACER.extract(context.invocation_metadata()), \
+                TRACER.span("aggregator.term_get", index=req.index), \
+                metrics.TimedRpc("aggregator_term_get", req.index):
+            self.shards.refresh()
+            self.nodes.refresh()
+            shards = self.shards.shards_for(req.index)
+            if not shards:
+                context.abort(grpc.StatusCode.NOT_FOUND, f"index {req.index} has no shards")
+
+            trace_md = TRACER.inject()
+
+            def query_shard(shard_node):
+                shard_id, node_id = shard_node
+                addr = self.nodes.address_for(node_id)
+                if addr is None:
+                    raise RuntimeError(f"node {node_id} unknown")
+                sreq = pb.TermSearchRequest(
+                    collection_name=f"{req.index}--{shard_id}",
+                    filter=req.filter,
+                    user_ids=req.user_ids,
+                    limit=req.limit,
+                )
+                last_err = None
+                for _ in range(1 + self.shard_retries):
+                    try:
+                        return self._stub(addr).TermSearch(
+                            sreq, timeout=self.shard_timeout_s, metadata=trace_md
+                        )
+                    except grpc.RpcError as e:
+                        last_err = e
+                raise last_err
+
+            futures = [self._pool.submit(query_shard, sn) for sn in shards]
+            budget = self.shard_timeout_s * (1 + self.shard_retries) + 1.0
+            done, not_done = wait(futures, timeout=budget)
+            responses, failed = [], 0
+            for f in not_done:
+                f.cancel()
+                failed += 1
+            for f in done:
+                try:
+                    responses.append(f.result())
+                except Exception:
+                    failed += 1
+                    log.exception("shard term query failed for index %s", req.index)
+            if failed == len(shards):
+                context.abort(grpc.StatusCode.UNAVAILABLE,
+                              f"all {failed} shards of {req.index} failed")
+            limit = req.limit or 100
+            doc_ids, num_docs = [], 0
+            for r in responses:
+                num_docs += r.num_docs
+                for did in r.doc_ids:
+                    if len(doc_ids) < limit:
+                        doc_ids.append(did)
+            return agg_pb.TermGetResponse(
+                doc_ids=doc_ids,
+                num_docs=num_docs,
+                num_failed_shards=failed,
+            )

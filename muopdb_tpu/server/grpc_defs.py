@@ -31,6 +31,9 @@ ADMIN_METHODS = {
 
 AGGREGATOR_METHODS = {
     "Get": (aggregator_pb2.GetRequest, aggregator_pb2.GetResponse),
+    # extension over the reference aggregator (vector Get only): term-only
+    # search fan-out, merged across shards
+    "TermGet": (aggregator_pb2.TermGetRequest, aggregator_pb2.TermGetResponse),
 }
 
 SERVICES = {

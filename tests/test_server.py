@@ -311,6 +311,77 @@ def test_aggregator_two_shard_cluster(tmp_path, index_server):
         server.stop(0)
 
 
+def test_aggregator_term_get_fans_out(tmp_path, index_server):
+    """TermGet (extension over the reference's vector-only aggregator):
+    term filters fan out to every shard and doc-disjoint matches merge."""
+    stub = index_server["stub"]
+    rng = np.random.default_rng(9)
+    schema = pb.AttributeSchema(
+        attributes=[pb.AttributeField(name="body", type=pb.ATTRIBUTE_TYPE_TEXT)]
+    )
+    for shard in (0, 1):
+        name = f"tidx--{shard}"
+        _create(stub, name, attribute_schema=schema)
+        x = rng.standard_normal((6, 8)).astype(np.float32)
+        attrs = pb.DocumentAttributeList(
+            values=[
+                pb.DocumentAttribute(
+                    value={"body": pb.AttributeValue(
+                        text_value="grape" if i % 2 == 0 else "melon")}
+                )
+                for i in range(6)
+            ]
+        )
+        stub.Insert(
+            pb.InsertRequest(
+                collection_name=name,
+                doc_ids=_ids(range(shard * 100, shard * 100 + 6)),
+                vectors=x.reshape(-1).tolist(),
+                user_ids=_ids([1]),
+                attributes=attrs,
+            )
+        )
+        stub.Flush(pb.FlushRequest(collection_name=name))
+
+    shard_dir = tmp_path / "shards"
+    node_dir = tmp_path / "nodes"
+    vio.write_version_atomic(str(shard_dir), 1, {"shards": {"tidx": [[0, 0], [1, 0]]}})
+    vio.write_version_atomic(
+        str(node_dir), 1, {"nodes": {"0": f"localhost:{index_server['port']}"}}
+    )
+    server, impl, agg_port = serve_aggregator(0, str(shard_dir), str(node_dir), block=False)
+    try:
+        agg = aggregator_stub(grpc.insecure_channel(f"localhost:{agg_port}"))
+        r = agg.TermGet(
+            aggregator_pb2.TermGetRequest(
+                index="tidx",
+                filter=pb.DocumentFilter(
+                    contains=pb.ContainsFilter(path="body", value="melon")
+                ),
+                user_ids=_ids([1]),
+                limit=10,
+            )
+        )
+        got = sorted(d.low_id for d in r.doc_ids)
+        assert got == [1, 3, 5, 101, 103, 105]
+        assert r.num_failed_shards == 0
+        assert r.num_docs == 6
+        # limit is respected across the merged set
+        r2 = agg.TermGet(
+            aggregator_pb2.TermGetRequest(
+                index="tidx",
+                filter=pb.DocumentFilter(
+                    contains=pb.ContainsFilter(path="body", value="melon")
+                ),
+                user_ids=_ids([1]),
+                limit=4,
+            )
+        )
+        assert len(r2.doc_ids) == 4
+    finally:
+        server.stop(0)
+
+
 def test_record_metrics_reports_pages(index_server):
     stub = index_server["stub"]
     _create(stub, "c8")
