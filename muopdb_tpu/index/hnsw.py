@@ -1549,6 +1549,14 @@ class HnswBuilder:
         jax.block_until_ready(xj)
         _stage("staged vectors")  # 1.5 GB at 1M x 384 — WAN-bound via tunnel
         k0 = min(max(cfg.ef_construction // 2, 2 * m), max(n - 1, 1))
+        if n > 2_000_000:
+            # memory-driven cap: the candidate stage keeps TWO (n, k0)
+            # id+dist pools per tree plus the merged list — at 10M x k0=50
+            # that alone is ~9 GB next to the store and the merge
+            # transients (measured runtime OOM at 15.75 G). 2*m candidates
+            # still overfill the prune's degree budget (layer 0 keeps 2*m
+            # edges) and trees/descent rounds compound coverage.
+            k0 = min(k0, 2 * m)
 
         diag = os.environ.get("MUOPDB_HNSW_DIAG") == "1"
 
