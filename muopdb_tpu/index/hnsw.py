@@ -183,10 +183,10 @@ def _merge_knn_body_dev(ids_a, d_a, ids_b, d_b, k: int):
 
 
 # one merge row costs ~6 materialized (n, 2k) intermediates (concat, two
-# argsorts + gathers); this many f32 cells per chunk keeps the transient
-# under ~1.5 GB — at 10M x k0=50 the unchunked merge transients alone are
-# ~24 GB, far past HBM
-_MERGE_CELL_BUDGET = 64 * 1024 * 1024
+# argsorts + gathers); this many cells per chunk keeps the transient under
+# ~1 GB — at 10M x k0=50 the unchunked merge transients alone are ~24 GB,
+# far past HBM, and 10M-scale merges run within ~1-2 GB of the HBM line
+_MERGE_CELL_BUDGET = 32 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1, 2, 3))
@@ -1589,12 +1589,18 @@ class HnswBuilder:
         else:
             # partition trees -> merges -> descent rounds all stay DEVICE-
             # resident; the single fetch below is the only host round-trip
+            # memory-driven tree cap above 2M points: tree T's in-tree
+            # merge holds the cross-merged list of trees 1..T-1 plus a
+            # fresh tree's dual (n, k0) pools — at 10M the third tree's
+            # merge measured ResourceExhausted even at k0=32 (the second
+            # fits). 1M sweep: 2 trees 0.9895 @ ef64 vs 3 trees 0.9909.
+            trees_eff = cfg.trees if n <= 2_000_000 else min(cfg.trees, 2)
             knn_ids, knn_d = _approx_knn(
                 x, k0, seed=cfg.seed, xj=xj, as_device=True, dt=dt,
-                trees=cfg.trees,
+                trees=trees_eff,
             )
             jax.block_until_ready(knn_ids)  # honest stage attribution
-            _stage(f"partitioned knn ({cfg.trees} trees)")
+            _stage(f"partitioned knn ({trees_eff} trees)")
             _diag_knn_recall(knn_ids, "partition")
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
