@@ -561,21 +561,19 @@ def _reverse_lists(ids: np.ndarray, cap: int) -> np.ndarray:
     return rev
 
 
-def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
+def _nn_descent_round(ids: np.ndarray, dists=None, xj=None, seed: int = 0,
                       chunk: int = 8192, dt: str = "L2") -> tuple[np.ndarray, np.ndarray]:
     """One NN-descent improvement round (see _nn_descent_device). Inputs
     and outputs are DEVICE arrays (np accepted); the whole round — reverse
-    lists, candidate sampling, re-rank — runs without a host round-trip."""
+    lists, candidate sampling, re-rank — runs without a host round-trip.
+    `dists` is accepted for call-site symmetry but UNUSED (every candidate
+    is re-ranked exactly); pass None to keep the old list freeable."""
     n, k = ids.shape
     ids_j = jnp.asarray(ids)
-    rev = _reverse_lists_dev(ids_j, k)
     # neighbor-of-neighbor sample count: 2k below 2M points; k above (the
     # (n, cols) int32 sample table alone is 2.5 GB at 10M x 64 — at that
     # scale candidate diversity already comes from the multi-tree init)
     n_cols = min(2 * k, k * k) if n <= 2_000_000 else min(k, k * k)
-    nn2_cols = jax.random.randint(
-        jax.random.key(seed), (n, n_cols), 0, k * k, dtype=jnp.int32
-    )
 
     # bound the per-chunk candidate gather (chunk x R x d) to ~1.5 GB —
     # the fixed 8192 chunk OOMs at GIST dims (960) on a 16 GB chip
@@ -585,11 +583,20 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
     chunk = min(chunk, 1 << (budget_rows.bit_length() - 1))
     chunk = min(chunk, n)
     pad = (-n) % chunk
-    ids_p = jnp.pad(ids_j, ((0, pad), (0, 0)), constant_values=-1)
-    rev_p = jnp.pad(rev, ((0, pad), (0, 0)), constant_values=-1)
-    cols_p = jnp.pad(nn2_cols, ((0, pad), (0, 0)))
+    # every (n, *) table is born at PADDED size — at 10M a pad-then-copy of
+    # ids/rev/cols holds both copies of three 1.3 GB arrays at once
+    # (measured runtime OOM at the round's tail next to the store and the
+    # output lists)
+    ids_p = (
+        jnp.pad(ids_j, ((0, pad), (0, 0)), constant_values=-1) if pad else ids_j
+    )
+    rev_p = _reverse_lists_dev(ids_p, k)  # pad rows: all -1, never targeted
+    cols_p = jax.random.randint(
+        jax.random.key(seed), (n + pad, n_cols), 0, k * k, dtype=jnp.int32
+    )
     # candidate gathers from a bf16 copy on accelerators (HBM-bound stage;
-    # the distance kernel rounds to bf16 anyway)
+    # the distance kernel rounds to bf16 anyway; a no-op when the store is
+    # already bf16 — store_bf16 builds)
     xg = (
         xj.astype(jnp.bfloat16)
         if jax.default_backend() not in ("cpu",)
@@ -599,7 +606,8 @@ def _nn_descent_round(ids: np.ndarray, dists: np.ndarray, xj, seed: int = 0,
     out_i, out_d = _nn_descent_device(
         xg, ids_p, rev_p, cols_p, k=k, chunk=chunk, dt=dt,
     )
-    return out_i[:n], out_d[:n]
+    del ids_p, rev_p, cols_p
+    return (out_i[:n], out_d[:n]) if pad else (out_i, out_d)
 
 
 def _exact_knn(x: np.ndarray, k: int, chunk: int = 1024, xj=None,
@@ -1605,8 +1613,11 @@ class HnswBuilder:
             # NN-descent rounds repair partitioning misses (essential when
             # the data has weak cluster structure)
             for r in range(cfg.nn_descent_rounds):
+                # the round re-ranks every candidate exactly and never reads
+                # the incoming distances — free them first (0.6-2 GB at 10M)
+                knn_d = None
                 knn_ids, knn_d = _nn_descent_round(
-                    knn_ids, knn_d, xj, seed=cfg.seed + r, dt=dt
+                    knn_ids, None, xj, seed=cfg.seed + r, dt=dt
                 )
             jax.block_until_ready(knn_ids)
             _stage(f"nn-descent x{cfg.nn_descent_rounds}")
