@@ -1003,26 +1003,47 @@ def _prune_layer0_device(xj, ids_dev, d_dev, m: int, cfg, seed_r: int,
     HnswIndex accepts it as-is and save()/degree stats fetch it lazily."""
     n = ids_dev.shape[0]
     alpha_sq = float(cfg.alpha) * float(cfg.alpha)
-    cand = jnp.asarray(ids_dev).astype(jnp.int32)
-    if cfg.num_random_candidates:
-        rnd = jax.random.randint(
-            jax.random.key(seed_r), (n, cfg.num_random_candidates), 0,
-            int(xj.shape[0]), dtype=jnp.int32,
+    nrc = int(cfg.num_random_candidates or 0)
+    # Row-sliced at scale: both rank+prune passes are row-independent (only
+    # the reverse pass is global), while whole-(n, R) candidate/rank buffers
+    # measured a runtime OOM at 10M (the augmented list alone is 1.9 GB and
+    # the rank pass materializes ~4 same-shape intermediates).
+    sl = n if n <= 2_000_000 else 2_000_000
+
+    def _fw_slice(s):
+        cand_s = jnp.asarray(ids_dev[s : s + sl]).astype(jnp.int32)
+        if nrc:
+            rnd = jax.random.randint(
+                jax.random.key(seed_r + s), (cand_s.shape[0], nrc), 0,
+                int(xj.shape[0]), dtype=jnp.int32,
+            )
+            cand_s = jnp.concatenate([cand_s, rnd], axis=1)
+        return _rank_prune_device(
+            xj, cand_s, m, alpha_sq=alpha_sq, keep_pruned=cfg.keep_pruned,
+            dt=dt,
         )
-        cand = jnp.concatenate([cand, rnd], axis=1)
-    fw = _rank_prune_device(
-        xj, cand, m, alpha_sq=alpha_sq, keep_pruned=cfg.keep_pruned, dt=dt
-    )
+
+    parts = [_fw_slice(s) for s in range(0, n, sl)]
+    fw = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    del parts
     m_max = 2 * m
     # reverse-candidate cap: 2*m_max below 2M points (the measured-quality
     # configuration), m_max above — the concat + rank intermediates are
     # (n, m + cap) wide and the extra reverse tail is inf-padded for almost
     # every node anyway (mean in-degree == mean out-degree == m)
-    rev = _reverse_lists_dev(fw, 2 * m_max if n <= 2_000_000 else m_max)
-    return _rank_prune_device(
-        xj, jnp.concatenate([fw, rev], axis=1), m_max,
-        alpha_sq=alpha_sq, keep_pruned=cfg.keep_pruned, dt=dt,
+    cat = jnp.concatenate(
+        [fw, _reverse_lists_dev(fw, 2 * m_max if n <= 2_000_000 else m_max)],
+        axis=1,
     )
+    del fw
+    parts = [
+        _rank_prune_device(
+            xj, cat[s : s + sl], m_max, alpha_sq=alpha_sq,
+            keep_pruned=cfg.keep_pruned, dt=dt,
+        )
+        for s in range(0, n, sl)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -1640,12 +1661,19 @@ class HnswBuilder:
             "MUOPDB_HNSW_DEV_PRUNE", "1"
         ) != "0":
             # large-n path: candidates never left the device — prune there
-            # too (see the device-resident layer-0 pipeline rationale above)
+            # too (see the device-resident layer-0 pipeline rationale above).
+            # The prune re-ranks exactly and never reads knn_d: free it
+            # (the refine path is the only later reader of the knn lists).
+            if not cfg.refine_rounds:
+                knn_d = None
             layers = [
                 _prune_layer0_device(
-                    xj, knn_ids, knn_d, m, cfg, cfg.seed + 101, dt=dt
+                    xj, knn_ids, None, m, cfg, cfg.seed + 101, dt=dt
                 )
             ]
+            if not cfg.refine_rounds:  # refine is the only later reader
+                knn_ids = None  # 1.3 GB at 10M
+
             layers[0].block_until_ready()
         else:
             knn_ids = np.asarray(knn_ids)
