@@ -964,13 +964,28 @@ def _upper_layer_edges_device(xj, memj, m: int, cfg, seed: int,
     n_mem = int(memj.shape[0])
     subj = xj[memj]
     kk = min(max(m * 2, 2), n_mem - 1)
-    chunk = 1024
-    pad = (-n_mem) % chunk
-    subj_p = jnp.pad(subj, ((0, pad), (0, 0)))
-    sd, sids = _exact_knn_device(subj_p, jnp.int32(n_mem), k=kk, chunk=chunk,
-                                 dt=dt)
-    sids = jnp.where(jnp.isinf(sd), -1, sids)[:n_mem]
-    cand = sids
+    if n_mem > 131_072:
+        # layer 1 at 10M is ~n/m = 625k members: the exact pass scores
+        # (chunk, n_mem) matrices — 2.6 GB per 1024-row chunk at 625k,
+        # measured TPU-worker crash — while the partitioned kNN is the
+        # same machinery layer 0 already runs at 10M (memory-bounded,
+        # ~0.99 single-tree candidate recall at these sizes)
+        x_shape = np.broadcast_to(
+            np.zeros((1, int(xj.shape[1])), np.float32),
+            (n_mem, int(xj.shape[1])),
+        )
+        sids, _sd = _approx_knn(
+            x_shape, kk, seed=seed + 13, xj=subj, as_device=True,
+            trees=2, dt=dt,
+        )
+        cand = jnp.asarray(sids).astype(jnp.int32)
+    else:
+        chunk = 1024
+        pad = (-n_mem) % chunk
+        subj_p = jnp.pad(subj, ((0, pad), (0, 0)))
+        sd, sids = _exact_knn_device(subj_p, jnp.int32(n_mem), k=kk,
+                                     chunk=chunk, dt=dt)
+        cand = jnp.where(jnp.isinf(sd), -1, sids)[:n_mem]
     if cfg.num_random_candidates and n_mem > 256:
         rnd = jax.random.randint(
             jax.random.key(seed), (n_mem, cfg.num_random_candidates), 0,
