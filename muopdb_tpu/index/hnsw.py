@@ -757,11 +757,13 @@ def _add_reverse_edges(edges: np.ndarray, x: np.ndarray, m_max: int,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "dt"))
-def _cand_rank_device(xj, cand, chunk: int, dt: str = "L2"):
+def _cand_rank_device(xj, cand, chunk: int, dt: str = "L2", row_offset=0):
     """Score + sort candidate lists nearest-first, one compiled program.
 
     cand: (n, R) int32 ids, -1 padded. Self edges and duplicates get +inf.
     Returns (dists (n, R), ids (n, R)) sorted ascending by distance.
+    row_offset: global id of cand's row 0 (row-sliced callers — row i's own
+    vector is xj[row_offset + i]); pass a jnp scalar to share the compile.
     """
     n, r = cand.shape
     nn = xj.shape[0]
@@ -790,7 +792,7 @@ def _cand_rank_device(xj, cand, chunk: int, dt: str = "L2"):
         nd, ni = jax.lax.top_k(-dd, r)
         return -nd, jnp.take_along_axis(cd, ni, 1)
 
-    node_ids = jnp.arange(n, dtype=jnp.int32)
+    node_ids = jnp.int32(row_offset) + jnp.arange(n, dtype=jnp.int32)
     out_d, out_i = jax.lax.map(
         one, (node_ids.reshape(nchunks, chunk), cand.reshape(nchunks, chunk, r))
     )
@@ -915,15 +917,17 @@ def _prune_edges_device(xj, cand_ids, cand_d, *, m: int, chunk: int,
 
 
 def _rank_prune_device(xj, cand_dev, m: int, *, alpha_sq: float,
-                       keep_pruned: bool, dt: str = "L2"):
+                       keep_pruned: bool, dt: str = "L2", row_offset=0):
     """Rank an arbitrary device candidate list nearest-first (dedup + self
     masked, _cand_rank_device) and prune to m edges — no host round-trip.
-    cand_dev: (n, R) int32 device. Returns (n, m) int32 device."""
+    cand_dev: (n, R) int32 device. Returns (n, m) int32 device.
+    row_offset: global id of row 0 (row-sliced callers)."""
     n, r = cand_dev.shape
     chunk = _row_chunk(n, r, int(xj.shape[1]))
     pad = (-n) % chunk
     cand_p = jnp.pad(cand_dev, ((0, pad), (0, 0)), constant_values=-1)
-    d, ids = _cand_rank_device(xj, cand_p, chunk=chunk, dt=dt)
+    d, ids = _cand_rank_device(xj, cand_p, chunk=chunk, dt=dt,
+                               row_offset=row_offset)
     ids = jnp.where(jnp.isinf(d), -1, ids).astype(jnp.int32)
     return _prune_edges_device(
         xj, ids, d, m=m, chunk=chunk, alpha_sq=alpha_sq,
@@ -1007,6 +1011,10 @@ def _upper_layer_edges_device(xj, memj, m: int, cfg, seed: int,
     return ids2[:n_mem, :m]
 
 
+# rows per layer-0 prune slice (patchable in tests to force multi-slice)
+_PRUNE_SLICE_ROWS = 2_000_000
+
+
 def _prune_layer0_device(xj, ids_dev, d_dev, m: int, cfg, seed_r: int,
                          dt: str = "L2"):
     """Device-resident prune_layer0: augment-random -> rank -> prune to m ->
@@ -1023,7 +1031,7 @@ def _prune_layer0_device(xj, ids_dev, d_dev, m: int, cfg, seed_r: int,
     # the reverse pass is global), while whole-(n, R) candidate/rank buffers
     # measured a runtime OOM at 10M (the augmented list alone is 1.9 GB and
     # the rank pass materializes ~4 same-shape intermediates).
-    sl = n if n <= 2_000_000 else 2_000_000
+    sl = n if n <= _PRUNE_SLICE_ROWS else _PRUNE_SLICE_ROWS
 
     def _fw_slice(s):
         cand_s = jnp.asarray(ids_dev[s : s + sl]).astype(jnp.int32)
@@ -1035,7 +1043,7 @@ def _prune_layer0_device(xj, ids_dev, d_dev, m: int, cfg, seed_r: int,
             cand_s = jnp.concatenate([cand_s, rnd], axis=1)
         return _rank_prune_device(
             xj, cand_s, m, alpha_sq=alpha_sq, keep_pruned=cfg.keep_pruned,
-            dt=dt,
+            dt=dt, row_offset=jnp.int32(s),
         )
 
     parts = [_fw_slice(s) for s in range(0, n, sl)]
@@ -1054,7 +1062,7 @@ def _prune_layer0_device(xj, ids_dev, d_dev, m: int, cfg, seed_r: int,
     parts = [
         _rank_prune_device(
             xj, cat[s : s + sl], m_max, alpha_sq=alpha_sq,
-            keep_pruned=cfg.keep_pruned, dt=dt,
+            keep_pruned=cfg.keep_pruned, dt=dt, row_offset=jnp.int32(s),
         )
         for s in range(0, n, sl)
     ]

@@ -415,6 +415,31 @@ def test_merge_knn_dev_chunked_matches_whole(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d), rtol=1e-6)
 
 
+def test_prune_layer0_device_row_sliced_matches_whole(rng, monkeypatch):
+    """The 10M-scale row-sliced prune must emit the same edges as the
+    single-slice path — slice row 0 is global row s, and the rank pass must
+    score each row against ITS OWN vector (a raw arange here regressed to
+    mean degree 4.6 and 0.66 recall at 10M before the row_offset fix)."""
+    import jax.numpy as jnp
+
+    import muopdb_tpu.index.hnsw as H
+
+    n, d, m = 900, 16, 4
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    xj = jnp.asarray(x)
+    cfg = H.HnswBuildConfig(max_neighbors=m, num_random_candidates=0)
+    ids, dd = H._exact_knn(x, 8, xj=xj)
+    want = np.asarray(
+        H._prune_layer0_device(xj, jnp.asarray(ids), None, m, cfg, 5)
+    )
+    monkeypatch.setattr(H, "_PRUNE_SLICE_ROWS", 256)  # force 4 slices + tail
+    got = np.asarray(
+        H._prune_layer0_device(xj, jnp.asarray(ids), None, m, cfg, 5)
+    )
+    np.testing.assert_array_equal(got, want)
+    assert np.mean(got >= 0) > 0.5  # real degree, not a degenerate prune
+
+
 def test_store_bf16_build_and_search(rng):
     """store_bf16 keeps ONE bf16 copy end-to-end: build, search store, and
     routing vectors. Search quality stays near the f32 build's."""
