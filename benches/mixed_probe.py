@@ -23,12 +23,30 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fused", action="store_true",
+                    help="drive the MultiSpannIndex fused-group path (the "
+                         "one the mixed bench actually hits) instead of "
+                         "per-user probed Spann.search")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the real chip (default: CPU backend so the "
+                         "probe can run while the chip is busy). The fused "
+                         "path only engages int8 ADC on accelerators, so "
+                         "the int8-noise hypothesis NEEDS --tpu.")
+    ap.add_argument("--reranks", default="256,512,1024,2048")
+    args = ap.parse_args()
+
     import jax
 
-    # env vars are too late on this image (sitecustomize imports jax with
-    # the axon platform pre-set) — force CPU via config so the probe can
-    # run while the chip is busy; recall is backend-independent
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        # env vars are too late on this image (sitecustomize imports jax
+        # with the axon platform pre-set) — force CPU via config; recall of
+        # the probed f32 path is backend-independent
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from muopdb_tpu.config import CollectionConfig
@@ -85,6 +103,35 @@ def main():
     owner = rng2.integers(0, n_big, nq)
     qs = np.stack([vecs[int(o)][int(r)] for o, r in zip(owner, rows)])
     qs = qs + 0.05 * rng2.standard_normal((nq, d2), dtype=np.float32)
+
+    if args.fused:
+        # the path the mixed bench actually takes for >= 2 big users:
+        # MultiSpannIndex._search_users_fused -> multi_search.search_group
+        # (whole-slab ADC sweep — int8 tables on accelerators — + rerank)
+        from muopdb_tpu.index.multi_spann import MultiSpannIndex
+
+        ms = MultiSpannIndex(dict(users))
+        allv = np.concatenate([vecs[bi] for bi in range(n_big)])
+        alldocs = np.concatenate(
+            [bi * 1_000_000 + np.arange(per_big) for bi in range(n_big)]
+        )
+        dd = ((qs[:, None, :] - allv[None, :, :]) ** 2).sum(-1)
+        gt_docs = alldocs[np.argsort(dd, axis=1)[:, :k]]
+        for rr in [int(r) for r in args.reranks.split(",")]:
+            res = ms.search_for_users(list(range(n_big)), qs, k=k,
+                                      rerank=rr, num_explored_centroids=16)
+            got = np.asarray(
+                [[doc for doc, _ in row] + [-1] * (k - len(row)) for row in res]
+            )
+            rec = float(np.mean([
+                len(set(got[r][got[r] >= 0].tolist()) & set(gt_docs[r].tolist())) / k
+                for r in range(len(got))
+            ]))
+            print(json.dumps({
+                "path": "fused", "backend": jax.default_backend(),
+                "rerank": rr, "recall@10": round(rec, 4),
+            }), flush=True)
+        return
 
     for bi in range(n_big):
         sel = owner == bi
