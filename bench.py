@@ -109,7 +109,6 @@ def _build_index(xj, nlist, m, block_rows, max_iter=15):
             num_centroids=nlist,
             num_data_points_for_clustering=min(100_000, n),
             block_rows=block_rows,
-            kmeans_unbalanced_penalty=1.0,
             max_iterations=max_iter,
         ),
         dim=d,

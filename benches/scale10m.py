@@ -117,7 +117,6 @@ def main():
         num_centroids=args.nlist,
         num_data_points_for_clustering=131_072,
         max_iterations=15,
-        kmeans_unbalanced_penalty=1.0,
         max_posting_list_size=args.max_list,
         block_rows=256,
     )

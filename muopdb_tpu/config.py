@@ -135,6 +135,10 @@ class CollectionConfig:
     clustering_distance_threshold_pct: float = 0.1
     posting_list_encoding_type: IntSeqEncodingType = IntSeqEncodingType.PLAIN
     max_posting_list_size: int = 2**63 - 1
+    # accepted for proto/wire parity with the reference's CreateCollection
+    # (muopdb.proto field 23) but has no effect: batched Lloyd rejects the
+    # penalty (divergent — ops/kmeans.py module docstring) and list-size
+    # bounds come from max_posting_list_size split rounds instead
     posting_list_kmeans_unbalanced_penalty: float = 0.0
     reindex: bool = True
 

@@ -199,6 +199,11 @@ def _merge_knn_dev(ids_a, d_a, ids_b, d_b, k: int):
     resident and merges on device (this host has ONE core — a (1M, 100)
     numpy argsort costs ~70 s, and the pipeline merges five times).
 
+    CONSUMES ITS INPUTS: the whole-array path donates all four buffers to
+    the jitted merge (and the chunked path donates each chunk slice), so a
+    caller must not reuse ids_a/d_a/ids_b/d_b after this returns — a reuse
+    fails only at runtime with a donated-buffer error.
+
     Above a cell budget, rows are chunked in HOST python — one fixed-shape
     jitted merge per chunk (a single compile; dispatches enqueue async).
     The chunking must NOT live inside one jitted program: reshaping the
@@ -241,7 +246,8 @@ def _merge_knn(ids_a, d_a, ids_b, d_b, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=None,
-                trees: int = 3, as_device: bool = False, dt: str = "L2"):
+                trees: int = 3, as_device: bool = False, dt: str = "L2",
+                force_f32_dists: bool = False):
     """Multi-tree IVF-partitioned approximate kNN graph for large n.
 
     Exact all-pairs kNN reads the whole vector array once per query tile —
@@ -419,10 +425,14 @@ def _approx_knn(x: np.ndarray, k: int, num_clusters: int = 0, seed: int = 0, xj=
     # candidate distances only ORDER candidates — every downstream consumer
     # (_prune_layer0_device, _nn_descent_round) re-scores exactly — so at
     # 10M-scale the (n, k) distance buffers store bf16 (the pool scores were
-    # bf16 matmuls to begin with); below 2M keep f32 for bit-stable merges
+    # bf16 matmuls to begin with); below 2M keep f32 for bit-stable merges.
+    # EXCEPTION: the refine path merges knn_d directly against exact f32
+    # self-search distances in _merge_knn, so callers with refine enabled
+    # pass force_f32_dists to keep the candidate ordering comparison exact.
     d_dtype = (
         jnp.bfloat16
-        if n > 2_000_000 and jax.default_backend() not in ("cpu",)
+        if n > 2_000_000 and not force_f32_dists
+        and jax.default_backend() not in ("cpu",)
         else jnp.float32
     )
     ids1 = jnp.full((n, kk), -1, jnp.int32)
@@ -1445,8 +1455,14 @@ class HnswIndex:
             return out
 
         new_layers = [remap_edges(e) for e in self.layer_edges]
+        vec_perm = np.asarray(self.vectors)[inv]
+        if self.vectors.dtype == jnp.bfloat16:
+            # preserve a bf16 store through the permutation: the numpy
+            # branch of __init__ would otherwise upcast it back to f32,
+            # silently undoing store_bf16
+            vec_perm = jnp.asarray(vec_perm)
         idx = HnswIndex(
-            np.asarray(self.vectors)[inv],
+            vec_perm,
             new_layers,
             int(remap[self.entry_point]),
             self.doc_ids[inv],
@@ -1597,7 +1613,13 @@ class HnswBuilder:
         # layer 0: kNN graph + heuristic prune + reverse edges; exact graph
         # up to 200k points, IVF-partitioned approximate graph beyond.
         # One device copy of the vectors serves every stage.
-        xj = jnp.asarray(x) if xj_in is None else xj_in
+        # honor store_bf16 for host-staged inputs too (build_from_device
+        # casts before calling; without this the host path silently built
+        # an f32 store and the knob only worked device-side)
+        xj = (
+            jnp.asarray(x).astype(jnp.bfloat16) if cfg.store_bf16
+            else jnp.asarray(x)
+        ) if xj_in is None else xj_in
         jax.block_until_ready(xj)
         _stage("staged vectors")  # 1.5 GB at 1M x 384 — WAN-bound via tunnel
         k0 = min(max(cfg.ef_construction // 2, 2 * m), max(n - 1, 1))
@@ -1650,6 +1672,10 @@ class HnswBuilder:
             knn_ids, knn_d = _approx_knn(
                 x, k0, seed=cfg.seed, xj=xj, as_device=True, dt=dt,
                 trees=trees_eff,
+                # refine merges knn_d against exact f32 self-search
+                # distances (_merge_knn); bf16-rounded vs exact comparisons
+                # would misorder candidates there
+                force_f32_dists=cfg.refine_rounds > 0,
             )
             jax.block_until_ready(knn_ids)  # honest stage attribution
             _stage(f"partitioned knn ({trees_eff} trees)")

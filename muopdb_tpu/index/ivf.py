@@ -1,8 +1,9 @@
 """IVF index with a packed-block TPU layout.
 
 Reference behavior being re-provided (not ported):
-  - build-time clustering with balanced penalty + recursive split of
-    oversized posting lists (ivf/builder.rs:460-542)
+  - build-time clustering with recursive split of oversized posting
+    lists (ivf/builder.rs:460-542; the reference's balance penalty is
+    deliberately not replicated — see ops/kmeans.py)
   - multi-assignment of vectors to clusters within a distance threshold
     (ivf/builder.rs:292-366)
   - reindexing so each posting list's vectors are contiguous for locality
@@ -76,7 +77,6 @@ class IvfBuildConfig:
     max_clusters_per_vector: int = 1
     distance_threshold_pct: float = 0.1
     max_posting_list_size: int = 2**31
-    kmeans_unbalanced_penalty: float = 0.0
     block_rows: int = 256
     distance_type: str = "L2"
     # pad centroid count and block count to powers of two so differently
@@ -92,7 +92,6 @@ class IvfBuildConfig:
             max_clusters_per_vector=c.max_clusters_per_vector,
             distance_threshold_pct=c.clustering_distance_threshold_pct,
             max_posting_list_size=min(c.max_posting_list_size, 2**31),
-            kmeans_unbalanced_penalty=c.posting_list_kmeans_unbalanced_penalty,
             block_rows=c.posting_list_block_rows,
             distance_type=c.distance_type.value,
         )
@@ -180,7 +179,6 @@ class IvfBuilder:
             k,
             key=jax.random.key(seed),
             max_iter=cfg.max_iterations,
-            penalty=cfg.kmeans_unbalanced_penalty,
         )
         centroids = np.asarray(res.centroids)
 
@@ -259,7 +257,6 @@ class IvfBuilder:
                         k_class,
                         key=jax.random.key(seed + bucket + s0),
                         max_iter=cfg.max_iterations,
-                        penalty=cfg.kmeans_unbalanced_penalty,
                     )  # (g_pad, k, d)
                     # local re-assignment of each cluster's own points
                     # (duplicate bootstrap rows agree: same row, same argmin)

@@ -1,18 +1,23 @@
-"""Balanced (penalized) Lloyd k-means, fully jitted.
+"""Lloyd k-means, fully jitted.
 
-The reference implements its own Lloyd loop with a size-penalty term
-``tolerance * cluster_size`` that discourages unbalanced clusters
-(kmeans_builder/kmeans_builder.rs:20-36,183-221) and re-seeds empty clusters
-from the largest cluster. Here the whole loop is one XLA program:
+The reference implements its own Lloyd loop (kmeans_builder/
+kmeans_builder.rs:20-36,183-221) with a size-penalty term that discourages
+unbalanced clusters and re-seeds empty clusters from the largest cluster.
+Here the whole loop is one XLA program:
 
   - assignment   = argmin over a (N, k) distance matrix — one MXU matmul
   - update       = segment-sum (one-hot matmul or scatter-add fused by XLA)
-  - size penalty = previous-iteration cluster sizes added to the distance
-                   matrix (the batched analog of the reference's sequential
-                   running-count penalty)
   - empty rescue = empty clusters re-seeded from the points currently
                    farthest from their assigned centroid (static-shape form
                    of "steal from the largest cluster")
+
+The reference's size penalty is deliberately NOT replicated: feeding a
+penalized assignment back into batched Lloyd updates is divergent (measured
+round 3: partition sizes oscillated 6k -> 42k -> 185k and collapsed 278k of
+300k points into one partition), and a label-only bias had no consumer —
+every caller here uses `.centroids` and bounds partition sizes structurally
+instead (IvfBuilder's recursive split rounds, the reference's own second
+mechanism, ivf/builder.rs:460-542).
 
 vmap over the leading axis gives the per-subspace PQ trainer for free.
 """
@@ -41,71 +46,24 @@ def _init_centroids(key, x, k):
     return x[idx]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iter", "penalty"))
+@functools.partial(jax.jit, static_argnames=("k", "max_iter"))
 def kmeans(
     x: jax.Array,
     k: int,
     *,
     key: jax.Array,
     max_iter: int = 20,
-    penalty: float = 0.0,
     tol: float = 1e-4,
 ) -> KMeansResult:
-    """Run penalized Lloyd k-means on (N, d) data.
+    """Run Lloyd k-means on (N, d) data.
 
-    penalty: weight of the cluster-size balancing term, in units of squared
-    distance per point (the reference's `tolerance * cluster_size`,
-    kmeans_builder.rs:203-208, scaled here by mean pairwise distance so it is
-    dimensionally stable across datasets).
-
-    NOTE: since the round-3 stability fix the penalty biases ONLY the
-    returned `.assignments`; centroid updates are classical Lloyd (feeding
-    the penalized assignment back was divergent — see the comment in
-    `step`). Callers that consume only `.centroids` (IVF `_cluster`, split
-    rounds, HNSW `_approx_knn`) therefore get identical results at any
-    penalty; the knob matters only to label consumers wanting the
-    reference's balanced-label semantics.
+    Classical (unpenalized) Lloyd: see the module docstring for why the
+    reference's cluster-size penalty (kmeans_builder.rs:203-208) is not
+    replicated — partition-size bounds live in IvfBuilder's split rounds.
     """
     n, d = x.shape
     x = x.astype(jnp.float32)
     init = _init_centroids(key, x, k)
-
-    # Scale penalty relative to the typical nearest-centroid distance so the
-    # term is dimensionally stable; normalized by n/k so penalty=1.0 means
-    # "one average spacing per relative overfill" (the reference's
-    # `tolerance * cluster_size`, kmeans_builder.rs:203-208, has raw units).
-    size_scale = float(penalty) * (float(k) / float(n))
-
-    def _penalized_assign(dist, counts):
-        """Damped fixed-point assignment under the size penalty.
-
-        The reference assigns points sequentially, penalizing the *running*
-        count (self-limiting). The batched analog oscillates if counts come
-        only from the previous Lloyd step, so we run a short damped inner
-        fixed point over the assignment<->counts pair.
-        """
-        scale = size_scale * jnp.mean(jnp.min(dist, axis=-1))
-        assign = jnp.argmin(dist, axis=-1).astype(jnp.int32)
-        # Clamp the penalty at 4x the balanced size: unbounded, a transient
-        # mega-count makes its centroid's penalized cost astronomical, the
-        # damped fixed point lands in a degenerate attractor (most centroids
-        # empty and re-seeded onto the same outliers every Lloyd step, one
-        # cluster holding ~everything — measured at 300k x 384: 278k of 300k
-        # points in ONE partition with penalty=1.0). The clamp keeps the
-        # balancing bias (up to 4 mean spacings) but can never dominate the
-        # distance term.
-        cap = 4.0 * float(n) / float(k)
-
-        def inner(_, carry):
-            counts, _ = carry
-            pen = scale * jnp.minimum(counts, cap)
-            a = jnp.argmin(dist + pen[None, :], axis=-1).astype(jnp.int32)
-            c = jnp.bincount(a, length=k).astype(jnp.float32)
-            return 0.5 * counts + 0.5 * c, a
-
-        if penalty > 0.0:
-            counts, assign = jax.lax.fori_loop(0, 3, inner, (counts, assign))
-        return assign, counts
 
     # Bound the (N, k) score matrix: at (200k, 9766) it is 7.8 GB — next to
     # a 5 GB resident store that OOMs a 16 GB chip (hit by the 10M HNSW
@@ -186,27 +144,17 @@ def kmeans(
         jnp.float32(jnp.inf),
     )
     centroids, _, counts, iters, _ = jax.lax.while_loop(cond, step, state0)
-    # Final assignment keeps the size penalty so the returned labels reflect
-    # the balanced objective (the reference's labels come out of the same
-    # penalized assignment loop, kmeans_builder.rs:199-221). Above the score
-    # budget the penalized labels would need a chunked fixed point nobody
-    # consumes (every big-shape caller uses `.centroids` only) — return the
-    # plain chunked labels there.
-    if chunked:
-        final_assign, _, _ = _assign_plain(centroids)
-    else:
-        final_assign, _ = _penalized_assign(l2_distance(x, centroids), counts)
+    final_assign, _, _ = _assign_plain(centroids)
     return KMeansResult(centroids, final_assign, iters)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iter", "penalty"))
+@functools.partial(jax.jit, static_argnames=("k", "max_iter"))
 def kmeans_multi(
     x: jax.Array,
     k: int,
     *,
     key: jax.Array,
     max_iter: int = 20,
-    penalty: float = 0.0,
 ) -> jax.Array:
     """Independent k-means per leading-axis group: (m, N, dsub) -> (m, k, dsub).
 
@@ -214,5 +162,5 @@ def kmeans_multi(
     vmapped XLA program: all m subspaces train simultaneously on the MXU.
     """
     keys = jax.random.split(key, x.shape[0])
-    fn = lambda xs, kk: kmeans(xs, k, key=kk, max_iter=max_iter, penalty=penalty).centroids
+    fn = lambda xs, kk: kmeans(xs, k, key=kk, max_iter=max_iter).centroids
     return jax.vmap(fn)(x.astype(jnp.float32), keys)

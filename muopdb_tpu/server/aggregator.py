@@ -216,12 +216,18 @@ class AggregatorImpl:
 
             futures = [self._pool.submit(query_shard, sn) for sn in shards]
             budget = self.shard_timeout_s * (1 + self.shard_retries) + 1.0
-            done, not_done = wait(futures, timeout=budget)
+            _, not_done = wait(futures, timeout=budget)
             responses, failed = [], 0
             for f in not_done:
                 f.cancel()
                 failed += 1
-            for f in done:
+            # Merge in shard order (the futures list order), not completion
+            # order: when total matches exceed `limit`, truncation over a
+            # nondeterministic order would return different doc_ids run to
+            # run for the identical cluster state.
+            for f in futures:
+                if f in not_done:
+                    continue
                 try:
                     responses.append(f.result())
                 except Exception:
@@ -232,6 +238,9 @@ class AggregatorImpl:
                               f"all {failed} shards of {req.index} failed")
             limit = req.limit or 100
             doc_ids, num_docs = [], 0
+            # num_docs sums per-shard counts that are themselves capped at
+            # the shard limit: a lower bound on total matches, not the
+            # returned count (shards do not report uncapped totals).
             for r in responses:
                 num_docs += r.num_docs
                 for did in r.doc_ids:

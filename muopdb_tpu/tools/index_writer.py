@@ -88,7 +88,9 @@ def build_from_config(cfg: dict, vectors: np.ndarray, doc_ids=None) -> str:
         max_clusters_per_vector=int(ic.get("max_clusters_per_vector", 1)),
         distance_threshold_pct=float(ic.get("distance_threshold", 0.1)),
         max_posting_list_size=int(ic.get("max_posting_list_size", 2**31)),
-        kmeans_unbalanced_penalty=float(ic.get("tolerance", 0.0)),
+        # the reference maps yaml `tolerance` to its kmeans balance penalty;
+        # here list-size bounds come from split rounds (ops/kmeans.py), so
+        # `tolerance` is accepted but has no effect
         max_iterations=int(ic.get("max_iteration", 20)),
         distance_type=dist,
     )

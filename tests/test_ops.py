@@ -98,20 +98,20 @@ def test_kmeans_separated_clusters(rng):
     np.testing.assert_allclose(got, want, atol=0.5)
 
 
-def test_kmeans_balanced_penalty(rng):
-    # one dense blob + a few outliers; with a strong penalty the split must be
-    # more balanced than without
+def test_kmeans_labels_match_centroids(rng):
+    # returned labels are the plain nearest-centroid assignment of the
+    # returned centroids (the reference's balance penalty is deliberately
+    # not replicated — ops/kmeans.py module docstring)
     pts = np.concatenate(
         [
             rng.standard_normal((190, 2)).astype(np.float32),
             rng.standard_normal((10, 2)).astype(np.float32) + 50,
         ]
     )
-    r0 = kmeans(jnp.asarray(pts), 4, key=jax.random.key(1), max_iter=50, penalty=0.0)
-    r1 = kmeans(jnp.asarray(pts), 4, key=jax.random.key(1), max_iter=50, penalty=1.0)
-    c0 = np.bincount(np.asarray(r0.assignments), minlength=4)
-    c1 = np.bincount(np.asarray(r1.assignments), minlength=4)
-    assert c1.max() <= c0.max()
+    r = kmeans(jnp.asarray(pts), 4, key=jax.random.key(1), max_iter=50)
+    c = np.asarray(r.centroids)
+    want = np.argmin(((pts[:, None, :] - c[None]) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(np.asarray(r.assignments), want)
 
 
 def test_kmeans_more_clusters_than_points(rng):
