@@ -20,8 +20,29 @@ try/except'd, and a partial JSON is printed even if the headline itself
 dies. Reference harness analog: rs/demo/src/main.rs:26-79 (1M bulk insert +
 flush + timed search) and rs/benchmarks/.
 
+Degraded-tunnel defense (round-4 postmortem: the driver's run drew a
+degraded ~100x-slow tunnel phase and burned all 840 s inside data-gen,
+landing a value:null artifact while the same code had finished in 591 s
+healthy hours earlier):
+  1. startup HEALTH PROBE (tiny chained matmul, compile-cached): records
+     `tunnel_probe_s` (healthy ~1-3 s) and flags `degraded_tunnel`;
+  2. INSURANCE-FIRST headline: the full pipeline runs at N=250k first
+     (~1-2 min healthy), so `value` is non-null minutes into the run, then
+     upgrades in place to the full N when budget and tunnel allow;
+  3. `stage` key updated as each stage STARTS, so even a SIGALRM partial
+     line says where the run died;
+  4. exact ground truth + query rows are disk-cached per (n,d,batch,seed)
+     under .bench_cache/ — the GT pass and the query-row device fetch
+     (the two stages observed hanging minutes on a degraded tunnel) are
+     skipped entirely on reruns;
+  5. the HNSW secondary pins its data seed when the probe flagged
+     degradation (GT cache hit from a prior healthy run) and falls back
+     to 300k when the remaining budget cannot carry 1M.
+
 Prints ONE json line. Env overrides: MUOPDB_BENCH_N, MUOPDB_BENCH_NPROBE,
-MUOPDB_BENCH_BATCH, MUOPDB_BENCH_CPU_DENOM=0, MUOPDB_BENCH_SWEEP=1.
+MUOPDB_BENCH_BATCH, MUOPDB_BENCH_CPU_DENOM=0, MUOPDB_BENCH_SWEEP=1,
+MUOPDB_BENCH_INSURANCE_N=0 (disable the insurance pass),
+MUOPDB_BENCH_RABITQ=0 (disable the RaBitQ secondary).
 """
 
 import json
@@ -54,7 +75,7 @@ def _recall(got, gt, k):
     )
 
 
-def _gen_data(n, d, batch, seed=0):
+def _gen_data(n, d, batch, seed=0, queries=None):
     # Clustered synthetic data (SIFT-like local structure): many weakly
     # separated modes, so IVF has cluster signal but points within a mode
     # stay distinguishable (strong separation makes whole modes share one PQ
@@ -86,6 +107,11 @@ def _gen_data(n, d, batch, seed=0):
     nch = -(-n // chunk)
     parts = [gen_chunk(modes, k) for k in jax.random.split(kl, nch)]
     xj = jnp.concatenate(parts)[:n] if nch > 1 else parts[0][:n]
+    if queries is not None:
+        # cached query rows (deterministic in seed): skips the device->host
+        # row fetch below — the kind of synchronous fetch observed hanging
+        # minutes on a degraded tunnel
+        return xj, np.asarray(queries, np.float32)
     # only the query rows are fetched (~1 MB); the store never leaves HBM
     rng = np.random.Generator(np.random.SFC64(seed))
     sel = np.sort(rng.choice(n, batch, replace=False))
@@ -228,39 +254,92 @@ def main():
     signal.signal(signal.SIGALRM, _bail)
     signal.alarm(hard_budget)
 
-    headline_ok = False
+    def _set_stage(name):
+        # written as each stage STARTS: a SIGALRM partial line carries the
+        # stage the run died in (round-4 artifact said nothing)
+        out["stage"] = name
+        _log(f"stage: {name}")
+
+    # ---- tunnel health probe: one tiny chained matmul, compile-cached.
+    # Healthy ~1-3 s (measured; includes backend init); the documented
+    # degraded phases run 100-500 s for the same program.
+    _set_stage("probe")
     try:
-        xj, queries = _gen_data(n, d, batch)
+        t0 = time.time()
+        _px = jnp.ones((256, 256))
+        _pf = jax.jit(lambda a: a @ a)
+        _pr = _pf(_px)
+        for _ in range(4):
+            _pr = _pf(_pr)
+        jax.block_until_ready(_pr)
+        probe_s = time.time() - t0
+    except Exception:
+        probe_s = float("inf")
+    out["tunnel_probe_s"] = round(min(probe_s, 9e5), 1)
+    degraded = probe_s > float(os.environ.get("MUOPDB_BENCH_DEGRADED_PROBE_S", 15))
+    if degraded:
+        out["degraded_tunnel"] = True
+        _log(f"tunnel DEGRADED (probe {probe_s:.0f}s) — insurance-first, "
+             "adaptive secondaries")
+
+    def _run_headline(hn, hnlist):
+        """Full headline pipeline at size hn: gen -> build -> GT -> timed
+        fused search. Writes the headline keys into `out` on success and
+        returns (xj, queries, index, gt)."""
+        cache_path = f"/root/repo/.bench_cache/gtq_{hn}_{d}_{batch}_{k}_0.npz"
+        cached_q = cached_gt = None
+        try:
+            if os.path.exists(cache_path):
+                z = np.load(cache_path)
+                cached_q, cached_gt = z["queries"], z["gt"]
+                _log(f"GT+queries cache hit: {cache_path}")
+        except Exception:
+            cached_q = cached_gt = None
+        out["n"] = hn  # partial lines attribute keys to the N being run
+        _set_stage(f"gen_{hn}")
+        xj, queries = _gen_data(hn, d, batch, queries=cached_q)
         _log("data generated; training PQ")
 
         # ---- build (timed): PQ train + k-means + assignment + packing
+        _set_stage(f"build_{hn}")
         t0 = time.time()
-        index = _build_index(xj, nlist, m, block_rows=1024)
+        index = _build_index(xj, hnlist, m, block_rows=1024)
         build_s = time.time() - t0
         out["build_seconds"] = round(build_s, 1)
-        _log(f"index built in {build_s:.0f}s; computing ground truth")
+        _log(f"index built in {build_s:.0f}s")
 
-        # ---- exact ground truth on device (chunked)
-        from muopdb_tpu.ops.distance import l2_distance
-        from muopdb_tpu.ops.topk import top_k_smallest, merge_top_k
-
+        # ---- exact ground truth on device (chunked), disk-cached: the
+        # data is seeded, so GT is identical across runs of the same shape
         gt = None
-        try:
-            qj = jnp.asarray(queries)
-            gt_d = jnp.full((batch, k), jnp.inf)
-            gt_i = jnp.full((batch, k), -1, jnp.int32)
-            chunk = 250_000
-            for s in range(0, n, chunk):
-                xc = xj[s : s + chunk]
-                dd = l2_distance(qj, xc)
-                cd, ci = top_k_smallest(
-                    dd, jnp.arange(s, s + xc.shape[0], dtype=jnp.int32), k
-                )
-                gt_d, gt_i = merge_top_k(gt_d, gt_i, cd, ci, k)
-            gt = np.asarray(gt_i)
-            _log("ground truth done; warming batched search")
-        except Exception:
-            _log("ground truth FAILED (recall will be -1):\n" + traceback.format_exc())
+        if cached_gt is not None:
+            gt = cached_gt
+        else:
+            _set_stage(f"gt_{hn}")
+            from muopdb_tpu.ops.distance import l2_distance
+            from muopdb_tpu.ops.topk import top_k_smallest, merge_top_k
+
+            try:
+                qj = jnp.asarray(queries)
+                gt_d = jnp.full((batch, k), jnp.inf)
+                gt_i = jnp.full((batch, k), -1, jnp.int32)
+                chunk = 250_000
+                for s in range(0, hn, chunk):
+                    xc = xj[s : s + chunk]
+                    dd = l2_distance(qj, xc)
+                    cd, ci = top_k_smallest(
+                        dd, jnp.arange(s, s + xc.shape[0], dtype=jnp.int32), k
+                    )
+                    gt_d, gt_i = merge_top_k(gt_d, gt_i, cd, ci, k)
+                gt = np.asarray(gt_i)
+                try:
+                    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+                    np.savez(cache_path, queries=queries, gt=gt)
+                except OSError:
+                    pass
+                _log("ground truth done")
+            except Exception:
+                _log("ground truth FAILED (recall will be -1):\n"
+                     + traceback.format_exc())
 
         # ---- headline: fused whole-index ADC sweep + exact rerank.
         # Dispatches are CHAINED and blocked once: through the serving
@@ -268,6 +347,7 @@ def main():
         # enqueues stay async, so blocking per rep would time the tunnel,
         # not the chip (device-order execution makes the last result's
         # readiness imply all prior reps finished).
+        _set_stage(f"headline_{hn}")
         ii = index.search_batched(queries, k=k, rerank=rerank)  # warmup
         jax.block_until_ready(ii)
         _log("batched search compiled; timing")
@@ -285,10 +365,40 @@ def main():
         out["recall_at_10"] = round(recall, 4)
         out["latency_ms_per_batch"] = round(1000 * dt / reps, 2)
         out["device"] = str(jax.devices()[0])
-        headline_ok = True
-        _log(f"HEADLINE {qps:.0f} qps @ recall {recall:.3f}")
-    except Exception:
-        _log("HEADLINE FAILED:\n" + traceback.format_exc())
+        _log(f"HEADLINE(n={hn}) {qps:.0f} qps @ recall {recall:.3f}")
+        return xj, queries, index, gt
+
+    headline_ok = False
+    xj = queries = index = gt = None
+    # ---- insurance pass: land a non-null headline within the first
+    # minutes; upgraded in place to the full N below when budget allows
+    ins_n = int(os.environ.get("MUOPDB_BENCH_INSURANCE_N", 250_000))
+    if ins_n and n > ins_n:
+        try:
+            xj, queries, index, gt = _run_headline(
+                ins_n, max(16, 1024 * ins_n // 1_000_000)
+            )
+            out["insurance_n"] = ins_n
+            headline_ok = True
+        except Exception:
+            _log("INSURANCE HEADLINE FAILED:\n" + traceback.format_exc())
+
+    # ---- full-N upgrade: skipped only when the insurance value already
+    # stands AND the tunnel is too degraded / the budget too spent for the
+    # full pipeline to finish before the alarm
+    full_need = float(os.environ.get("MUOPDB_BENCH_FULL_NEED_S", 330))
+    severe = probe_s > float(os.environ.get("MUOPDB_BENCH_SEVERE_PROBE_S", 60))
+    want_full = (not headline_ok) or (
+        out.get("n") != n and _remaining() > full_need and not severe
+    )
+    if want_full and (not headline_ok or n > ins_n):
+        try:
+            xj, queries, index, gt = _run_headline(n, nlist)
+            out.pop("insurance_n", None)
+            headline_ok = True
+        except Exception:
+            _log("HEADLINE FAILED:\n" + traceback.format_exc())
+    n = int(out.get("n", n))  # secondaries + extrapolation use the landed N
 
     # ---- CPU-backend denominator subprocess (measured vs_baseline).
     # Started after the headline so it never competes with it; runs on the
@@ -322,6 +432,7 @@ def main():
     if headline_ok and os.environ.get("MUOPDB_BENCH_MULTIUSER", "1") != "0" \
             and _remaining() > float(os.environ.get("MUOPDB_BENCH_MU_NEED_S", 240)):
         try:
+            _set_stage("multi_user")
             from muopdb_tpu.index.packed import PackedUsers
             from muopdb_tpu.index.multi_spann import MultiSpannIndex
             from muopdb_tpu.quantization import ProductQuantizer
@@ -580,6 +691,7 @@ def main():
                 out["multi_user_big_users"] = n_big
                 out["multi_user_big_docs"] = per_big
                 out["multi_user_mixed_build_seconds"] = round(mixed_build, 1)
+                out["multi_user_mixed_fused_fallbacks"] = ms_mixed.fused_fallback_count
                 out["multi_user_mixed_request_ms"] = round(mixed_dt * 1000, 1)
                 out["multi_user_mixed_qps"] = round(mu_batch / mixed_dt, 1)
                 out["multi_user_mixed_recall_at_10"] = round(float(np.mean(mrecs)), 4)
@@ -591,11 +703,86 @@ def main():
         except Exception:
             _log("multi-user secondary FAILED (continuing):\n" + traceback.format_exc())
 
+    # ---- secondary: RaBitQ first-stage plan at the headline N (VERDICT r4
+    # next-step #5: the differentiator plan's numbers had only ever appeared
+    # in BENCHES.md from standalone harnesses, never in a driver artifact).
+    # Sign store n x 128 int8; estimate sweep = one bf16 MXU matmul (~24x
+    # fewer FLOPs than the ADC one-hot path); exact rerank from the
+    # device-resident f32 store. Exceeds the reference, whose rabitq crate
+    # is unwired (rabitq/mod.rs:6).
+    if headline_ok and gt is not None \
+            and os.environ.get("MUOPDB_BENCH_RABITQ", "1") != "0" \
+            and _remaining() > float(os.environ.get("MUOPDB_BENCH_RABITQ_NEED_S", 120)):
+        try:
+            _set_stage("rabitq")
+            from muopdb_tpu.index.ivf import _fused_rabitq_batched
+            from muopdb_tpu.quantization import RaBitQ
+
+            rq = RaBitQ(dim=d).train(xj[:65536])
+            enc = jax.jit(rq.quantize_device)
+            sg_parts, od_parts, osc_parts = [], [], []
+            for s in range(0, n, 1_000_000):
+                sg, odc, oscc = enc(xj[s : s + 1_000_000])
+                sg_parts.append(sg)
+                od_parts.append(odc)
+                osc_parts.append(oscc)
+            signs = jnp.concatenate(sg_parts) if len(sg_parts) > 1 else sg_parts[0]
+            rb_od = jnp.concatenate(od_parts) if len(od_parts) > 1 else od_parts[0]
+            rb_osc = jnp.concatenate(osc_parts) if len(osc_parts) > 1 else osc_parts[0]
+            del sg_parts, od_parts, osc_parts
+            padn = (-n) % 1024
+            if padn:
+                signs = jnp.pad(signs, ((0, padn), (0, 0)))
+            rb_valid = jnp.ones((n,), bool)
+            rb_cen = jnp.asarray(rq.centroid)
+            rb_rot = jnp.asarray(rq.rotation)
+            rb_rerank = int(os.environ.get("MUOPDB_BENCH_RABITQ_RERANK", 512))
+            rb_pallas = jax.default_backend() not in ("cpu",)
+
+            def rb(q):
+                return _fused_rabitq_batched(
+                    q, signs, rb_od, rb_osc, rb_cen, rb_rot, xj, rb_valid,
+                    k=k, rerank=rb_rerank, use_pallas=rb_pallas,
+                    distance_type="L2",
+                )
+
+            qj_rb = jnp.asarray(queries)
+            # batch-8 latency: chained dispatches over 8 requests, one block
+            warm = rb(qj_rb[:8])
+            jax.block_until_ready(warm)
+            t0 = time.time()
+            outs_8 = [rb(qj_rb[s : s + 8]) for s in range(0, 64, 8)]
+            jax.block_until_ready(outs_8[-1])
+            rb8_ms = 1000 * (time.time() - t0) / 8
+            ids_8 = np.concatenate([np.asarray(i) for _, i in outs_8])
+            rb8_rec = _recall(ids_8, gt[:64], k)
+            # full-batch throughput (chained, one block)
+            warm_f = rb(qj_rb)
+            jax.block_until_ready(warm_f)
+            t0 = time.time()
+            outs_f = [rb(qj_rb) for _ in range(5)]
+            jax.block_until_ready(outs_f[-1])
+            rb_dt = (time.time() - t0) / 5
+            rb_rec = _recall(np.asarray(outs_f[-1][1]), gt, k)
+            out["rabitq_n"] = n
+            out["rabitq_rerank"] = rb_rerank
+            out["rabitq_qps"] = round(batch / rb_dt, 1)
+            out["rabitq_recall_at_10"] = round(rb_rec, 4)
+            out["rabitq_batch8_ms"] = round(rb8_ms, 2)
+            out["rabitq_batch8_recall_at_10"] = round(rb8_rec, 4)
+            _log(f"rabitq: {batch/rb_dt:.0f} qps @ recall {rb_rec:.3f}, "
+                 f"batch-8 {rb8_ms:.1f} ms @ {rb8_rec:.3f}")
+            del signs, rb_od, rb_osc, warm, warm_f, outs_8, outs_f
+        except Exception:
+            _log("rabitq secondary FAILED (continuing):\n" + traceback.format_exc())
+
     # ---- secondary: probed (low-latency) path
     pbatch = min(batch, 256)
     pqueries = queries[:pbatch] if headline_ok else None
     if headline_ok:
         try:
+            _set_stage("probed")
+
             def run_probed():
                 return index.search(
                     pqueries, k=k, nprobe=nprobe, chunk=pbatch, rerank=rerank
@@ -627,6 +814,7 @@ def main():
     if headline_ok and _remaining() > float(
             os.environ.get("MUOPDB_BENCH_FLAT_NEED_S", 120)):
         try:
+            _set_stage("flat")
             from muopdb_tpu.ops.pallas.scan import flat_full_scan
             from muopdb_tpu.ops.topk import top_k_smallest as _tks
 
@@ -663,6 +851,7 @@ def main():
     # (cheap: reuses the probed-path queries); disable with SWEEP=0
     if headline_ok and gt is not None and os.environ.get("MUOPDB_BENCH_SWEEP", "1") != "0":
         try:
+            _set_stage("sweep")
             sweep = {}
             for np_i in (8, 16, 32, 64, 128):
                 if np_i > nlist:
@@ -683,10 +872,12 @@ def main():
     # burns to the SIGALRM and also loses the denominator join that follows
     # (measured rehearsal 9: alarm mid-HNSW dropped vs_cpu). Better to skip
     # HNSW and land a complete-minus-one artifact.
+    hnsw_need = float(os.environ.get("MUOPDB_BENCH_HNSW_NEED_S", 380))
+    hnsw_need_small = float(os.environ.get("MUOPDB_BENCH_HNSW_SMALL_NEED_S", 230))
     if headline_ok and os.environ.get("MUOPDB_BENCH_HNSW", "1") != "0" \
-            and _remaining() > float(
-                os.environ.get("MUOPDB_BENCH_HNSW_NEED_S", 380)):
+            and _remaining() > hnsw_need_small:
         try:
+            _set_stage("hnsw")
             from benches.hnsw_quality import gen_data_device as _hq_gen_dev
             from benches.hnsw_quality import ground_truth_device as _hq_gt_dev
             from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
@@ -695,19 +886,32 @@ def main():
             # erratic 40-150 s at 460 MB; see CLAUDE.md). The data/build
             # seed is UNPINNED by default (VERDICT r3 weak #2): a fresh
             # seed per run pays a fresh exact-GT pass (~40 s) and proves
-            # build robustness isn't a lucky seed; pin via env for
-            # cache-warm rehearsals.
+            # build robustness isn't a lucky seed. On a DEGRADED tunnel the
+            # seed pins to 42 instead so the GT disk cache (primed by a
+            # healthy rehearsal) removes the GT pass — evidence with a
+            # pinned-seed marker beats no evidence.
             hn = int(os.environ.get("MUOPDB_BENCH_HNSW_N", 1_000_000))
-            hseed = int(os.environ.get(
-                "MUOPDB_BENCH_HNSW_SEED", int(time.time()) % 100_000 + 2
-            ))
+            if _remaining() < hnsw_need:
+                # not enough budget for 1M: carry 300k rather than nothing
+                hn = min(hn, 300_000)
+            if degraded:
+                hseed = int(os.environ.get("MUOPDB_BENCH_HNSW_SEED", 42))
+                out["hnsw_seed_pinned_degraded"] = True
+            else:
+                hseed = int(os.environ.get(
+                    "MUOPDB_BENCH_HNSW_SEED", int(time.time()) % 100_000 + 2
+                ))
             hd, hq, hef = 384, 1024, 64
             hxj, hqueries = _hq_gen_dev(hn, hd, hq, hseed)
             # seeded data -> deterministic exact ground truth: share
             # benches/hnsw_quality.py's disk cache (same key)
-            gt_path = f"/tmp/hnswq_gt/gtdev_{hn}_{hd}_{hq}_{k}_{hseed}.npy"
+            gt_name = f"gtdev_{hn}_{hd}_{hq}_{k}_{hseed}.npy"
+            gt_path = f"/root/repo/.bench_cache/{gt_name}"
+            gt_tmp = f"/tmp/hnswq_gt/{gt_name}"  # hnsw_quality.py's cache
             if os.path.exists(gt_path):
                 hgt = np.load(gt_path)
+            elif os.path.exists(gt_tmp):
+                hgt = np.load(gt_tmp)
             else:
                 hgt = _hq_gt_dev(hxj, hqueries, k)
                 os.makedirs(os.path.dirname(gt_path), exist_ok=True)
@@ -739,6 +943,7 @@ def main():
     cpu_extrap = None
     if denom_proc is not None:
         try:
+            _set_stage("denom_join")
             with open(denom_go, "w") as f:  # release the child's timed reps
                 f.write("go")
             budget_left = max(45.0, _remaining() - 30.0)
@@ -771,6 +976,7 @@ def main():
         if cpu_extrap and cpu_extrap > 0:
             out["vs_cpu_backend_same_code"] = round(out["value"] / cpu_extrap, 2)
 
+    out["stage"] = "done"
     out["total_bench_seconds"] = round(time.time() - t_start, 1)
     print(json.dumps(out))
     if not headline_ok:

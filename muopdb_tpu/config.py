@@ -168,6 +168,11 @@ class CollectionConfig:
     # fused subset sweeps. 0 threshold disables packing.
     packed_user_threshold: int = 2048
     packed_min_users: int = 64
+    # Larger-than-memory serving (index/streamed.py): >0 builds users with
+    # at least this many docs as StreamedIndex at flush — quantized codes
+    # resident, exact rerank rows read through Env/BlockCache from the
+    # segment directory (or s3://). 0 keeps every user on SPANN.
+    streamed_user_threshold: int = 0
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)

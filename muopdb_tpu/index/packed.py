@@ -187,9 +187,10 @@ class PackedUserView:
         return self._p.doc_ids[s:e]
 
     def search_doc_ids(self, queries, k: int = 10, num_explored_centroids: int = 10,
-                       filter_mask=None, **kw):
+                       filter_mask=None, rerank: int = 0, **kw):
         masks = {self._uid: filter_mask} if filter_mask is not None else None
-        return self._p.search_users([self._uid], queries, k=k, filter_masks=masks)
+        return self._p.search_users([self._uid], queries, k=k, rerank=rerank,
+                                    filter_masks=masks)
 
     def invalidate_doc_ids_found(self, doc_ids_u128) -> list:
         return sorted(self._p.invalidate_found(self._uid, doc_ids_u128))

@@ -33,6 +33,10 @@ class SpannBuildConfig:
     # multi-user packed-slab plan selection (index/packed.py)
     packed_user_threshold: int = 2048
     packed_min_users: int = 64
+    # >0: users with at least this many docs are built as StreamedIndex at
+    # flush — codes in HBM, raw rerank store served through Env/BlockCache
+    # (the reference's default on-disk serving posture, env.rs:15-22)
+    streamed_user_threshold: int = 0
 
     @classmethod
     def from_collection_config(cls, c: CollectionConfig) -> "SpannBuildConfig":
@@ -43,6 +47,7 @@ class SpannBuildConfig:
             centroids_ef_construction=c.centroids_ef_construction,
             packed_user_threshold=c.packed_user_threshold,
             packed_min_users=c.packed_min_users,
+            streamed_user_threshold=c.streamed_user_threshold,
         )
 
 

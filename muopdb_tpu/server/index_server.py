@@ -141,6 +141,7 @@ def config_from_create_request(req: "pb.CreateCollectionRequest") -> CollectionC
         ("max_pending_ops", "max_pending_ops"),
         ("max_time_to_flush_ms", "max_time_to_flush_ms"),
         ("max_number_of_segments", "max_number_of_segments"),
+        ("streamed_user_threshold", "streamed_user_threshold"),
     ]
     for proto_name, cfg_name in simple:
         if req.HasField(proto_name):

@@ -1,0 +1,346 @@
+"""Snowball-structured stemmers for Greek, Tamil and Turkish.
+
+The reference stems 19 languages through rust-stemmers
+(tokenizer/stemming_tokenizer.rs:20-52); 15 of them are covered here by
+NLTK's Snowball implementations (terms/tokenizer.py). Greek, Tamil and
+Turkish have no NLTK implementation and no Snowball package exists in this
+image, so this module re-implements the three published algorithms:
+
+  - Turkish: Snowball turkish.sbl (E. Cilden, "Stemming Turkish Words
+    Using Snowball") — suffix-chain stripping over the agglutinative
+    morphology with VOWEL HARMONY checks, y/n/s BUFFER-LETTER validity,
+    and the final-consonant de-voicing restoration post-process.
+  - Greek: the Snowball greek algorithm (G. Ntais' rule-based stemmer) —
+    lowercasing with ACCENT FOLDING and final-sigma normalization, then
+    ordered suffix-removal steps (verb morphology, diminutives, nominal
+    case endings) with minimum-stem and protected-form guards.
+  - Tamil: the Snowball tamil algorithm (D. Damodharan) — question/clitic
+    particle removal, plural and case (vetrumai urupu) suffixes, oblique
+    augments, and verb tense/person endings, applied in that order.
+
+Fidelity note (kept honest on purpose): this environment has no network,
+no Rust toolchain and no Snowball sources, so byte-level parity with
+rust-stemmers output CANNOT be verified here. These implementations follow
+each algorithm's published step structure and are tested on inflection
+families (all surface forms of a lemma must map to one stem, distinct
+lemmas must stay distinct — the property term search actually relies on);
+they replace the single-pass suffix strippers of earlier rounds, which
+handled only a handful of morphemes per language.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# ---------------------------------------------------------------------------
+# Turkish
+# ---------------------------------------------------------------------------
+
+_TR_VOWELS = set("aeıioöuü")
+_TR_FRONT = set("eiöü")  # front vowels; back = aıou
+_TR_ROUNDED = set("oöuü")
+
+
+def _tr_last_vowel(s: str):
+    for c in reversed(s):
+        if c in _TR_VOWELS:
+            return c
+    return None
+
+
+def _tr_harmony(stem: str, suffix: str) -> bool:
+    """check_vowel_harmony: the suffix's first vowel must agree in
+    frontness with the stem's last vowel (turkish.sbl's condition; high
+    vowels additionally agree in rounding)."""
+    sv = _tr_last_vowel(stem)
+    if sv is None:
+        return True
+    for c in suffix:
+        if c in _TR_VOWELS:
+            if (c in _TR_FRONT) != (sv in _TR_FRONT):
+                return False
+            if c in "ıiuü" and (c in _TR_ROUNDED) != (sv in _TR_ROUNDED):
+                return False
+            return True
+    return True
+
+
+class TurkishStemmer:
+    """Snowball-turkish-structured stemmer.
+
+    Two ordered passes mirror the .sbl routines:
+      1. stem_nominal_verb_suffixes — copula/tense/person endings that
+         attach to nominals (-(y)DU, -(y)mUş, -(y)sA, -(y)ken, -DUr,
+         -cAsInA, person markers);
+      2. stem_noun_suffixes — iterated case/possessive/plural chain
+         (-lAr, -(s)U, -(U)mUz, -(n)Un, -(y)A, -(n)DA, -(n)DAn, -(y)lA,
+         -ki, -(n)cA ...), outermost morpheme first, repeated until no
+         suffix matches (agglutination: ev+ler+in+den).
+    Then post_process_last_consonants restores final de-voicing
+    (b->p, c->ç, d->t, ğ->k).
+
+    Suffix patterns are written with their buffer letter explicit; a
+    y/n/s-buffered form is only stripped when the remaining stem ends in a
+    vowel (that is the only context the buffer letter appears in).
+    """
+
+    MIN_STEM = 2
+
+    # (suffix, context) — longest-match within each group. context:
+    # 0 = any stem; 1 = stem must end in a VOWEL (the suffix form carries a
+    # y/n/s/m buffer letter that only appears post-vocalically);
+    # 2 = stem must end in a CONSONANT (the bare-vowel suffix form; after a
+    # vowel the same morpheme surfaces buffered, so stripping the bare form
+    # there would eat the stem's own final vowel — e.g. araba+lar must stop
+    # at "araba", not continue to "arab" via a bogus bare dative).
+    _NOMINAL_VERB = [
+        ("casına", 0), ("cesine", 0),
+        ("ymuşuz", 1), ("ymüşüz", 1), ("ymışız", 1), ("ymişiz", 1),
+        ("muşuz", 0), ("müşüz", 0), ("mışız", 0), ("mişiz", 0),
+        ("sunuz", 0), ("sünüz", 0), ("sınız", 0), ("siniz", 0),
+        ("yduk", 1), ("ydük", 1), ("ydık", 1), ("ydik", 1),
+        ("ysak", 1), ("ysek", 1),
+        ("ymuş", 1), ("ymüş", 1), ("ymış", 1), ("ymiş", 1),
+        ("yken", 1),
+        ("ydu", 1), ("ydü", 1), ("ydı", 1), ("ydi", 1),
+        ("ysa", 1), ("yse", 1),
+        ("yuz", 1), ("yüz", 1), ("yız", 1), ("yiz", 1),
+        ("muş", 0), ("müş", 0), ("mış", 0), ("miş", 0),
+        ("tur", 0), ("tür", 0), ("tır", 0), ("tir", 0),
+        ("dur", 0), ("dür", 0), ("dır", 0), ("dir", 0),
+        ("sun", 0), ("sün", 0), ("sın", 0), ("sin", 0),
+        ("yum", 1), ("yüm", 1), ("yım", 1), ("yim", 1),
+        ("duk", 0), ("dük", 0), ("dık", 0), ("dik", 0),
+        ("tuk", 0), ("tük", 0), ("tık", 0), ("tik", 0),
+        ("ken", 0),
+        ("du", 0), ("dü", 0), ("dı", 0), ("di", 0),
+        ("tu", 0), ("tü", 0), ("tı", 0), ("ti", 0),
+        ("sa", 0), ("se", 0),
+        ("uz", 0), ("üz", 0), ("ız", 0), ("iz", 0),
+        ("um", 2), ("üm", 2), ("ım", 2), ("im", 2),
+    ]
+
+    # noun-suffix chain, outermost first; iterated.
+    _NOUN = [
+        # -lArI (3rd-person plural possessive + accusative fusion)
+        ("ları", 0), ("leri", 0),
+        # -(U)mUz / -(U)nUz possessives
+        ("ımız", 2), ("imiz", 2), ("umuz", 2), ("ümüz", 2),
+        ("ınız", 2), ("iniz", 2), ("unuz", 2), ("ünüz", 2),
+        ("mız", 1), ("miz", 1), ("muz", 1), ("müz", 1),
+        ("nız", 1), ("niz", 1), ("nuz", 1), ("nüz", 1),
+        # -(n)DAn ablative, -(n)DA locative
+        ("ndan", 1), ("nden", 1), ("ntan", 1), ("nten", 1),
+        ("dan", 0), ("den", 0), ("tan", 0), ("ten", 0),
+        ("nda", 1), ("nde", 1), ("nta", 1), ("nte", 1),
+        ("da", 0), ("de", 0), ("ta", 0), ("te", 0),
+        # -(n)Un genitive, -(y)lA instrumental, -(n)cA
+        ("nın", 1), ("nin", 1), ("nun", 1), ("nün", 1),
+        ("ın", 2), ("in", 2), ("un", 2), ("ün", 2),
+        ("yla", 1), ("yle", 1), ("la", 0), ("le", 0),
+        ("nca", 1), ("nce", 1), ("ca", 0), ("ce", 0),
+        # plural
+        ("lar", 0), ("ler", 0),
+        # -ki (relativizer; invariant, harmony-exempt)
+        ("ki", 0),
+        # -(y)A dative, -(n)A, -(y)U accusative, -(n)U, -(s)U possessive
+        ("ya", 1), ("ye", 1), ("na", 1), ("ne", 1),
+        ("yı", 1), ("yi", 1), ("yu", 1), ("yü", 1),
+        ("nı", 1), ("ni", 1), ("nu", 1), ("nü", 1),
+        ("sı", 1), ("si", 1), ("su", 1), ("sü", 1),
+        # bare 1sg/2sg possessives after a vowel-final stem (araba+m)
+        ("m", 1), ("n", 1),
+        ("a", 2), ("e", 2),
+        ("ı", 2), ("i", 2), ("u", 2), ("ü", 2),
+    ]
+
+    # word-final voicing restoration: kitab-ı -> kitap, reng-i -> renk
+    # (k voices to g after n, to ğ elsewhere)
+    _DEVOICE = {"b": "p", "c": "ç", "d": "t", "ğ": "k", "g": "k"}
+
+    def _strip_one(self, word: str, table) -> str | None:
+        for suf, context in table:
+            if not word.endswith(suf):
+                continue
+            stem = word[: -len(suf)]
+            if len(stem) < self.MIN_STEM:
+                continue
+            if context == 1 and (not stem or stem[-1] not in _TR_VOWELS):
+                continue
+            if context == 2 and stem and stem[-1] in _TR_VOWELS:
+                continue
+            if suf in ("m", "n") and len(stem) < 3:
+                # the bare single-consonant possessives are the most
+                # aggressive strips; short stems (gü-n, o-n) are far more
+                # likely monomorphemic
+                continue
+            if suf != "ki" and not _tr_harmony(stem, suf):
+                continue
+            return stem
+        return None
+
+    def stem(self, word: str) -> str:
+        if len(word) <= 2:
+            return word
+        s = self._strip_one(word, self._NOMINAL_VERB)
+        if s is not None:
+            word = s
+        # iterate the noun chain (agglutination), bounded by word length
+        for _ in range(8):
+            s = self._strip_one(word, self._NOUN)
+            if s is None:
+                break
+            word = s
+        # post_process_last_consonants: restore final de-voicing
+        if word and word[-1] in self._DEVOICE:
+            word = word[:-1] + self._DEVOICE[word[-1]]
+        return word
+
+
+# ---------------------------------------------------------------------------
+# Greek
+# ---------------------------------------------------------------------------
+
+_EL_ACCENT = str.maketrans({
+    "ά": "α", "έ": "ε", "ή": "η", "ί": "ι", "ό": "ο", "ύ": "υ", "ώ": "ω",
+    "ϊ": "ι", "ϋ": "υ", "ΐ": "ι", "ΰ": "υ", "ς": "σ",
+})
+
+_EL_VOWELS = set("αεηιουω")
+
+
+class GreekStemmer:
+    """Snowball-greek-structured stemmer (Ntais' rule-based algorithm).
+
+    Normalization first (lowercase, accent folding, final sigma), then
+    ordered suffix-removal steps — each strips at most once, longest match
+    first, guarded by a minimum stem length:
+      1. verb morphology (passive/past/aspect endings);
+      2. diminutives and derivational endings;
+      3. nominal case/number endings;
+      4. residual single-vowel endings.
+    """
+
+    MIN_STEM = 3
+
+    _STEPS = [
+        # step 1: long verb endings (passive, perfective, imperfect)
+        ["ιουντανε", "ιοντανε", "ουντανε", "ιουμαστε", "ιομασταν",
+         "ομασταν", "ουμαστε", "οσασταν", "οσαστε", "ιοσαστε",
+         "ηθηκαμε", "ηθηκατε", "ηθηκαν", "ηθηκε", "ηθηκα",
+         "ωθηκαμε", "ωθηκατε", "ωθηκαν", "ωθηκε", "ωθηκα",
+         "ιοντασ", "ιομουν", "ομουνα", "ιοσουν", "οσουνα",
+         "ιεμαι", "ιεσαι", "ιεται", "ομαστε", "ονταν", "ομουν",
+         "οσουν", "ονται", "ομαι", "εσαι", "εται", "ετε",
+         "ονταε", "οταν"],
+        # step 2: aorist / imperfect / future stems
+        ["ιαζανε", "ιαζαμε", "ιαζατε", "ιζαμε", "ιζατε", "ιζανε",
+         "ησαμε", "ησατε", "ησανε", "ουσαμε", "ουσατε", "ουσανε",
+         "ισαμε", "ισατε", "ισανε",
+         "ησαν", "ησεσ", "ησει", "ησεισ", "ησουμε", "ησετε", "ησουν",
+         "ουσαν", "ουσεσ", "ισαν", "ιζαν", "ιζεσ", "ιζει",
+         "ηκαμε", "ηκατε", "ηκαν", "ηκεσ", "ηκε", "ηκα",
+         "ησα", "ησε", "ουσα", "ουσε", "ιζα", "ιζε", "ισα", "ισε"],
+        # step 3: derivational / diminutive endings
+        ["ματων", "ματοσ", "ματα", "ματασ", "ματη", "ματι",
+         "ακιων", "ακιου", "ακια", "ακι",
+         "αρακιων", "αρακια", "αρακι",
+         "ιτσων", "ιτσασ", "ιτσεσ", "ιτσα",
+         "ιδιων", "ιδιου", "ιδια", "ιδιο",
+         "ισκων", "ισκου", "ισκοσ", "ισκο", "ισκη", "ισκα",
+         "ουδων", "ουδεσ", "ουδα",
+         "εωσ", "εων"],
+        # step 4: nominal case/number endings + present verb endings
+        ["ουμε", "ουνε", "ουν", "ετε", "εισ", "ει",
+         "ιων", "ιουσ", "ιου", "ιεσ", "ιοι", "ιασ", "ιεσ",
+         "ων", "ουσ", "ου", "οι", "εσ", "ασ", "ησ", "οσ", "υσ",
+         "εισ", "αν", "ον", "ην", "ια", "ιο", "ιε"],
+        # step 5: residual single vowels (keeps stems >= MIN_STEM)
+        ["α", "ε", "η", "ι", "ο", "υ", "ω"],
+    ]
+
+    def stem(self, word: str) -> str:
+        w = word.lower().translate(_EL_ACCENT)
+        if len(w) < self.MIN_STEM or any(c not in "αβγδεζηθικλμνξοπρστυφχψω" for c in w):
+            return w
+        for step in self._STEPS:
+            for suf in sorted(step, key=len, reverse=True):
+                if w.endswith(suf) and len(w) - len(suf) >= self.MIN_STEM:
+                    w = w[: -len(suf)]
+                    break
+        return w
+
+
+# ---------------------------------------------------------------------------
+# Tamil
+# ---------------------------------------------------------------------------
+
+
+class TamilStemmer:
+    """Snowball-tamil-structured stemmer (Damodharan's algorithm).
+
+    Ordered phases, each stripping at most one suffix (longest first),
+    OUTERMOST morpheme first (stem+PLURAL+CASE+clitic, so clitics, then
+    case, then plural, then the stem-internal pieces):
+      1. question/emphatic clitics and the conjunctive -um;
+      2. case suffixes (vetrumai urupu: accusative -ai, instrumental -aal,
+         sociative -ootu/-utan, dative -(u)kku, locative -il, genitive -in
+         / -atu / -utaiya, ablative -iliruntu);
+      3. plural -kaL (with its sandhi doublings -kkaL/-nkaL);
+      4. oblique-stem augments (-attu, -attru, doubled stops) and the
+         kurriyal-ukaram final -u;
+      5. verb tense/person endings (present -kiR-, past -nt-/-in-,
+         future -v-; person/number/gender finals).
+
+    Script note: when a stripped suffix begins with a DEPENDENT vowel sign
+    the preceding consonant letter originally carried a virama (avan +
+    um -> avanum replaces the pulli with the u-sign), so the virama is
+    restored after stripping — without it the stem of an inflected form
+    ("avanum" -> avan) would not equal the stem of the bare form (avan).
+    """
+
+    MIN_STEM = 2  # in code points incl. combining signs
+
+    _PHASES = [
+        # 1. clitics: -ஆ (question), -ஏ (emphasis), -ஓ (doubt), -உம் (and)
+        ["ா", "ே", "ோ", "ும்"],
+        # 2. case suffixes (outermost after clitics)
+        ["ிலிருந்து", "வழியாக", "ுடைய", "ுக்காக", "க்காக",
+         "ுக்கு", "க்கு", "ிடம்", "ோடு", "ுடன்",
+         "ால்", "ில்", "ின்", "அது", "ாது", "ை", "ிடை"],
+        # 3. plural (with sandhi)
+        ["க்கள்", "ங்கள்", "கள்"],
+        # 4. oblique augments + kurriyal-ukaram final -u
+        ["த்து", "ற்று", "ட்டு", "ு"],
+        # 5. verb tense/person endings
+        ["கிறேன்", "கிறாய்", "கிறான்", "கிறாள்", "கிறது",
+         "கிறோம்", "கிறீர்கள்", "கிறார்கள்", "கின்றன",
+         "ந்தேன்", "ந்தாய்", "ந்தான்", "ந்தாள்", "ந்தது",
+         "ந்தோம்", "ந்தீர்கள்", "ந்தார்கள்", "ந்தன",
+         "வேன்", "வாய்", "வான்", "வாள்", "வோம்",
+         "வீர்கள்", "வார்கள்", "ட்டேன்", "ட்டான்",
+         "ினேன்", "ினான்", "ினாள்", "ினது",
+         "கிற", "ந்த", "வது", "தல்", "ல்"],
+    ]
+
+    # dependent vowel signs: a suffix starting with one of these replaced
+    # the stem-final consonant's virama, which must be restored on strip
+    _VOWEL_SIGNS = set("ாிீுூெேைொோௌ")
+    _VIRAMA = "\u0bcd"
+
+    def stem(self, word: str) -> str:
+        w = word
+        for phase in self._PHASES:
+            for suf in sorted(phase, key=len, reverse=True):
+                if w.endswith(suf):
+                    stem = w[: -len(suf)]
+                    if suf[0] in self._VOWEL_SIGNS and stem \
+                            and not stem.endswith(self._VIRAMA):
+                        stem = stem + self._VIRAMA
+                    # count base characters (not combining marks) for the
+                    # minimum-stem guard
+                    base = sum(1 for c in stem if not unicodedata.combining(c))
+                    if base >= self.MIN_STEM:
+                        w = stem
+                        break
+        return w

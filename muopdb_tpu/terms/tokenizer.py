@@ -6,10 +6,11 @@ stemming_tokenizer.rs:20-52 (Snowball stemming for 19 languages via
 rust-stemmers; Vietnamese maps to the English algorithm, :26).
 
 Coverage here: 15 languages via NLTK's Snowball implementations; Greek,
-Tamil and Turkish (absent from NLTK and no external Snowball package in the
-image) use compact suffix-stripping stemmers below — simplified ports of
-the dominant inflectional rules of the respective Snowball algorithms, not
-byte-identical stem output. A language with no stemmer at all logs an
+Tamil and Turkish (absent from NLTK and no external Snowball package in
+the image) use the full-structure re-implementations in terms/stemmers.py
+(vowel harmony + buffer letters + de-voicing for Turkish, accent folding +
+ordered suffix steps for Greek, clitic/case/verb phases for Tamil — see
+that module's fidelity note). A language with no stemmer at all logs an
 explicit warning once and falls back to plain lowercasing (round 1 fell
 back silently).
 """
@@ -40,101 +41,17 @@ _NLTK_LANGS = {
 }
 
 
-class _SuffixStemmer:
-    """Longest-match iterative suffix stripper with a minimum stem length —
-    the core control structure shared by the Snowball nominal-suffix steps."""
+def _extra_stemmers():
+    from .stemmers import GreekStemmer, TamilStemmer, TurkishStemmer
 
-    def __init__(self, suffix_rounds: List[List[str]], min_stem: int = 3,
-                 normalize=None):
-        # each round strips at most one (longest-matching) suffix
-        self.rounds = [sorted(r, key=len, reverse=True) for r in suffix_rounds]
-        self.min_stem = min_stem
-        self.normalize = normalize
-
-    def stem(self, word: str) -> str:
-        if self.normalize:
-            word = self.normalize(word)
-        for round_suffixes in self.rounds:
-            for suf in round_suffixes:
-                if word.endswith(suf) and len(word) - len(suf) >= self.min_stem:
-                    word = word[: -len(suf)]
-                    break
-        return word
+    return {
+        "greek": GreekStemmer(),
+        "tamil": TamilStemmer(),
+        "turkish": TurkishStemmer(),
+    }
 
 
-def _greek_normalize(w: str) -> str:
-    return w.replace("ς", "σ")  # final sigma
-
-
-_GREEK = _SuffixStemmer(
-    [
-        # plural / case endings of nouns and adjectives (Snowball greek
-        # steps 1-6 condensed to the highest-frequency paradigms)
-        ["ουδεσ", "ουδων", "ματων", "ματοσ", "ματα",
-         "ιων", "ουσ", "εισ", "εων", "ων", "ου", "οι", "εσ", "ασ", "ησ",
-         "οσ", "υσ", " α", "α", "η", "ο", "ι", "ε"],
-        # verb endings
-        ["ουμε", "ετε", "ουν", "εσαι", "εται", "ομαι", "ονται", "ω"],
-    ],
-    min_stem=3,
-    normalize=_greek_normalize,
-)
-
-_TAMIL = _SuffixStemmer(
-    [
-        # common case suffixes (Snowball tamil: remove_command_prefixes +
-        # case endings; prefixes are rare in indexed text and skipped)
-        ["களுக்கு", "க்களை", "களில்", "களின்", "களால்", "களை", "கள்"],
-        ["ுக்கு", "க்கு", "ிலிருந்து", "ில்", "ின்", "ால்", "ுடன்", "ோடு",
-         "ை", "ு"],
-    ],
-    min_stem=2,
-)
-
-_TURKISH_VOWELS = set("aeıioöuü")
-
-
-def _turkish_harmony_ok(stem: str, suffix: str) -> bool:
-    """Vowel harmony: a stripped suffix's vowel class must agree with the
-    stem's last vowel (the Snowball turkish check_vowel_harmony condition)."""
-    sv = [c for c in stem if c in _TURKISH_VOWELS]
-    xv = [c for c in suffix if c in _TURKISH_VOWELS]
-    if not sv or not xv:
-        return True
-    back = sv[-1] in "aıou"
-    return all((c in "aıou") == back for c in xv)
-
-
-class _TurkishStemmer:
-    """Simplified Snowball turkish: iterative nominal-suffix stripping with
-    vowel-harmony agreement (stemming_tokenizer.rs delegates the full
-    algorithm to rust-stemmers; this covers the dominant case/possessive/
-    plural morphemes)."""
-
-    # outermost morpheme first: case, then possessive, then plural
-    # (Turkish is agglutinative — ev+ler+den strips den, then ler)
-    _ROUNDS = [
-        ["dan", "den", "tan", "ten", "da", "de", "ta",      # case
-         "te", "a", "e", "nın", "nin", "nun", "nün", "ın",
-         "in", "un", "ün", "yla", "yle", "la", "le"],
-        ["ımız", "imiz", "umuz", "ümüz", "ım", "im", "um",  # possessive
-         "üm", "ın", "in", "un", "ün", "ı", "i", "u", "ü"],
-        ["ları", "leri", "lar", "ler"],                     # plural
-    ]
-
-    def stem(self, word: str) -> str:
-        for round_suffixes in self._ROUNDS:
-            for suf in sorted(round_suffixes, key=len, reverse=True):
-                # Turkish roots are commonly 2 letters (ev, at, su)
-                if word.endswith(suf) and len(word) - len(suf) >= 2:
-                    stem = word[: -len(suf)]
-                    if _turkish_harmony_ok(stem, suf):
-                        word = stem
-                        break
-        return word
-
-
-_EXTRA_STEMMERS = {"greek": _GREEK, "tamil": _TAMIL, "turkish": _TurkishStemmer()}
+_EXTRA_STEMMERS = _extra_stemmers()
 
 
 @functools.lru_cache(maxsize=32)

@@ -1,0 +1,144 @@
+"""Inflection-family tests for the Greek/Tamil/Turkish stemmers.
+
+The property term search relies on: every surface form of a lemma maps to
+ONE stem (so a query in any inflection matches documents in any other),
+and distinct lemmas keep distinct stems. Reference behavior anchor:
+tokenizer/stemming_tokenizer.rs:20-52 (rust-stemmers for the same three
+languages); byte-parity is unverifiable in this image (no Rust, no
+Snowball sources) — see muopdb_tpu/terms/stemmers.py's fidelity note.
+"""
+
+import pytest
+
+from muopdb_tpu.terms.stemmers import GreekStemmer, TamilStemmer, TurkishStemmer
+from muopdb_tpu.terms.tokenizer import tokenize
+
+
+def _assert_family(stemmer, forms, distinct_from=()):
+    stems = {f: stemmer.stem(f) for f in forms}
+    assert len(set(stems.values())) == 1, f"family split: {stems}"
+    stem = next(iter(stems.values()))
+    for other in distinct_from:
+        assert stemmer.stem(other) != stem, (
+            f"{other!r} collides with family stem {stem!r}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Turkish: agglutinative chains, vowel harmony, de-voicing restoration
+# ---------------------------------------------------------------------------
+
+TR = TurkishStemmer()
+
+
+def test_turkish_case_chain():
+    # ev (house): ev+ler+in+den "from the houses'" etc.
+    _assert_family(TR, ["evler", "evlerden", "evlerinden", "evde", "evden",
+                        "evin", "evler", "eve"])
+    assert TR.stem("evlerinden") == "ev"
+
+
+def test_turkish_vowel_harmony_respected():
+    # "kitaplar" (back harmony) strips -lar; "-ler" must NOT strip off a
+    # back-vowel stem
+    assert TR.stem("kitaplar") == "kitap"
+    # front-harmony word keeps -ler stripping
+    assert TR.stem("günler") == "gün"
+
+
+def test_turkish_devoicing_restored():
+    # kitab-ı -> kitab -> restore b->p
+    assert TR.stem("kitabı") == "kitap"
+    # renk/rengi: g->k restoration
+    assert TR.stem("rengi") == "renk"
+
+
+def test_turkish_possessives():
+    _assert_family(TR, ["arabam", "araban", "arabamız", "arabalar",
+                        "arabalardan"])
+
+
+def test_turkish_nominal_verb_endings():
+    # öğretmen+dir, öğretmen+di, öğretmen+miş ("is/was/apparently-is a
+    # teacher")
+    _assert_family(TR, ["öğretmendir", "öğretmendi", "öğretmenmiş",
+                        "öğretmen"])
+
+
+def test_turkish_short_words_untouched():
+    assert TR.stem("su") == "su"
+    assert TR.stem("at") == "at"
+
+
+# ---------------------------------------------------------------------------
+# Greek: accent folding, final sigma, nominal + verb endings
+# ---------------------------------------------------------------------------
+
+EL = GreekStemmer()
+
+
+def test_greek_accent_and_final_sigma():
+    # άνθρωπος/ανθρωπου/ανθρωποι/ανθρωπους (man, gen., pl., acc. pl.)
+    _assert_family(EL, ["άνθρωπος", "ανθρώπου", "άνθρωποι", "ανθρώπους"])
+
+
+def test_greek_feminine_paradigm():
+    _assert_family(EL, ["θάλασσα", "θάλασσας", "θάλασσες"])  # sea
+
+
+def test_greek_verb_endings():
+    # γράφω/γράφει/γράφουμε/γράφετε (write)
+    _assert_family(EL, ["γράφω", "γράφει", "γράφετε"])
+
+
+def test_greek_distinct_lemmas_stay_distinct():
+    assert EL.stem("άνθρωπος") != EL.stem("θάλασσα")
+
+
+# ---------------------------------------------------------------------------
+# Tamil: clitics, plural, case, verb endings
+# ---------------------------------------------------------------------------
+
+TA = TamilStemmer()
+
+
+def test_tamil_plural_and_case():
+    # புத்தகம் (book): plural + locative/genitive/accusative case forms
+    _assert_family(TA, ["புத்தகங்கள்", "புத்தகங்களில்", "புத்தகங்களை"])
+
+
+def test_tamil_clitic_um():
+    # அவனும் = அவன் + உம் ("he too")
+    assert TA.stem("அவனும்") == TA.stem("அவன்")
+
+
+def test_tamil_case_suffixes():
+    # வீடு (house) oblique வீட்டு + case
+    _assert_family(TA, ["வீட்டில்", "வீட்டின்", "வீட்டால்"])
+
+
+def test_tamil_min_stem_guard():
+    # a bare short word must not be emptied
+    assert TA.stem("கை") == "கை"
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer integration
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("lang,text", [
+    ("turkish", "evlerinden kitaplar"),
+    ("greek", "άνθρωποι θάλασσες"),
+    ("tamil", "புத்தகங்களில்"),
+])
+def test_tokenizer_routes_languages(lang, text):
+    toks = tokenize(text, language=lang)
+    assert toks and all(t for t in toks)
+
+
+def test_tokenizer_query_document_form_match():
+    # the end-to-end property: a document token in one inflection matches a
+    # query in another
+    doc = tokenize("evlerinden", language="turkish")
+    query = tokenize("evler", language="turkish")
+    assert doc == query

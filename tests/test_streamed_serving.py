@@ -1,0 +1,206 @@
+"""StreamedIndex as a serving-plane citizen (VERDICT r4 missing #2).
+
+The reference's on-disk serving is its default posture: vectors are read
+through Env/BlockCache for any backend including S3 (env.rs:15-22,133-195,
+cache.rs:292-385). These tests pin the TPU translation end to end:
+
+  - flush builds a StreamedIndex for users above
+    CollectionConfig.streamed_user_threshold, and snapshot search reaches
+    it through the normal Collection plane;
+  - save/load round-trips with the raw store served through Env
+    (EnvRowStore), including from an in-process S3 endpoint whose SigV4
+    signatures are verified per request;
+  - the double-buffered stage-2 pipeline returns bit-identical results to
+    the serialized form;
+  - deletions and filter masks fold into the two-stage plan.
+"""
+
+from __future__ import annotations
+
+import http.server
+import threading
+
+import numpy as np
+import pytest
+
+from muopdb_tpu.config import CollectionConfig
+from muopdb_tpu.index.multi_spann import MultiSpannBuilder, MultiSpannIndex
+from muopdb_tpu.index.spann import SpannBuildConfig
+from muopdb_tpu.index.streamed import EnvRowStore, StreamedIndex
+from muopdb_tpu.utils import file_io as fio
+
+K = 5
+D = 16
+N_BIG = 3000
+
+
+def _mk_data(rng, n):
+    modes = rng.standard_normal((64, D), dtype=np.float32) * 2.0
+    x = modes[rng.integers(0, 64, n)] + rng.standard_normal((n, D), dtype=np.float32)
+    return x
+
+
+def _recall(res, gt):
+    got = np.asarray([[doc for doc, _ in row] + [-1] * (K - len(row)) for row in res])
+    return float(np.mean([
+        len(set(got[r][got[r] >= 0].tolist()) & set(gt[r].tolist())) / K
+        for r in range(len(got))
+    ]))
+
+
+@pytest.fixture()
+def streamed_user(rng, tmp_path):
+    x = _mk_data(rng, N_BIG)
+    pairs = np.zeros((N_BIG, 2), np.uint64)
+    pairs[:, 0] = np.arange(N_BIG)
+    idx = StreamedIndex.build_from_rows(x, pairs)
+    qs = x[rng.integers(0, N_BIG, 16)] + 0.05 * rng.standard_normal(
+        (16, D), dtype=np.float32
+    )
+    dd = ((qs[:, None, :] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(dd, axis=1)[:, :K]
+    return idx, x, qs, gt
+
+
+def test_streamed_search_and_overlap_equivalence(streamed_user):
+    idx, x, qs, gt = streamed_user
+    d1, i1 = idx.search(qs, k=K, rerank=256, overlap=False, query_chunk=4)
+    d2, i2 = idx.search(qs, k=K, rerank=256, overlap=True, query_chunk=4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+    rec = float(np.mean([
+        len(set(np.asarray(i1)[r].tolist()) & set(gt[r].tolist())) / K
+        for r in range(len(qs))
+    ]))
+    assert rec >= 0.95
+
+
+def test_streamed_save_load_env_routed(streamed_user, tmp_path):
+    idx, x, qs, gt = streamed_user
+    d0, i0 = idx.search(qs, k=K, rerank=256)
+    idx.save(str(tmp_path / "u"))
+    loaded = StreamedIndex.load(str(tmp_path / "u"))
+    # the reloaded raw store is Env-routed, not an in-memory array
+    assert isinstance(loaded.raw_store, EnvRowStore)
+    d1, i1 = loaded.search(qs, k=K, rerank=256)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # segment-dir relocatability: the manifest records a relative raw path
+    import json, os
+
+    with open(tmp_path / "u" / "streamed.json") as f:
+        assert "://" not in json.load(f)["raw_path"]
+    assert os.path.exists(tmp_path / "u" / "raw_vectors.f32")
+
+
+def test_streamed_deletions_and_filter(streamed_user):
+    idx, x, qs, gt = streamed_user
+    _, i0 = idx.search(qs[:1], k=K, rerank=256)
+    top = int(np.asarray(i0)[0, 0])
+    assert idx.invalidate_doc_ids([top]) == 1
+    _, i1 = idx.search(qs[:1], k=K, rerank=256)
+    assert top not in np.asarray(i1)[0].tolist()
+    # filter mask: only even point ids admissible
+    fm = np.arange(N_BIG) % 2 == 0
+    _, i2 = idx.search(qs, k=K, rerank=512, filter_mask=fm)
+    ii = np.asarray(i2)
+    assert (ii[ii >= 0] % 2 == 0).all()
+
+
+def test_multispann_builds_streamed_tier(rng, tmp_path):
+    ivf = SpannBuildConfig.from_collection_config(
+        CollectionConfig(num_features=D, initial_num_centroids=4,
+                         streamed_user_threshold=1000)
+    )
+    b = MultiSpannBuilder(ivf, D)
+    x_big = _mk_data(rng, N_BIG)
+    pairs = np.zeros((N_BIG, 2), np.uint64)
+    pairs[:, 0] = np.arange(N_BIG)
+    b.insert_batch_pairs(7, pairs, x_big)
+    x_small = _mk_data(rng, 50)
+    sp = np.zeros((50, 2), np.uint64)
+    sp[:, 0] = 1_000 + np.arange(50)
+    b.insert_batch_pairs(9, sp, x_small)
+    ms = b.build()
+    assert isinstance(ms._users[7], StreamedIndex)
+    assert not isinstance(ms._users[9], StreamedIndex)
+
+    qs = x_big[:4] + 0.01
+    res = ms.search_for_users([7, 9], qs, k=K, rerank=256)
+    assert all(row and row[0][0] == i for i, row in enumerate(res))
+
+    # save -> lazy load -> streamed user reopens through Env
+    ms.save(str(tmp_path / "seg"))
+    ms2 = MultiSpannIndex.load(str(tmp_path / "seg"))
+    res2 = ms2.search_for_users([7, 9], qs, k=K, rerank=256)
+    assert [r[0][0] for r in res2] == [r[0][0] for r in res]
+    assert isinstance(ms2._users[7].raw_store, EnvRowStore)
+
+
+def test_collection_flush_builds_streamed_and_serves(rng, tmp_path):
+    """Server-plane reachability: a collection configured with the
+    streamed threshold serves larger-than-memory users through the normal
+    snapshot search path (core.rs:867-974 flush -> snapshot.rs:39-106)."""
+    from muopdb_tpu.collection.collection import Collection
+
+    cfg = CollectionConfig(
+        num_features=D, initial_num_centroids=4, posting_list_block_rows=16,
+        centroids_ef_construction=32, centroids_max_neighbors=8,
+        wal_file_size=0, max_number_of_segments=10,
+        streamed_user_threshold=1200,
+    )
+    col = Collection("c", str(tmp_path / "c"), cfg)
+    x = _mk_data(rng, 1500)
+    col.insert_for_users([1], list(range(1500)), x)
+    col.flush()
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], x[:3], k=1, num_explored_centroids=4)
+    assert [r[0][0] for r in res] == [0, 1, 2]
+    # and the segment on disk is a streamed user dir
+    import glob
+
+    assert glob.glob(str(tmp_path / "c" / "segment_*" / "user_*" / "streamed.json"))
+
+
+def test_streamed_raw_store_on_s3(streamed_user, tmp_path):
+    """The raw store serves from an object store: upload the raw file to
+    the in-process SigV4-verifying S3 endpoint, reopen the index with an
+    s3:// raw path, and search — same results as local."""
+    from muopdb_tpu.utils.s3 import S3Client, S3Config, SigV4Signer
+    from tests.test_s3 import _FakeS3Handler
+
+    idx, x, qs, gt = streamed_user
+    d0, i0 = idx.search(qs, k=K, rerank=256)
+    idx.save(str(tmp_path / "u"))
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3Handler)
+    srv.objects = {}
+    srv.uploads = {}
+    srv.requests = []
+    srv.fail_next = 0
+    srv.signer = SigV4Signer("testkey", "testsecret", "us-test-1")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = S3Client(S3Config(
+            access_key="testkey", secret_key="testsecret", region="us-test-1",
+            endpoint=f"http://127.0.0.1:{srv.server_address[1]}",
+            retry_base_sleep_s=0.01,
+        ))
+        with open(tmp_path / "u" / "raw_vectors.f32", "rb") as f:
+            client.put_object("idx", "seg/raw_vectors.f32", f.read())
+        fio.configure_object_store("s3", client)
+        loaded = StreamedIndex.load(
+            str(tmp_path / "u"), raw_path="s3://idx/seg/raw_vectors.f32"
+        )
+        n_before = len(srv.requests)
+        d1, i1 = loaded.search(qs, k=K, rerank=256)
+        assert len(srv.requests) > n_before  # rows actually came off S3
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        # BlockCache: a repeat query must not re-fetch every row
+        n_mid = len(srv.requests)
+        loaded.search(qs, k=K, rerank=256)
+        assert len(srv.requests) - n_mid < (n_mid - n_before)
+    finally:
+        fio._OBJECT_STORES.pop("s3", None)
+        srv.shutdown()
+        srv.server_close()
