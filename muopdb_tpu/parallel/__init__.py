@@ -1,6 +1,8 @@
 from .sharded import (  # noqa: F401
     ShardedFlatIndex,
+    ShardedHnsw,
     ShardedIvfIndex,
     ShardedMultiUser,
+    ShardedStreamed,
     sharded_kmeans_step,
 )

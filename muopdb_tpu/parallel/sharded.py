@@ -361,3 +361,220 @@ def sharded_kmeans_step(mesh: Mesh, axis: str = "shard"):
         return inner(x, centroids, counts)
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Sharded HNSW (doc-sharded subgraphs: the reference's cross-node doc
+# sharding, aggregator.rs:97, collapsed onto the mesh)
+# ---------------------------------------------------------------------------
+
+
+class ShardedHnsw:
+    """Doc-sharded HNSW serving over a device mesh.
+
+    Graphs do not shard internally — beam hops chase data-dependent edges,
+    and a global graph sharded by rows would turn every hop's neighbor
+    gather into cross-device traffic. The TPU-native plan is therefore the
+    reference's own distribution (independent per-shard indexes, queries
+    fanned out, score-merge): each device owns a COMPLETE subgraph over its
+    document slice, one shard_map program runs routing-scan seeding plus a
+    fixed-hop batched beam entirely device-locally, and the only ICI
+    traffic is the (B, k*S) candidate all_gather at the end
+    (aggregator.rs:134's merge, on-device).
+    """
+
+    def __init__(self, shard_indexes, global_offsets=None,
+                 mesh: Optional[Mesh] = None, axis: str = "shard",
+                 ef: int = 32, hops: int = 2):
+        self.mesh = mesh or default_mesh()
+        self.axis = axis
+        self.ef = ef
+        self.hops = hops
+        s = self.mesh.shape[axis]
+        assert len(shard_indexes) == s, (len(shard_indexes), s)
+        if global_offsets is None:
+            sizes = [int(ix.vectors.shape[0]) for ix in shard_indexes]
+            global_offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        n_pad = max(int(ix.vectors.shape[0]) for ix in shard_indexes)
+        deg = max(int(ix.layer_edges[0].shape[1]) for ix in shard_indexes)
+        d = int(shard_indexes[0].vectors.shape[1])
+        r_pad = max(
+            max(1, int(ix._routing_members().shape[0])) for ix in shard_indexes
+        )
+        vec = np.zeros((s, n_pad, d), np.float32)
+        edges = np.full((s, n_pad, deg), n_pad - 1, np.int32)  # safe gather idx
+        edge_ok = np.zeros((s, n_pad, deg), bool)
+        valid = np.zeros((s, n_pad), bool)
+        gids = np.full((s, n_pad), -1, np.int32)
+        routing = np.zeros((s, r_pad), np.int32)
+        routing_ok = np.zeros((s, r_pad), bool)
+        for i, ix in enumerate(shard_indexes):
+            ni = int(ix.vectors.shape[0])
+            vec[i, :ni] = np.asarray(ix.vectors.astype(jnp.float32))
+            e0 = np.asarray(ix.layer_edges[0])
+            edges[i, :ni, : e0.shape[1]] = np.where(e0 >= 0, e0, n_pad - 1)
+            edge_ok[i, :ni, : e0.shape[1]] = e0 >= 0
+            valid[i, :ni] = np.asarray(ix.valid)
+            gids[i, :ni] = int(global_offsets[i]) + np.arange(ni, dtype=np.int32)
+            rm = np.asarray(ix._routing_members())
+            if len(rm) == 0:  # tiny shard: seed from point 0
+                rm = np.zeros(1, np.int32)
+            routing[i, : len(rm)] = rm
+            routing_ok[i, : len(rm)] = True
+        sh = NamedSharding(self.mesh, P(axis))
+        self.vectors = jax.device_put(vec, sh)
+        self.edges = jax.device_put(edges, sh)
+        self.edge_ok = jax.device_put(edge_ok, sh)
+        self.valid = jax.device_put(valid, sh)
+        self.gids = jax.device_put(gids, sh)
+        self.routing = jax.device_put(routing, sh)
+        self.routing_ok = jax.device_put(routing_ok, sh)
+
+    def search(self, queries, k: int = 10):
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        axis, ef, hops = self.axis, self.ef, self.hops
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(qq, vv, ee, eok, valid, gids, routing, routing_ok):
+            vv, ee, eok = vv[0], ee[0], eok[0]
+            valid, gids = valid[0], gids[0]
+            routing, routing_ok = routing[0], routing_ok[0]
+            b = qq.shape[0]
+            # routing-scan seed: exact distances to the shard's layer-1
+            # members (hnsw.py's scan route, device-local here)
+            rv = vv[routing]
+            dr = pairwise_distance(qq, rv, "L2")
+            dr = jnp.where(routing_ok[None, :] & valid[routing][None, :],
+                           dr, jnp.inf)
+            e = min(ef, dr.shape[1])
+            bd, bi = jax.lax.top_k(-dr, e)
+            beam = routing[bi]  # (B, e) local ids
+            bd = -bd
+            # fixed-hop batched frontier expansion over the local graph
+            for _ in range(hops):
+                nbrs = ee[beam].reshape(b, -1)            # (B, e*deg)
+                nok = eok[beam].reshape(b, -1)
+                cand = jnp.concatenate([beam, nbrs], axis=1)
+                cok = jnp.concatenate(
+                    [jnp.ones_like(beam, bool), nok], axis=1
+                )
+                dc = rerank_scores(qq, vv[cand], "L2")
+                dc = jnp.where(cok & valid[cand], dc, jnp.inf)
+                # dedup within the candidate row so the beam keeps e
+                # DISTINCT nodes (duplicates would shrink the frontier)
+                order = jnp.argsort(cand, axis=1, stable=True)
+                cs = jnp.take_along_axis(cand, order, 1)
+                ds = jnp.take_along_axis(dc, order, 1)
+                dup = jnp.concatenate(
+                    [jnp.zeros((b, 1), bool), cs[:, 1:] == cs[:, :-1]], axis=1
+                )
+                ds = jnp.where(dup, jnp.inf, ds)
+                bd, sel = jax.lax.top_k(-ds, e)
+                bd = -bd
+                beam = jnp.take_along_axis(cs, sel, 1)
+            ld, li = top_k_smallest(bd, gids[beam], min(k, e))
+            if li.shape[1] < k:
+                pad = k - li.shape[1]
+                ld = jnp.pad(ld, ((0, 0), (0, pad)), constant_values=jnp.inf)
+                li = jnp.pad(li, ((0, 0), (0, pad)), constant_values=-1)
+            gd = jax.lax.all_gather(ld, axis, axis=1, tiled=True)
+            gi = jax.lax.all_gather(li, axis, axis=1, tiled=True)
+            return top_k_smallest(gd, gi, k)
+
+        return run(q, self.vectors, self.edges, self.edge_ok, self.valid,
+                   self.gids, self.routing, self.routing_ok)
+
+
+# ---------------------------------------------------------------------------
+# Sharded streamed two-stage (codes sharded over the mesh; host raw store)
+# ---------------------------------------------------------------------------
+
+
+class ShardedStreamed:
+    """The larger-than-HBM two-stage plan over a mesh: stage-1 PQ code
+    sweep with CODES SHARDED over the devices (each device scans its code
+    slice and contributes a local top-r), candidates merged over ICI, then
+    the usual single host gather from the raw store + exact rerank. This
+    is how a store bigger than ONE chip's HBM serves from a pod slice:
+    codes capacity scales linearly with devices; the raw store stays on
+    disk/object storage behind Env (streamed.py).
+    """
+
+    def __init__(self, streamed, mesh: Optional[Mesh] = None,
+                 axis: str = "shard"):
+        from ..index.streamed import StreamedIndex
+
+        assert isinstance(streamed, StreamedIndex)
+        assert streamed._codes_t_padded is not None, "PQ codes required"
+        self.inner = streamed
+        self.mesh = mesh or default_mesh()
+        self.axis = axis
+        s = self.mesh.shape[axis]
+        ct = np.asarray(streamed._codes_t_padded)  # (m, Npad)
+        npad2 = -(-ct.shape[1] // (512 * s)) * 512 * s
+        if npad2 != ct.shape[1]:
+            ct = np.pad(ct, ((0, 0), (0, npad2 - ct.shape[1])))
+        n = streamed.num_points
+        valid = np.zeros(npad2, bool)
+        valid[:n] = streamed.point_valid_host
+        ids = np.arange(npad2, dtype=np.int32)
+        sh = NamedSharding(self.mesh, P(None, axis))
+        sh1 = NamedSharding(self.mesh, P(axis))
+        self.codes_t = jax.device_put(ct, sh)
+        self.valid = jax.device_put(valid, sh1)
+        self.ids = jax.device_put(ids, sh1)
+        self.codebook = jnp.asarray(streamed.quantizer.codebook)
+
+    def search(self, queries, k: int = 10, *, rerank: int = 256):
+        from ..index.streamed import _stage2_rerank
+        from ..quantization.pq import _compute_lut_l2
+
+        inner = self.inner
+        q = np.asarray(queries, np.float32).reshape(-1, inner.dim)
+        qj = jnp.asarray(q)
+        axis = self.axis
+        r = min(rerank, inner.num_points)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(None, axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def stage1(qq, ct, valid, ids):
+            lut = _compute_lut_l2(qq, self.codebook)  # (B, m, ksub)
+            # local ADC sweep: one-hot-free gather-sum over the code slice
+            m = ct.shape[0]
+            scores = jnp.zeros((qq.shape[0], ct.shape[1]), jnp.float32)
+            for j in range(m):
+                scores = scores + jnp.take_along_axis(
+                    jnp.broadcast_to(lut[:, j, :], (qq.shape[0], lut.shape[2])),
+                    ct[j][None, :].astype(jnp.int32).repeat(qq.shape[0], 0),
+                    axis=1,
+                )
+            scores = jnp.where(valid[None, :], scores, jnp.inf)
+            rr = min(r, scores.shape[1])
+            neg, pos = jax.lax.top_k(-scores, rr)
+            ld, li = -neg, ids[pos]
+            gd = jax.lax.all_gather(ld, axis, axis=1, tiled=True)
+            gi = jax.lax.all_gather(li, axis, axis=1, tiled=True)
+            sel = jnp.argsort(gd, axis=1)[:, :rr]
+            return (jnp.take_along_axis(gd, sel, 1),
+                    jnp.take_along_axis(gi, sel, 1))
+
+        sc, ci = stage1(qj, self.codes_t, self.valid, self.ids)
+        sc, ci = np.asarray(sc), np.asarray(ci)
+        ok = np.isfinite(sc)
+        rows = inner._gather_rows(ci, ok)
+        return _stage2_rerank(
+            qj, jnp.asarray(rows), jnp.asarray(ci), jnp.asarray(ok),
+            k=min(k, inner.num_points), distance_type=inner._dt,
+        )

@@ -120,3 +120,66 @@ def test_sharded_kmeans_step_matches_global(rng):
     ])
     np.testing.assert_allclose(np.asarray(c1), want, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(counts1), np.bincount(a, minlength=4))
+
+
+def test_sharded_hnsw_recall(rng):
+    """Doc-sharded subgraph HNSW (parallel/sharded.py ShardedHnsw): per-
+    shard routing scan + fixed-hop beam, ICI top-k merge — recall vs exact
+    over clustered data."""
+    from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
+    from muopdb_tpu.parallel import ShardedHnsw
+
+    d, n_shards = 16, 8
+    modes = rng.standard_normal((32, d), dtype=np.float32) * 2.0
+    per = 400
+    shards, offs = [], []
+    all_x = []
+    for i in range(n_shards):
+        x = modes[rng.integers(0, 32, per)] + rng.standard_normal(
+            (per, d), dtype=np.float32
+        )
+        hb = HnswBuilder(HnswBuildConfig(max_neighbors=8, ef_construction=32), d)
+        hb.add_batch(np.arange(per), x)
+        shards.append(hb.build())
+        offs.append(i * per)
+        all_x.append(x)
+    allv = np.concatenate(all_x)
+    sh = ShardedHnsw(shards, global_offsets=offs, ef=32, hops=2)
+    q = allv[rng.integers(0, len(allv), 16)] + 0.05 * rng.standard_normal(
+        (16, d), dtype=np.float32
+    )
+    dd = ((q[:, None, :] - allv[None]) ** 2).sum(-1)
+    gt = np.argsort(dd, axis=1)[:, :5]
+    _, ii = sh.search(q, k=5)
+    ii = np.asarray(ii)
+    rec = np.mean([
+        len(set(ii[r].tolist()) & set(gt[r].tolist())) / 5 for r in range(len(q))
+    ])
+    assert rec >= 0.9, rec
+
+
+def test_sharded_streamed_matches_single_device(rng):
+    """Codes sharded over the mesh (stage 1), host raw-store gather + exact
+    rerank (stage 2) — results match the single-device StreamedIndex."""
+    from muopdb_tpu.index.streamed import StreamedIndex
+    from muopdb_tpu.parallel import ShardedStreamed
+
+    d, n = 16, 3000
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    pairs = np.zeros((n, 2), np.uint64)
+    pairs[:, 0] = np.arange(n)
+    idx = StreamedIndex.build_from_rows(x, pairs)
+    sh = ShardedStreamed(idx)
+    q = x[rng.integers(0, n, 8)] + 0.01 * rng.standard_normal(
+        (8, d), dtype=np.float32
+    )
+    d1, i1 = idx.search(q, k=5, rerank=256)
+    d2, i2 = sh.search(q, k=5, rerank=256)
+    # stage-1 candidate sets may differ at the top-r boundary; the exact
+    # reranked top-1 (the query's own row) must agree
+    np.testing.assert_array_equal(np.asarray(i1)[:, 0], np.asarray(i2)[:, 0])
+    overlap = np.mean([
+        len(set(np.asarray(i1)[r].tolist()) & set(np.asarray(i2)[r].tolist())) / 5
+        for r in range(8)
+    ])
+    assert overlap >= 0.9, overlap
