@@ -238,6 +238,18 @@ def main():
               "value": round(args.batch / dt, 1), "unit": "qps",
               "recall@10": round(rec, 4), "rerank": args.rerank,
               "note": "stage2 gathers rerank rows from the on-disk store"})
+        # double-buffering off: serialized stage-1 fetch -> gather -> rerank
+        # per query chunk (the pre-round-5 shape; VERDICT r4 weak #3)
+        t0 = time.time()
+        for _ in range(reps):
+            dd, ii = idx.search(q_host, k=args.k, rerank=args.rerank,
+                                overlap=False)
+            jax.block_until_ready(dd)
+        dt_off = (time.time() - t0) / reps
+        emit({"bench": f"scale50m_{tag}_batch{args.batch}_overlap_off",
+              "value": round(args.batch / dt_off, 1), "unit": "qps",
+              "rerank": args.rerank,
+              "note": "stage-2 gathers serialized against stage-1/rerank"})
         # batch-8 low-latency
         t0 = time.time()
         for _ in range(reps):
