@@ -265,6 +265,7 @@ def main():
     # degraded phases run 100-500 s for the same program.
     _set_stage("probe")
     try:
+        jax.devices()  # backend init (~10 s via the tunnel) is not health
         t0 = time.time()
         _px = jnp.ones((256, 256))
         _pf = jax.jit(lambda a: a @ a)
@@ -364,6 +365,8 @@ def main():
         out["unit"] = "qps@recall10=%.3f" % recall
         out["recall_at_10"] = round(recall, 4)
         out["latency_ms_per_batch"] = round(1000 * dt / reps, 2)
+        out["vs_baseline"] = round(qps / RUST_CPU_BASELINE_QPS_ESTIMATE, 2)
+        out["baseline_source"] = "estimated_rust_cpu_1500qps"
         out["device"] = str(jax.devices()[0])
         _log(f"HEADLINE(n={hn}) {qps:.0f} qps @ recall {recall:.3f}")
         return xj, queries, index, gt
@@ -756,14 +759,26 @@ def main():
             rb8_ms = 1000 * (time.time() - t0) / 8
             ids_8 = np.concatenate([np.asarray(i) for _, i in outs_8])
             rb8_rec = _recall(ids_8, gt[:64], k)
-            # full-batch throughput (chained, one block)
-            warm_f = rb(qj_rb)
-            jax.block_until_ready(warm_f)
+            # full-batch throughput (chained, one block). Queries are
+            # self-chunked: the Pallas sign-scan's scoped-vmem tile scales
+            # with the query-block rows, and 2048 x 1M overflowed the 16M
+            # vmem limit by 256K (measured rehearsal r5); 256-row chunks
+            # keep the tile comfortably inside while staying MXU-efficient.
+            rb_chunk = int(os.environ.get("MUOPDB_BENCH_RABITQ_CHUNK", 256))
+
+            def rb_full():
+                return [rb(qj_rb[s0 : s0 + rb_chunk])
+                        for s0 in range(0, batch, rb_chunk)]
+
+            warm_f = rb_full()
+            jax.block_until_ready(warm_f[-1])
             t0 = time.time()
-            outs_f = [rb(qj_rb) for _ in range(5)]
+            for _ in range(4):
+                outs_f = rb_full()
             jax.block_until_ready(outs_f[-1])
-            rb_dt = (time.time() - t0) / 5
-            rb_rec = _recall(np.asarray(outs_f[-1][1]), gt, k)
+            rb_dt = (time.time() - t0) / 4
+            ids_f = np.concatenate([np.asarray(i) for _, i in outs_f])
+            rb_rec = _recall(ids_f, gt, k)
             out["rabitq_n"] = n
             out["rabitq_rerank"] = rb_rerank
             out["rabitq_qps"] = round(batch / rb_dt, 1)
@@ -772,7 +787,7 @@ def main():
             out["rabitq_batch8_recall_at_10"] = round(rb8_rec, 4)
             _log(f"rabitq: {batch/rb_dt:.0f} qps @ recall {rb_rec:.3f}, "
                  f"batch-8 {rb8_ms:.1f} ms @ {rb8_rec:.3f}")
-            del signs, rb_od, rb_osc, warm, warm_f, outs_8, outs_f
+            del signs, rb_od, rb_osc, warm, warm_f, outs_8, outs_f, ids_f
         except Exception:
             _log("rabitq secondary FAILED (continuing):\n" + traceback.format_exc())
 
@@ -865,15 +880,42 @@ def main():
         except Exception:
             _log("nprobe sweep FAILED (continuing):\n" + traceback.format_exc())
 
+    # ---- join the denominator subprocess and compute vs_baseline
+    cpu_extrap = None
+    if denom_proc is not None:
+        try:
+            _set_stage("denom_join")
+            with open(denom_go, "w") as f:  # release the child's timed reps
+                f.write("go")
+            budget_left = max(45.0, _remaining() - 30.0)
+            stdout, _ = denom_proc.communicate(timeout=budget_left)
+            res = json.loads(stdout.decode().strip().splitlines()[-1])
+            cpu_extrap = res["cpu_qps"] * res["n"] / n  # O(N)/query extrapolation
+            out["cpu_backend_qps_measured"] = res["cpu_qps"]
+            out["cpu_backend_n"] = res["n"]
+            out["cpu_backend_qps_extrapolated_to_n"] = round(cpu_extrap, 1)
+            _log(f"CPU denominator: {res['cpu_qps']} qps @ N={res['n']} "
+                 f"-> {cpu_extrap:.0f} qps extrapolated to N={n}")
+        except Exception:
+            _log("denominator FAILED (falling back to estimate):\n" + traceback.format_exc())
+            try:
+                denom_proc.kill()
+            except Exception:
+                pass
+        try:
+            os.remove(denom_go)
+        except OSError:
+            pass
+
     # ---- secondary: HNSW build+search (BASELINE config #1) at 1M — the
     # round-4 device-resident prune pipeline (index/hnsw.py) builds 1M x 384
     # in ~110-250 s, so headline-scale HNSW evidence is driver-captured.
-    # gate: GT + build + timing needs ~380 s cold; starting with less left
-    # burns to the SIGALRM and also loses the denominator join that follows
-    # (measured rehearsal 9: alarm mid-HNSW dropped vs_cpu). Better to skip
-    # HNSW and land a complete-minus-one artifact.
+    # LAST stage by design: it is the most expensive secondary and the
+    # denominator join above already sealed vs_cpu, so an alarm mid-HNSW
+    # costs only the HNSW keys. Gate: GT + build + timing needs ~380 s
+    # cold at 1M, ~330 s at the 300k fallback.
     hnsw_need = float(os.environ.get("MUOPDB_BENCH_HNSW_NEED_S", 380))
-    hnsw_need_small = float(os.environ.get("MUOPDB_BENCH_HNSW_SMALL_NEED_S", 230))
+    hnsw_need_small = float(os.environ.get("MUOPDB_BENCH_HNSW_SMALL_NEED_S", 330))
     if headline_ok and os.environ.get("MUOPDB_BENCH_HNSW", "1") != "0" \
             and _remaining() > hnsw_need_small:
         try:
@@ -938,33 +980,6 @@ def main():
             _log(f"hnsw: built {h_build:.0f}s, {hq/h_dt:.0f} qps @ recall {h_rec:.3f} (ef={hef})")
         except Exception:
             _log("hnsw secondary FAILED (continuing):\n" + traceback.format_exc())
-
-    # ---- join the denominator subprocess and compute vs_baseline
-    cpu_extrap = None
-    if denom_proc is not None:
-        try:
-            _set_stage("denom_join")
-            with open(denom_go, "w") as f:  # release the child's timed reps
-                f.write("go")
-            budget_left = max(45.0, _remaining() - 30.0)
-            stdout, _ = denom_proc.communicate(timeout=budget_left)
-            res = json.loads(stdout.decode().strip().splitlines()[-1])
-            cpu_extrap = res["cpu_qps"] * res["n"] / n  # O(N)/query extrapolation
-            out["cpu_backend_qps_measured"] = res["cpu_qps"]
-            out["cpu_backend_n"] = res["n"]
-            out["cpu_backend_qps_extrapolated_to_n"] = round(cpu_extrap, 1)
-            _log(f"CPU denominator: {res['cpu_qps']} qps @ N={res['n']} "
-                 f"-> {cpu_extrap:.0f} qps extrapolated to N={n}")
-        except Exception:
-            _log("denominator FAILED (falling back to estimate):\n" + traceback.format_exc())
-            try:
-                denom_proc.kill()
-            except Exception:
-                pass
-        try:
-            os.remove(denom_go)
-        except OSError:
-            pass
 
     if headline_ok:
         # vs_baseline stays against the CONSERVATIVE reference estimate: the
