@@ -204,3 +204,33 @@ def test_streamed_raw_store_on_s3(streamed_user, tmp_path):
         fio._OBJECT_STORES.pop("s3", None)
         srv.shutdown()
         srv.server_close()
+
+
+def test_streamed_probed_small_rerank(rng):
+    """VERDICT r4 weak #6: stage-1's approx top-R compounds with probe
+    masking at the SMALL-R end. Pin recall with a real coarse structure,
+    nprobe masking, and a shallow rerank (R=64)."""
+    from muopdb_tpu.quantization import ProductQuantizer
+
+    n, d, nm = 4000, 16, 32
+    modes = rng.standard_normal((nm, d), dtype=np.float32) * 3.0
+    owner = rng.integers(0, nm, n).astype(np.int32)
+    x = modes[owner] + rng.standard_normal((n, d), dtype=np.float32)
+    pq = ProductQuantizer(dim=d, subvector_dim=4, num_bits=8).train(
+        x, max_iter=5
+    )
+    pairs = np.zeros((n, 2), np.uint64)
+    pairs[:, 0] = np.arange(n)
+    idx = StreamedIndex(pq, np.asarray(pq.quantize(x)), x, doc_ids=pairs,
+                        centroids=modes, point_owner=owner)
+    qs = x[rng.integers(0, n, 32)] + 0.05 * rng.standard_normal(
+        (32, d), dtype=np.float32
+    )
+    dd = ((qs[:, None, :] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(dd, axis=1)[:, :K]
+    _, ii = idx.search(qs, k=K, rerank=64, nprobe=8)
+    ii = np.asarray(ii)
+    rec = np.mean([
+        len(set(ii[r].tolist()) & set(gt[r].tolist())) / K for r in range(32)
+    ])
+    assert rec >= 0.9, rec
