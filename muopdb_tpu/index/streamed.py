@@ -414,15 +414,25 @@ class StreamedIndex:
         outs = []
         if overlap and len(chunks) > 1:
             nxt = {}
-            t = threading.Thread(target=lambda: nxt.setdefault(0, prep(0)))
+
+            def _prep_into(j):
+                # exceptions must cross the thread boundary intact — a bare
+                # worker death would surface as a KeyError at the join
+                try:
+                    nxt[j] = ("ok", prep(j))
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    nxt[j] = ("err", e)
+
+            t = threading.Thread(target=_prep_into, args=(0,))
             t.start()
             for i in range(len(chunks)):
                 t.join()
-                ci, ok, rows = nxt.pop(i)
+                status, payload = nxt.pop(i)
+                if status == "err":
+                    raise payload
+                ci, ok, rows = payload
                 if i + 1 < len(chunks):
-                    t = threading.Thread(
-                        target=lambda j=i + 1: nxt.setdefault(j, prep(j))
-                    )
+                    t = threading.Thread(target=_prep_into, args=(i + 1,))
                     t.start()
                 outs.append(_stage2_rerank(
                     jnp.asarray(chunks[i]), jnp.asarray(rows),

@@ -551,7 +551,10 @@ class ShardedStreamed:
         )
         def stage1(qq, ct, valid, ids):
             lut = _compute_lut_l2(qq, self.codebook)  # (B, m, ksub)
-            # local ADC sweep: one-hot-free gather-sum over the code slice
+            # local ADC sweep as a gather-sum: portable (runs on the CPU
+            # dryrun mesh); a production pod slice would drop in the
+            # one-hot-matmul / int8 Pallas ADC kernel per shard
+            # (ops/pallas/adc.py) — identical scores, MXU-rate
             m = ct.shape[0]
             scores = jnp.zeros((qq.shape[0], ct.shape[1]), jnp.float32)
             for j in range(m):
