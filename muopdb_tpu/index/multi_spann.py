@@ -270,13 +270,19 @@ class MultiSpannIndex:
                     return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
         if len(uids) > 1:
             try:
-                res = self._search_users_fused(
+                fused = self._search_users_fused(
                     uids, q, k, filter_masks=filter_masks, rerank=rerank
                 )
-                if res is not None:
+                if fused is not None:
+                    res, handled = fused
                     for row, pairs in enumerate(res):
                         merged[row].extend(pairs)
-                    return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
+                    # users the fused program could not include (streamed
+                    # tier, empty) continue through the serial loop — an
+                    # early return here silently dropped their results
+                    uids = [u for u in uids if u not in handled]
+                    if not uids:
+                        return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
             except Exception:  # noqa: BLE001 — fused path is an optimization
                 import logging
 
@@ -300,6 +306,9 @@ class MultiSpannIndex:
         return [sorted(row, key=lambda t: t[1])[:k] for row in merged]
 
     def _search_users_fused(self, uids, q, k, *, filter_masks=None, rerank: int = 0):
+        """Returns (per-query results, set of uids the fused program
+        covered) or None when fewer than two users can share a program —
+        the caller serial-loops every uid NOT in the returned set."""
         from .multi_search import build_group, search_group
 
         spanns = []
@@ -331,10 +340,11 @@ class MultiSpannIndex:
                 while len(self._fused_groups) > 16:
                     self._fused_groups.popitem(last=False)
         ivfs_by_uid = {u: s.ivf for u, s in spanns}
-        return search_group(
+        res = search_group(
             group, ivfs_by_uid, q, k, rerank=rerank, epoch=epoch,
             filter_masks=filter_masks,
         )
+        return res, {u for u, _ in spanns}
 
     # -- deletions -------------------------------------------------------
     def invalidate(self, user_id: int, doc_ids: Iterable[int]) -> int:

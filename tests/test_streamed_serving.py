@@ -234,3 +234,28 @@ def test_streamed_probed_small_rerank(rng):
         len(set(ii[r].tolist()) & set(gt[r].tolist())) / K for r in range(32)
     ])
     assert rec >= 0.9, rec
+
+
+def test_fused_plus_streamed_users_merge(rng):
+    """Regression: with >= 2 SPANN users AND a streamed user in ONE
+    request, the fused path must not swallow the streamed user's results
+    (it now reports which uids it covered; the rest serial-loop)."""
+    ivf = SpannBuildConfig.from_collection_config(
+        CollectionConfig(num_features=D, initial_num_centroids=4,
+                         streamed_user_threshold=1000)
+    )
+    b = MultiSpannBuilder(ivf, D)
+    xs = {}
+    for uid, n in ((1, 300), (2, 300), (3, 1500)):  # 3 is streamed
+        x = _mk_data(rng, n)
+        pairs = np.zeros((n, 2), np.uint64)
+        pairs[:, 0] = uid * 10_000 + np.arange(n)
+        b.insert_batch_pairs(uid, pairs, x)
+        xs[uid] = x
+    ms = b.build()
+    assert isinstance(ms._users[3], StreamedIndex)
+    # query aimed at the STREAMED user's doc 5
+    q = xs[3][5:6] + 0.001
+    res = ms.search_for_users([1, 2, 3], q, k=K, rerank=256)
+    assert ms.fused_fallback_count == 0
+    assert res[0] and res[0][0][0] == 3 * 10_000 + 5, res[0][:3]
