@@ -312,6 +312,20 @@ class StreamedIndex:
         for _, doc, row in self.iter_valid_with_pid():
             yield doc, row
 
+    def valid_arrays(self):
+        """Batch form of iter_valid_with_pid: (point_ids, doc_id_pairs,
+        vectors) numpy arrays — the vectorized merge/vacuum feed. Rows come
+        off the raw store exactly (optimizers must never rebuild from lossy
+        code reconstructions)."""
+        live = np.nonzero(self.point_valid_host)[0].astype(np.int64)
+        docs = (self.doc_ids[live] if self.doc_ids is not None
+                else np.stack([live.astype(np.uint64),
+                               np.zeros(len(live), np.uint64)], axis=1))
+        vecs = np.asarray(self.raw_store[live], np.float32).reshape(
+            len(live), self.dim
+        )
+        return live, docs, vecs
+
     def candidates(self, queries, r: int, *, nprobe: int = 0):
         """Stage 1 only: (scores, ids) of the approx top-r code candidates."""
         q = jnp.asarray(np.asarray(queries, np.float32))

@@ -259,3 +259,50 @@ def test_fused_plus_streamed_users_merge(rng):
     res = ms.search_for_users([1, 2, 3], q, k=K, rerank=256)
     assert ms.fused_fallback_count == 0
     assert res[0] and res[0][0][0] == 3 * 10_000 + 5, res[0][:3]
+
+
+def test_vacuum_and_merge_over_streamed_users(rng, tmp_path):
+    """Optimizers walk streamed users through the same iter_valid_with_pid
+    surface as SPANN users (optimizers/merge.rs:38-95 parity): vacuum drops
+    deleted rows physically; merge combines a streamed-user segment with a
+    later one and the rebuilt segment still answers exactly."""
+    from muopdb_tpu.collection.collection import Collection
+
+    cfg = CollectionConfig(
+        num_features=D, initial_num_centroids=4, posting_list_block_rows=16,
+        centroids_ef_construction=32, centroids_max_neighbors=8,
+        wal_file_size=0, max_number_of_segments=10,
+        streamed_user_threshold=1200,
+    )
+    col = Collection("c", str(tmp_path / "c"), cfg)
+    x = _mk_data(rng, 1500)
+    col.insert_for_users([1], list(range(1500)), x)
+    col.flush()
+    import glob
+
+    assert glob.glob(str(tmp_path / "c" / "segment_*" / "user_*" / "streamed.json"))
+    # vacuum: delete 300 docs, rebuild, deleted rows physically gone
+    col.remove(1, list(range(300)))
+    [old_name] = [s["name"] for s in col.segment_infos()]
+    new_name = col.run_optimizer([old_name], "vacuum")
+    seg = col.all_segments[new_name]
+    assert seg.num_docs == 1200
+    with col.get_snapshot() as snap:
+        res = snap.search_for_users([1], x[500:501], k=1, num_explored_centroids=4)
+        assert res[0][0][0] == 500
+        # deleted docs stay gone after the rebuild
+        res0 = snap.search_for_users([1], x[5:6], k=1, num_explored_centroids=4)
+        assert res0[0][0][0] != 5
+    # merge: second (small, SPANN-tier) segment + the streamed one
+    x2 = _mk_data(rng, 100)
+    col.insert_for_users([1], list(range(5000, 5100)), x2)
+    col.flush()
+    names = [s["name"] for s in col.segment_infos()]
+    assert len(names) == 2
+    col.run_optimizer(names, "merge")
+    assert col.num_segments == 1
+    with col.get_snapshot() as snap:
+        assert snap.search_for_users([1], x[777:778], k=1,
+                                     num_explored_centroids=4)[0][0][0] == 777
+        assert snap.search_for_users([1], x2[3:4], k=1,
+                                     num_explored_centroids=4)[0][0][0] == 5003
