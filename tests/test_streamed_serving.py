@@ -306,3 +306,59 @@ def test_vacuum_and_merge_over_streamed_users(rng, tmp_path):
                                      num_explored_centroids=4)[0][0][0] == 777
         assert snap.search_for_users([1], x2[3:4], k=1,
                                      num_explored_centroids=4)[0][0][0] == 5003
+
+
+def test_streamed_user_survives_cold_reopen(rng, tmp_path):
+    """A fresh Collection at the same path (TOC load, lazy user opens,
+    durable invalidations replay — core.rs:236-318 init_collection parity)
+    serves the streamed-tier user exactly, with post-flush deletions
+    still excluded."""
+    from muopdb_tpu.collection.collection import Collection
+
+    cfg = CollectionConfig(
+        num_features=D, initial_num_centroids=4, posting_list_block_rows=16,
+        centroids_ef_construction=32, centroids_max_neighbors=8,
+        wal_file_size=0, max_number_of_segments=10,
+        streamed_user_threshold=1200,
+    )
+    path = str(tmp_path / "c")
+    col = Collection("c", path, cfg)
+    x = _mk_data(rng, 1500)
+    col.insert_for_users([1], list(range(1500)), x)
+    col.flush()
+    # deletion against the flushed (immutable) segment -> invalidated log
+    col.remove(1, [7])
+    col.close()
+
+    col2 = Collection.open("c", path)
+    with col2.get_snapshot() as snap:
+        res = snap.search_for_users([1], x[100:103], k=1,
+                                    num_explored_centroids=4)
+        assert [r[0][0] for r in res] == [100, 101, 102]
+        # the pre-reopen deletion is durable
+        res7 = snap.search_for_users([1], x[7:8], k=1,
+                                     num_explored_centroids=4)
+        assert res7[0][0][0] != 7
+
+
+def test_auto_optimize_vacuums_streamed_segment(rng, tmp_path):
+    """auto_vacuum's >10%-deleted trigger (core.rs:1480-1509) sees streamed
+    users: invalid_ratio aggregates StreamedIndex.num_valid_points, so the
+    scheduler plans a vacuum for a streamed-tier segment like any other."""
+    from muopdb_tpu.collection.collection import Collection
+
+    cfg = CollectionConfig(
+        num_features=D, initial_num_centroids=4, posting_list_block_rows=16,
+        centroids_ef_construction=32, centroids_max_neighbors=8,
+        wal_file_size=0, max_number_of_segments=10,
+        streamed_user_threshold=1200,
+    )
+    col = Collection("c", str(tmp_path / "c"), cfg)
+    x = _mk_data(rng, 1500)
+    col.insert_for_users([1], list(range(1500)), x)
+    col.flush()
+    col.remove(1, list(range(300)))  # 20% deleted > 10% trigger
+    actions = col.auto_optimize()
+    assert actions, "auto_optimize planned nothing for a 20%-deleted streamed segment"
+    [seg] = col.all_segments.values()
+    assert seg.num_docs == 1200 and seg.invalid_ratio() == 0.0
