@@ -8,6 +8,12 @@ instead (it takes effect because no backend has been *initialized* yet).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
+# Without the pool var, sitecustomize skips axon register() entirely in
+# child interpreters: each spawned server/tool process otherwise pays a
+# TPU-tunnel handshake at startup (3.9 s healthy, MINUTES in a degraded
+# phase — two suite runs blew their timeouts on the cluster test this way).
+# Tests are CPU-only by the config below, so children never need the plugin.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax  # noqa: E402
 

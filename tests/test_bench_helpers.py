@@ -1,0 +1,82 @@
+"""Unit coverage for bench.py's artifact-shaping helpers.
+
+bench.py is the driver contract (one JSON line per run); its heavy stages
+need the real TPU, but the artifact-shaping logic — headline-plan
+promotion when the RaBitQ plan beats ADC on both axes — is pure dict
+manipulation and must be provable without a tunnel. Reference harness
+analog: rs/benchmarks/src/insertion.rs:11-80 (fixed-schema result rows).
+"""
+
+import importlib.util
+import sys
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", __file__.rsplit("/tests/", 1)[0] + "/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_module"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _headline(value=29500.0, recall=0.980, lat=8.68):
+    return {
+        "value": value,
+        "unit": "qps@recall10=%.3f" % recall,
+        "recall_at_10": recall,
+        "latency_ms_per_batch": lat,
+        "headline_plan": "adc_fused",
+    }
+
+
+def test_promotes_when_faster_and_at_least_as_accurate():
+    bench = _load_bench()
+    out = _headline()
+    logged = []
+    promoted = bench._promote_headline_plan(
+        out, "rabitq", 36113.5, 0.9904, 2048 / 36113.5, log=logged.append
+    )
+    assert promoted
+    assert out["headline_plan"] == "rabitq"
+    assert out["value"] == 36113.5
+    assert out["recall_at_10"] == 0.9904
+    assert out["unit"] == "qps@recall10=0.990"
+    # displaced ADC numbers preserved for vs_cpu_backend_same_code
+    assert out["adc_qps"] == 29500.0
+    assert out["adc_recall_at_10"] == 0.980
+    assert out["adc_latency_ms_per_batch"] == 8.68
+    assert logged and "rabitq" in logged[0]
+    # seal-time denominator ratio must use the preserved ADC number
+    assert out.get("adc_qps", out["value"]) == 29500.0
+
+
+def test_no_promotion_on_lower_recall_even_if_faster():
+    bench = _load_bench()
+    out = _headline()
+    assert not bench._promote_headline_plan(out, "rabitq", 99999.0, 0.9500, 0.01)
+    assert out["headline_plan"] == "adc_fused"
+    assert out["value"] == 29500.0
+    assert "adc_qps" not in out
+
+
+def test_no_promotion_on_slower_even_if_more_accurate():
+    bench = _load_bench()
+    out = _headline()
+    assert not bench._promote_headline_plan(out, "rabitq", 20000.0, 0.9990, 0.01)
+    assert out["headline_plan"] == "adc_fused"
+
+
+def test_no_promotion_without_headline():
+    bench = _load_bench()
+    out = {"stage": "rabitq"}  # headline never landed (e.g. insurance failed)
+    assert not bench._promote_headline_plan(out, "rabitq", 30000.0, 0.99, 0.01)
+    assert "value" not in out
+
+
+def test_equal_recall_faster_promotes():
+    bench = _load_bench()
+    out = _headline(recall=0.9904)
+    assert bench._promote_headline_plan(out, "rabitq", 36000.0, 0.9904, 0.05)
+    assert out["headline_plan"] == "rabitq"
