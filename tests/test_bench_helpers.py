@@ -80,3 +80,82 @@ def test_equal_recall_faster_promotes():
     out = _headline(recall=0.9904)
     assert bench._promote_headline_plan(out, "rabitq", 36000.0, 0.9904, 0.05)
     assert out["headline_plan"] == "rabitq"
+
+
+def test_index_cache_roundtrip(tmp_path):
+    """Prebuilt-index cache (VERDICT r4 #1): save strips the raw store;
+    load reopens against a regenerated device store and must serve the
+    exact same results as the freshly built index."""
+    import numpy as np
+
+    bench = _load_bench()
+    n, d, m, nlist, batch, k = 4096, 32, 8, 16, 16, 10
+    xj, queries = bench._gen_data(n, d, batch, seed=0)
+    index = bench._build_index(xj, nlist, m, block_rows=256, max_iter=4)
+    cache_dir = str(tmp_path / "ivf_cache")
+    bench._save_index_cache(index, cache_dir, {"build_seconds": 12.3,
+                                               "degraded": False})
+    # the raw store must NOT be in the persisted npz (it is regenerated)
+    z = np.load(cache_dir + "/ivf.npz")
+    assert "raw_vectors" not in z.files
+    # ...and stripping must not have mutated the live index
+    assert index.raw_vectors is not None
+
+    xj2, _ = bench._gen_data(n, d, batch, seed=0)  # deterministic regen
+    reopened, meta = bench._load_index_cache(cache_dir, xj2)
+    assert meta["build_seconds"] == 12.3
+    assert meta["num_points"] == n
+    d1, i1 = index.search_batched(queries, k=k, rerank=64)
+    d2, i2 = reopened.search_batched(queries, k=k, rerank=64)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_index_cache_rejects_stale_point_count(tmp_path):
+    import numpy as np
+    import pytest
+
+    bench = _load_bench()
+    xj, _ = bench._gen_data(2048, 16, 8, seed=0)
+    index = bench._build_index(xj, 8, 4, block_rows=256, max_iter=3)
+    cache_dir = str(tmp_path / "ivf_cache")
+    bench._save_index_cache(index, cache_dir, {"build_seconds": 1.0})
+    wrong = np.zeros((1024, 16), np.float32)
+    with pytest.raises(ValueError):
+        bench._load_index_cache(cache_dir, wrong)
+
+
+def test_hnsw_cache_roundtrip(tmp_path):
+    """HNSW graph cache: edges + entry point persist; the store regenerates
+    on device from the pinned seed; the reopened index must serve the same
+    results as the freshly built one."""
+    import numpy as np
+    from muopdb_tpu.index.hnsw import HnswBuildConfig, HnswBuilder
+
+    bench = _load_bench()
+    n, d, q, k = 3000, 24, 16, 10
+    xj, queries = bench._gen_data(n, d, q, seed=42)
+    hidx = HnswBuilder(HnswBuildConfig(seed=42), d).build_from_device(xj)
+    path = str(tmp_path / "hnsw_3000.npz")
+    bench._save_hnsw_cache(hidx, path, {"build_seconds": 77.0,
+                                        "degraded": True})
+    # the store must not be in the cache file (it is regenerated)
+    z = np.load(path)
+    assert "vectors" not in z.files
+
+    xj2, _ = bench._gen_data(n, d, q, seed=42)
+    reopened, meta = bench._load_hnsw_cache(path, xj2)
+    assert meta["build_seconds"] == 77.0
+    assert meta["degraded"] is True
+    assert reopened.entry_point == hidx.entry_point
+    assert reopened.num_layers == hidx.num_layers
+    d1, i1 = hidx.search(queries, k=k, ef_search=64)
+    d2, i2 = reopened.search(queries, k=k, ef_search=64)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    # stale cache (wrong point count) must be rejected, not served
+    import pytest
+
+    wrong, _ = bench._gen_data(n // 2, d, q, seed=42)
+    with pytest.raises(ValueError):
+        bench._load_hnsw_cache(path, wrong)
