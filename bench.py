@@ -170,7 +170,10 @@ def _save_hnsw_cache(hidx, path, meta):
     arrays["degraded"] = np.bool_(meta.get("degraded", False))
     tmp = path + ".tmp.npz"
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savez(tmp, **arrays)
+    # compressed: upper layers are stored dense at (N, M) with non-member
+    # rows all padding, so deflate cuts the artifact ~4x (428 -> ~110 MB) —
+    # it is committed to git so a fresh-container driver run inherits it
+    np.savez_compressed(tmp, **arrays)
     os.replace(tmp, path)
 
 
