@@ -61,6 +61,11 @@ _T0 = time.time()
 
 import numpy as np
 
+# Caches live next to THIS file so a checkout at any path finds them
+# (the driver's fresh container keeps only tracked files; see CLAUDE.md).
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_BENCH_CACHE = os.path.join(_REPO_DIR, ".bench_cache")
+
 # per-core estimate for the reference's SIMD ADC scan at the headline
 # config; derivation with literature cross-check: BASELINE.md "Derivation
 # of the 1,500-QPS Rust-CPU denominator"
@@ -106,7 +111,7 @@ def _recall(got, gt, k):
 
 
 def _index_cache_dir(hn, d, nlist, m, seed=0):
-    return f"/root/repo/.bench_cache/ivf_{hn}_{d}_{nlist}_{m}_{seed}"
+    return os.path.join(_BENCH_CACHE, f"ivf_{hn}_{d}_{nlist}_{m}_{seed}")
 
 
 def _save_index_cache(index, cache_dir, meta):
@@ -155,7 +160,7 @@ def _load_index_cache(cache_dir, xj):
 
 
 def _hnsw_cache_path(hn, hd, hseed, max_neighbors):
-    return f"/root/repo/.bench_cache/hnsw_{hn}_{hd}_{hseed}_{max_neighbors}.npz"
+    return os.path.join(_BENCH_CACHE, f"hnsw_{hn}_{hd}_{hseed}_{max_neighbors}.npz")
 
 
 def _save_hnsw_cache(hidx, path, meta):
@@ -321,7 +326,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO_DIR, ".jax_cache"))
     # write EVERY entry (default threshold skips <1s compiles) — cross-
     # process reuse on axon verified round 3 (benches/cache_key_probe.py)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -414,7 +419,7 @@ def main():
         (insurance pass always; full pass only when the tunnel is degraded
         or the budget is short — a healthy full pass does a real build so
         build_seconds stays a measurement, then writes the cache)."""
-        cache_path = f"/root/repo/.bench_cache/gtq_{hn}_{d}_{batch}_{k}_0.npz"
+        cache_path = os.path.join(_BENCH_CACHE, f"gtq_{hn}_{d}_{batch}_{k}_0.npz")
         cached_q = cached_gt = None
         try:
             if os.path.exists(cache_path):
@@ -1172,7 +1177,7 @@ def main():
             # seeded data -> deterministic exact ground truth: share
             # benches/hnsw_quality.py's disk cache (same key)
             gt_name = f"gtdev_{hn}_{hd}_{hq}_{k}_{hseed}.npy"
-            gt_path = f"/root/repo/.bench_cache/{gt_name}"
+            gt_path = os.path.join(_BENCH_CACHE, gt_name)
             gt_tmp = f"/tmp/hnswq_gt/{gt_name}"  # hnsw_quality.py's cache
             if os.path.exists(gt_path):
                 hgt = np.load(gt_path)
