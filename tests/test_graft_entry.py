@@ -85,3 +85,21 @@ def test_dryrun_multichip_with_initialized_backend():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+
+def test_bench_cache_paths_anchor_at_bench_file():
+    """bench.py must find its committed caches from a checkout at ANY path
+    (the driver's fresh container keeps only tracked files; a hardcoded
+    /root/repo anchor silently escaped a relocated clone)."""
+    import importlib
+    import os
+
+    sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    assert bench._index_cache_dir(250000, 128, 256, 16).startswith(
+        os.path.join(repo, ".bench_cache")
+    )
+    assert bench._hnsw_cache_path(1000000, 384, 42, 16).startswith(
+        os.path.join(repo, ".bench_cache")
+    )
